@@ -1,0 +1,73 @@
+"""Co-location self-join — the flagship operator (reference J1).
+
+Two devices interact when they occupy the same cell within the same
+origin-anchored 10-minute bucket (interaction_queries.py:7-29,
+NetworkBuilder.py:155-211, MakeEmpiricNetworks.py:47-58).
+
+Scale design (SURVEY.md §4): the join output is quadratic in the number of
+co-located devices per (cell, bucket). Two defenses, both applied *before*
+the wide shuffle:
+
+1. Deduplicate (id, cell, bucket) first — the reference instead DISTINCTs
+   the joined pairs, which shuffles the quadratic blow-up. Dedup-before-join
+   is algebraically equivalent for set-valued output and strictly cheaper.
+2. AQE skew-join splitting handles residual hot cells (session.py).
+
+The equi keys (cell, bucket) drive a shuffled hash/sort-merge join; the
+``a.id != b.id`` theta stays a post-join residual filter, as in the
+reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _presence(pings: DataFrame, id_col: str, cell_col: str, tw_col: str) -> DataFrame:
+    return pings.select(id_col, cell_col, tw_col).distinct()
+
+
+def colocation_pairs(
+    pings: DataFrame,
+    id_col: str = "caid",
+    cell_col: str = "h3index_15",
+    tw_col: str = "tw",
+) -> DataFrame:
+    """Distinct *ordered* pairs (a_id, b_id), a != b — both directions, as the
+    reference's interactions table (interaction_queries.py:21-28)."""
+    p = _presence(pings, id_col, cell_col, tw_col)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, on=[cell_col, tw_col])
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"a_{id_col}"),
+            F.col(f"b.{id_col}").alias(f"b_{id_col}"),
+        )
+        .distinct()
+    )
+
+
+def colocation_edges(
+    pings: DataFrame,
+    id_col: str = "caid",
+    cell_col: str = "h3index_15",
+    tw_col: str = "tw",
+    weight_col: str = "n_windows",
+) -> DataFrame:
+    """Undirected weighted edges: canonicalize with LEAST/GREATEST
+    (MakeEmpiricNetworks.py:85-86) and count distinct co-located buckets."""
+    p = _presence(pings, id_col, cell_col, tw_col)
+    a, b = p.alias("a"), p.alias("b")
+    ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    return (
+        a.join(b, on=[cell_col, tw_col])
+        .where(ai != bi)
+        .select(
+            F.least(ai, bi).alias(f"a_{id_col}"),
+            F.greatest(ai, bi).alias(f"b_{id_col}"),
+            F.col(tw_col),
+        )
+        .groupBy(f"a_{id_col}", f"b_{id_col}")
+        .agg(F.countDistinct(tw_col).alias(weight_col))
+    )

@@ -1,0 +1,417 @@
+"""Reference mobility-pipeline operators mapped onto the `events` table.
+
+The testdata has no GPS pings, so the §2 kernels are registered over the
+stream-shaped `events` table with the natural correspondence:
+    user_id    ~ caid (device id)
+    event_type ~ cell (h3index_15)
+    ts         ~ ping timestamp
+    value      ~ scalar measure (accuracy / 1-D position)
+Semantics cited per query are the reference's; the kernels in operators/
+are the reusable implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..operators.colocation import colocation_edges, colocation_pairs
+from ..operators.contacts import (
+    contact_probs,
+    group_sizes,
+    observed_contacts,
+    total_contacts,
+    total_vs_observed,
+)
+from ..operators.timebucket import bucket_sql, with_time_bucket
+from ..operators.winners import category_winner
+from ..session import prep
+from . import query
+
+DAY = "2024-01-05"
+DAY_A = "2024-01-03"
+DAY_B = "2024-01-10"
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# Shared DuckDB CTE: distinct presence rows with the origin-anchored bucket
+# (W5+J1 prep). Used by several oracles below.
+_PRESENCE_CTE = f"""
+presence AS (
+    SELECT DISTINCT user_id, event_type,
+           {bucket_sql('events', 'ts')} AS tw
+    FROM events
+)
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, "events")
+
+
+def _bucketed_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    return with_time_bucket(e, "ts", 600).drop("ts")
+
+
+def _winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return category_winner(
+        e, key="user_id", category="event_type", out_category="home_type"
+    )
+
+
+_WINNERS_CTE = """
+scored AS (
+    SELECT user_id, event_type, count(*) AS score
+    FROM events GROUP BY user_id, event_type
+),
+winners AS (
+    SELECT user_id, event_type AS home_type, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY score DESC, event_type ASC
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "extract_day_slice",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           strftime(ts, '%Y-%m-%d') AS day
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{DAY}' AND value >= 100
+    """,
+)
+def extract_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-slice extract: date-equality + quality predicate + projection
+    (extractqueries.py:6-23: STRFTIME day filter, horizontal_accuracy>=100)."""
+    e = _events(spark, sf_dir)
+    return e.where(
+        (F.to_date("ts") == F.lit(DAY)) & (F.col("value") >= 100.0)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+
+@query(
+    "night_window_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE hour(ts) >= 22 OR hour(ts) < 6
+    GROUP BY event_type
+    """,
+)
+def night_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Night-window predicate (ntl_queries.py:109: hour>=22 OR hour<6) +
+    count / count-distinct aggregation (A2/A1)."""
+    e = _events(spark, sf_dir)
+    night = e.where((F.hour("ts") >= 22) | (F.hour("ts") < 6))
+    return night.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "home_winners",
+    oracle=f"WITH {_WINNERS_CTE.strip()} SELECT * FROM winners",
+)
+def home_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-device home inference (W4: ntl_queries.py:41-47,
+    NTLTransforms.py:120-126), tie-break by category ascending."""
+    return _winners(spark, sf_dir)
+
+
+@query(
+    "above_avg_devices",
+    oracle="""
+    WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+    SELECT user_id, n_events FROM u
+    WHERE n_events > (SELECT avg(n_events) FROM u)
+    """,
+)
+def above_avg_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar-vs-row comparison (W1/W3 pattern, HomeAgebGenerator.py:
+    171-174): computed as scalar agg + broadcast 1-row cross join, never an
+    empty-partition window (SURVEY.md §7)."""
+    e = _events(spark, sf_dir)
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    avg = u.agg(F.avg("n_events").alias("__avg"))
+    return (
+        u.crossJoin(F.broadcast(avg))
+        .where(F.col("n_events") > F.col("__avg"))
+        .select("user_id", "n_events")
+    )
+
+
+@query(
+    "bucket_counts",
+    oracle=f"""
+    SELECT event_type, {bucket_sql('events', 'ts')} AS tw,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, tw
+    """,
+)
+def bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-anchored 600s tumbling bucket (W5: interaction_queries.py:17)
+    + per-(cell,bucket) counts."""
+    e = _events(spark, sf_dir)
+    b = with_time_bucket(e, "ts", 600)
+    return b.groupBy("event_type", "tw").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "colocation_pairs",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()}
+    SELECT DISTINCT a.user_id AS a_user_id, b.user_id AS b_user_id
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id <> b.user_id
+    """,
+)
+def colocation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship co-location self-join (J1: interaction_queries.py:21-28):
+    same cell + same 10-min bucket, distinct ordered pairs."""
+    p = _bucketed_presence(spark, sf_dir)
+    return colocation_pairs(p, id_col="user_id", cell_col="event_type", tw_col="tw")
+
+
+@query(
+    "colocation_edges",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()}
+    SELECT least(a.user_id, b.user_id) AS a_user_id,
+           greatest(a.user_id, b.user_id) AS b_user_id,
+           count(DISTINCT tw) AS n_windows
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id <> b.user_id
+    GROUP BY 1, 2
+    """,
+)
+def colocation_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected contact edges: LEAST/GREATEST canonical pair
+    (MakeEmpiricNetworks.py:85-86) weighted by distinct co-located buckets."""
+    p = _bucketed_presence(spark, sf_dir)
+    return colocation_edges(p, id_col="user_id", cell_col="event_type", tw_col="tw")
+
+
+@query(
+    "block_sizes",
+    oracle=f"""
+    WITH {_WINNERS_CTE.strip()}
+    SELECT home_type, count(DISTINCT user_id) AS size
+    FROM winners GROUP BY home_type
+    """,
+)
+def block_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block population sizes (A1: matrix_queries.py:17-19)."""
+    w = _winners(spark, sf_dir)
+    return group_sizes(w, block_col="home_type", id_col="user_id")
+
+
+_TVO_CTE = f"""
+{_WINNERS_CTE.strip()},
+sizes AS (
+    SELECT home_type, count(DISTINCT user_id) AS size
+    FROM winners GROUP BY home_type
+),
+total AS (
+    SELECT a.home_type AS a_home_type, b.home_type AS b_home_type,
+           CAST(a.size * b.size AS BIGINT) AS total_pairs
+    FROM sizes a CROSS JOIN sizes b
+),
+{_PRESENCE_CTE.strip()},
+pairs AS (
+    SELECT DISTINCT a.user_id AS a_user_id, b.user_id AS b_user_id
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id <> b.user_id
+),
+observed AS (
+    SELECT wa.home_type AS a_home_type, wb.home_type AS b_home_type,
+           count(*) AS observed
+    FROM pairs p
+    JOIN winners wa ON p.a_user_id = wa.user_id
+    JOIN winners wb ON p.b_user_id = wb.user_id
+    GROUP BY 1, 2
+),
+tvo AS (
+    SELECT t.a_home_type, t.b_home_type, t.total_pairs,
+           CAST(coalesce(o.observed, 0) AS BIGINT) AS observed
+    FROM total t LEFT JOIN observed o
+      ON t.a_home_type = o.a_home_type AND t.b_home_type = o.b_home_type
+)
+"""
+
+
+def _tvo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _winners(spark, sf_dir)
+    sizes = group_sizes(w, block_col="home_type", id_col="user_id")
+    total = total_contacts(sizes, block_col="home_type")
+    p = _bucketed_presence(spark, sf_dir)
+    pairs = colocation_pairs(p, id_col="user_id", cell_col="event_type", tw_col="tw")
+    obs = observed_contacts(
+        pairs,
+        homes=w,
+        pair_a="a_user_id",
+        pair_b="b_user_id",
+        home_key="user_id",
+        home_val="home_type",
+    )
+    return total_vs_observed(total, obs, "a_home_type", "b_home_type")
+
+
+@query(
+    "total_vs_observed",
+    oracle=f"WITH {_TVO_CTE.strip()} SELECT * FROM tvo",
+)
+def total_vs_observed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sizes cross-join totals (J4) + observed pair counts (A2) outer-completed
+    with 0 (J5: NetworkBuilder.py:213-262). Keeps the reference's semantics:
+    total counts self-pairs, observed counts ordered distinct pairs."""
+    return _tvo(spark, sf_dir)
+
+
+@query(
+    "contact_probs",
+    oracle=f"""
+    WITH {_TVO_CTE.strip()}
+    SELECT a_home_type, b_home_type, total_pairs, observed,
+           round(CASE WHEN total_pairs > 0
+                      THEN observed / total_pairs ELSE 0 END, 6) AS prob
+    FROM tvo
+    """,
+)
+def contact_probs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact probability matrix in long form (F13: observed/total with
+    zero-guard, NetworkBuilder.py:297-317)."""
+    return contact_probs(_tvo(spark, sf_dir), "a_home_type", "b_home_type")
+
+
+@query(
+    "radius_of_gyration",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, avg(value) AS mean FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           round(sqrt(sum(pow(e.value - m.mean, 2)) / count(*)), 6) AS rg
+    FROM events e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id
+    """,
+)
+def radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D radius of gyration over `value`: sqrt(mean squared deviation from
+    the device's mass center) (RadiusOfGyrationHandler.py:134-279, A8/A9;
+    squared-diff variant per the handler, not the notebook's abs — SURVEY §7).
+    Mass center attached via broadcast join, not a global window."""
+    e = _events(spark, sf_dir)
+    m = e.groupBy("user_id").agg(F.avg("value").alias("__mean"))
+    return (
+        e.join(F.broadcast(m), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.pow(F.col("value") - F.col("__mean"), F.lit(2)))
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("rg")
+        )
+    )
+
+
+@query(
+    "type_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot with a fixed category list (A11:
+    NetworkBuilder.py:297-311 pivot-to-matrix)."""
+    e = _events(spark, sf_dir)
+    out = e.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    for t in EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out.na.fill(0)
+
+
+@query(
+    "semi_join_day_error_users",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{DAY}'
+      AND user_id IN (
+        SELECT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY}' AND event_type = 'error'
+      )
+    """,
+)
+def semi_join_day_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join idiom (J2: restrict to devices seen in a cohort,
+    ntl_transforms.py:55-62) — expressed as a real left_semi join."""
+    e = _events(spark, sf_dir)
+    day = e.where(F.to_date("ts") == F.lit(DAY))
+    errs = day.where(F.col("event_type") == "error").select("user_id")
+    return day.join(errs, "user_id", "left_semi").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "anti_join_quiet_users",
+    oracle=f"""
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = DATE '{DAY}'
+      AND user_id NOT IN (
+        SELECT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '{DAY}' AND event_type = 'error'
+      )
+    """,
+)
+def anti_join_quiet_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join idiom (P13: WHERE b IS NULL after left join,
+    MakeEmpiricNetworks.py:64-77) — expressed as a real left_anti join."""
+    e = _events(spark, sf_dir)
+    day = e.where(F.to_date("ts") == F.lit(DAY))
+    errs = day.where(F.col("event_type") == "error").select("user_id")
+    return day.select("user_id").distinct().join(errs, "user_id", "left_anti")
+
+
+@query(
+    "union_two_days",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events FROM (
+        SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_A}'
+        UNION ALL
+        SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '{DAY_B}'
+    ) GROUP BY event_type
+    """,
+)
+def union_two_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day slice union (U1: parquet_extractor.py:40 loop-concat ->
+    unionByName)."""
+    e = _events(spark, sf_dir)
+    d1 = e.where(F.to_date("ts") == F.lit(DAY_A))
+    d2 = e.where(F.to_date("ts") == F.lit(DAY_B))
+    return d1.unionByName(d2).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
