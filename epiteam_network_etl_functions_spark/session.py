@@ -13,21 +13,43 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Runtime-settable confs applied at the top of every workload query, so the
-# engine behaves identically whether the session is ours or driver-provided.
-_RUNTIME_CONF = {
+# Correctness confs — always pinned, driver session or ours.
+_CORRECTNESS_CONF = {
     # DuckDB timestamps are UTC-naive; pin the session so hour()/to_date()
     # and collected datetimes agree with the oracle bit-for-bit.
     "spark.sql.session.timeZone": "UTC",
-    # AQE: runtime re-plan, partition coalescing, skew-join splitting. The
-    # J1-style co-location self-join has hot (cell, bucket) keys by design.
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
     # The testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
     # vectorized parquet reader rejects; read as long and rebuild in catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+# Scale profile (default): what a 1000-executor / 100 TB run wants. AQE
+# re-plans at runtime, coalesces post-shuffle partitions, and splits skewed
+# joins — the J1-style co-location self-join has hot (cell, bucket) keys by
+# design.
+_SCALE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+# Small-input latency profile (bench at sf<=0.1, a few hundred MB): AQE's
+# per-stage re-optimization costs more than it saves, and every dimension
+# fits comfortably in a broadcast. Selected via $SPARK_GRAFT_SMALL_PROFILE=1
+# (bench.py sets it from the measured input size).
+_SMALL_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),
+}
+
+
+def _profile_conf() -> dict:
+    conf = dict(_CORRECTNESS_CONF)
+    if os.environ.get("SPARK_GRAFT_SMALL_PROFILE") == "1":
+        conf.update(_SMALL_CONF)
+    else:
+        conf.update(_SCALE_CONF)
+    return conf
 
 
 def default_parallelism() -> int:
@@ -45,7 +67,7 @@ def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkS
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _profile_conf().items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,7 +77,7 @@ def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkS
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally provided session (driver smoke
     tests hand us their own SparkSession)."""
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _profile_conf().items():
         spark.conf.set(k, v)
     # Keep shuffle width sane on local sessions that kept the 200 default.
     try:

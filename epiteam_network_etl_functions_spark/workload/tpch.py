@@ -1,1 +1,305 @@
-"""Placeholder — filled in as coverage widens."""
+"""Relational analytics over the TPC-H-ish tables.
+
+Exercises the reference's aggregation/join/sort surface (SURVEY.md §2.3-2.8)
+on lineitem/orders/customer/..., where the data volume actually stresses the
+planner: multi-way joins, group-by-heavy scans, top-k.
+
+Cross-engine float determinism: Spark and DuckDB accumulate double sums in
+different orders, so raw SUM(double) can differ near rounding boundaries.
+All money columns in the testdata sit exactly on a cent grid (verified:
+max |x*100 - round(x*100)| < 1e-9), so sums are computed on exact integer
+cents / basis points (BIGINT, or DECIMAL(38,0) where products overflow
+int64) and converted to doubles with a single identical division at the
+end — bit-exact on both engines. At 100 TB the same trick holds: decimal
+accumulators never overflow and shuffle as fixed-width values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..session import prep
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# Exact integer quantizations (same expression shape on both engines).
+def _cents(col: str):  # money -> integer cents
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _bp(col: str):  # rate in [0,1] -> integer basis points
+    return F.round(F.col(col) * 10000).cast("bigint")
+
+
+_SQL_CENTS = "CAST(round({c} * 100) AS BIGINT)"
+_SQL_BP = "CAST(round({c} * 10000) AS BIGINT)"
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+        sum({_SQL_CENTS.format(c='l_quantity')}) / 100.0 AS sum_qty,
+        sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0 AS sum_base_price,
+        CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                 * (10000 - {_SQL_BP.format(c='l_discount')}) AS DECIMAL(38,0)))
+             AS DOUBLE) / 1000000.0 AS sum_disc_price,
+        CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                 * (10000 - {_SQL_BP.format(c='l_discount')})
+                 * (10000 + {_SQL_BP.format(c='l_tax')}) AS DECIMAL(38,0)))
+             AS DOUBLE) / 10000000000.0 AS sum_charge,
+        round((sum({_SQL_CENTS.format(c='l_quantity')}) / 100.0) / count(*), 6) AS avg_qty,
+        round((sum({_SQL_CENTS.format(c='l_extendedprice')}) / 100.0) / count(*), 6) AS avg_price,
+        round((sum({_SQL_BP.format(c='l_discount')}) / 10000.0) / count(*), 6) AS avg_disc,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single wide scan -> 2-key groupBy with 8 aggregates
+    (reference A2/A5 family). Partial map-side aggregation makes this a
+    single shuffle of n_groups rows at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc, pc = _cents("l_quantity"), _cents("l_extendedprice")
+    db, tb = _bp("l_discount"), _bp("l_tax")
+    base = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")).select(
+        "l_returnflag",
+        "l_linestatus",
+        qc.alias("qc"),
+        pc.alias("pc"),
+        db.alias("db"),
+        tb.alias("tb"),
+        (pc * (10000 - db)).cast("decimal(38,0)").alias("disc_c"),
+        (pc * (10000 - db) * (10000 + tb)).cast("decimal(38,0)").alias("charge_c"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qc") / 100.0).alias("sum_qty"),
+        (F.sum("pc") / 100.0).alias("sum_base_price"),
+        (F.sum("disc_c").cast("double") / 1000000.0).alias("sum_disc_price"),
+        (F.sum("charge_c").cast("double") / 10000000000.0).alias("sum_charge"),
+        F.round((F.sum("qc") / 100.0) / n, 6).alias("avg_qty"),
+        F.round((F.sum("pc") / 100.0) / n, 6).alias("avg_price"),
+        F.round((F.sum("db") / 10000.0) / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+_REVENUE_SQL = (
+    f"CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}"
+    f" * (10000 - {_SQL_BP.format(c='l_discount')}) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / 1000000.0"
+)
+
+
+def _revenue_col() -> F.Column:
+    expr = (_cents("l_extendedprice") * (10000 - _bp("l_discount"))).cast(
+        "decimal(38,0)"
+    )
+    return expr
+
+
+@query(
+    "top_unshipped_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join -> grouped revenue -> top-k
+    (reference O3 top-k + J-family). The revenue ordering key is an exact
+    integer sum, so the top-k cut is deterministic across engines; the
+    orderkey tie-break makes it total."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            _revenue_col().alias("rev_c"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderkey", "orderdate", "o_orderpriority")
+        .agg((F.sum("rev_c").cast("double") / 1000000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "region_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name, {_REVENUE_SQL} AS revenue, count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join fact->dims with a region filter (reference
+    J10/J12 dimension attaches). nation/region are broadcast — at 100 TB the
+    only shuffles are lineitem⋈orders and ⋈customer on their keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m-%d')
+          IN ('1997-03-01', '1997-03-02', '1997-03-03', '1997-03-04',
+              '1997-03-05', '1997-03-06', '1997-03-07')
+       OR year(o_orderdate) = 2000
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-IN-list predicate (P6: ntl_queries.py:107 STRFTIME-IN) + count
+    aggregates, P6's formatted-date membership kept deliberately."""
+    o = _t(spark, sf_dir, "orders")
+    days = [f"1997-03-{d:02d}" for d in range(1, 8)]
+    return (
+        o.where(
+            F.date_format("o_orderdate", "yyyy-MM-dd").isin(days)
+            | (F.year("o_orderdate") == 2000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "scalar_function_suite",
+    oracle="""
+    SELECT p_partkey,
+        concat(p_brand, ':', p_type) AS brand_type,
+        substring(p_name, 1, 8) AS name_prefix,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        length(p_name) AS name_len,
+        least(p_retailprice, 500.0) AS price_capped,
+        greatest(CAST(p_size AS BIGINT), 25) AS size_floor,
+        CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
+        CAST(ceil(p_retailprice) AS DOUBLE) AS price_ceil,
+        round(sqrt(p_retailprice), 6) AS price_sqrt,
+        round(pow(abs(p_retailprice - 500.0), 2), 4) AS dev_sq,
+        CAST(p_size AS DOUBLE) / 10 AS size_scaled
+    FROM part
+    WHERE substring(p_brand, 1, 6) = 'Brand#'
+      AND substring(p_type, 1, 2) <> 'XX'
+    """,
+)
+def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar-function families in one projection (SURVEY
+    §2.8): concat, substring-slice prefixes (P10/P11), lpad zero-pad
+    (IndexingHomeAgebs.py:125-126), least/greatest, length, CASE, ceil,
+    sqrt, pow(abs(x),2) (RadiusOfGyrationHandler.py:225), casts."""
+    p = _t(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.where(
+        (F.substring("p_brand", 1, 6) == "Brand#")
+        & (F.substring("p_type", 1, 2) != "XX")
+    ).select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.least(price, F.lit(500.0)).alias("price_capped"),
+        F.greatest(F.col("p_size").cast("bigint"), F.lit(25).cast("bigint")).alias(
+            "size_floor"
+        ),
+        F.when(F.col("p_size") >= 25, "big").otherwise("small").alias("size_class"),
+        F.ceil(price).cast("double").alias("price_ceil"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.pow(F.abs(price - 500.0), F.lit(2)), 4).alias("dev_sq"),
+        (F.col("p_size").cast("double") / 10).alias("size_scaled"),
+    )
+
+
+@query(
+    "supplier_balance_rollup",
+    oracle="""
+    SELECT n.n_name,
+           round(avg(s.s_acctbal), 6) AS avg_bal,
+           round(coalesce(stddev_samp(s.s_acctbal), 0.0), 6) AS std_bal,
+           count(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG+STDDEV grouped rollup (A5: RGAggregatorByMun.py:85-96) over a
+    broadcast dimension join. stddev is sample-variant on both engines;
+    NULL (n=1 groups) coalesced to 0 for hash stability."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+            F.round(F.coalesce(F.stddev_samp("s_acctbal"), F.lit(0.0)), 6).alias(
+                "std_bal"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
