@@ -1,0 +1,110 @@
+"""Deduplication kernels: exact, MinHash+LSH near-dup (beyond-reference
+surface required by BASELINE.json).
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a digest — one shuffle of (digest, id).
+- MinHash signatures: one shuffle (groupBy doc) with map-side partial MIN —
+  the shingle explosion never leaves the mapper un-aggregated.
+- LSH banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_hash): only same-bucket docs meet. Hot buckets (boiler-
+  plate text) are the skew hazard — AQE skew-join handles them; a salt on
+  band_hash is the manual fallback.
+- The portable hash is md5 (identical in Spark and any SQL oracle), seeded
+  by prefixing the shingle with "<seed>:". A production variant would use
+  xxhash64 for speed; md5 keeps the differential gate engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by digest; keep min id as the canonical copy."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, shingle_col: str = "shingle", n_hashes: int = 16
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{n-1}: min over shingles of the
+    seeded md5. Single groupBy shuffle; partial mins combine map-side."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(shingle_col)).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str, n_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Long (id, band_idx, band_hash) table: the signature cut into
+    n_hashes/band_size bands, each hashed to one bucket key."""
+    if n_hashes % band_size:
+        raise ValueError("band_size must divide n_hashes")
+    n_bands = n_hashes // band_size
+    rows = []
+    for b in range(n_bands):
+        cols = ",".join(f"mh{b * band_size + j}" for j in range(band_size))
+        rows.append(f"{b}, md5(concat({cols}))")
+    stack = f"stack({n_bands}, {', '.join(rows)}) AS (band_idx, band_hash)"
+    return sigs.selectExpr(id_col, stack)
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a_id, b_id), a < b, sharing at least one band bucket."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs only:
+    |A∩B| via a two-hop join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    Candidate volume is LSH-bounded, so this never goes quadratic."""
+    ta = shingled.select(F.col(id_col).alias("a_id"), F.col(shingle_col))
+    tb = shingled.select(F.col(id_col).alias("b_id"), F.col(shingle_col))
+    inter = (
+        candidates.join(ta, "a_id")
+        .join(tb, ["b_id", shingle_col])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
+    jac = F.round(
+        F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")), 6
+    )
+    # No broadcast hint: `sizes` is one row per doc (too big to ship at
+    # corpus scale), while `inter` is LSH-bounded — AQE picks the right
+    # build side at runtime.
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

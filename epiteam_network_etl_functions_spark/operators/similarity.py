@@ -1,0 +1,100 @@
+"""Similarity-search kernels over embedding columns (beyond-reference
+surface required by BASELINE.json: brute-force cosine top-k baseline + an
+IVF-style partitioned variant as the scale path).
+
+All vector math is JVM-side array expressions (zip_with / aggregate /
+transform) — Arrow-free, codegen-friendly, no Python in the hot path. The
+embedding column is `array<float>`; math is done in double after an explicit
+elementwise cast so results are engine-portable.
+
+Scale shape:
+- brute-force top-k: broadcast the query vector, one pass over the corpus,
+  `ORDER BY score LIMIT k` (Spark executes as a per-partition TakeOrdered +
+  driver merge — no full sort, no shuffle of the corpus).
+- IVF: assign every vector to its nearest seed centroid (broadcast seeds);
+  a query then probes only its cluster's partition — at 100 TB the
+  assignment is written out partitioned by centroid_id so probes prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic accumulation order,
+    matching SQL list_sum over the zipped products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k of `query` (a 1-row (id, vec) frame) against
+    the corpus. The ordering key is the *rounded* score with an id tie-break,
+    so the cut is total and engine-stable."""
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("__qid"), as_double(F.col(vec_col)).alias("__qvec")
+        )
+    )
+    corpus_d = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
+    )
+    scored = (
+        corpus_d.crossJoin(q)
+        .where(F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            F.round(cosine(F.col("__vec"), F.col("__qvec")), digits).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed_id_col: str = "centroid_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Assign every vector to its highest-cosine seed centroid (IVF coarse
+    quantizer). Seeds are broadcast; the argmax uses the winner kernel's
+    deterministic ordering (rounded score desc, seed id asc)."""
+    from .winners import top1_per_key
+
+    s = F.broadcast(
+        seeds.select(
+            F.col(id_col).alias(seed_id_col), as_double(F.col(vec_col)).alias("__svec")
+        )
+    )
+    corpus_d = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__vec"))
+    scored = corpus_d.crossJoin(s).select(
+        id_col,
+        seed_id_col,
+        F.round(cosine(F.col("__vec"), F.col("__svec")), digits).alias("cosine"),
+    )
+    return top1_per_key(
+        scored, [id_col], [F.desc("cosine"), F.asc(seed_id_col)]
+    )

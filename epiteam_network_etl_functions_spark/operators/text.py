@@ -1,0 +1,114 @@
+"""Text-analysis kernels for a training-data pipeline (beyond-reference
+surface required by BASELINE.json: language-ID, quality scoring, token
+counting, fingerprinting).
+
+All expressions are JVM-side built-ins (split/transform/element_at/md5) —
+no Python UDFs — so they stay inside whole-stage codegen and scale linearly
+with one shuffle (or zero, for the per-row stats).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str, delimiter: str = " ") -> Column:
+    """Token array; default exact-delimiter split (the testdata corpus is
+    clean). For raw text use `F.split(F.lower(col), TOKEN_SPLIT_RE)`."""
+    return F.split(F.col(text_col), delimiter)
+
+
+def shingles_col(toks: Column, k: int = 3, sep: str = "_") -> Column:
+    """Word k-gram shingles (1-based element_at, matching SQL list indexing).
+    Docs with fewer than k tokens yield an empty array — Spark's sequence()
+    would otherwise count *down* for start > stop, so it is guarded."""
+    parts = ", ".join(f"element_at(__t, i + {j})" for j in range(k))
+    return F.when(
+        F.size(toks) >= k,
+        F.expr(
+            f"transform(sequence(1, size(__t) - {k - 1}), "
+            f"i -> concat_ws('{sep}', {parts}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) rows; distinct by default (set semantics for minhash /
+    jaccard). The distinct is the only shuffle and is key-partitioned on the
+    full row, so it scales with the corpus."""
+    out = (
+        df.withColumn("__t", tokens_col(text_col))
+        .select(F.col(id_col), F.explode(shingles_col(F.col("__t"), k)).alias("shingle"))
+    )
+    return out.distinct() if distinct else out
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality stats, all derived arithmetically from the token
+    array (no aggregation — embarrassingly parallel)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    # total token chars = chars - separators
+    avg_len = (n_chars - (n_tokens - 1)) / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct / n_tokens, 6).alias("uniq_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+    )
+
+
+def lexicon_hits(toks: Column, lexicon: Sequence[str]) -> Column:
+    """Occurrences of lexicon words in the token array (with multiplicity)."""
+    arr = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast("bigint")
+
+
+def classify_by_lexicons(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lexicons: Mapping[str, Sequence[str]],
+    out_col: str = "pred",
+) -> DataFrame:
+    """Argmax lexicon-hit classifier (the n-gram-heuristic language-ID shape:
+    score each language's stopword list, pick the max; ties resolve in the
+    mapping's declaration order). Works for language ID with real stopword
+    lists; the workload instantiates it with topic lexicons fitted to the
+    synthetic corpus."""
+    toks = tokens_col(text_col)
+    scored = df.select(
+        F.col(id_col),
+        *[lexicon_hits(toks, lex).alias(f"score_{name}") for name, lex in lexicons.items()],
+    )
+    names = list(lexicons)
+    pred: Column = F.lit(names[-1])
+    # Build CASE from the end so earlier names win ties (strict > vs later).
+    for name in reversed(names[:-1]):
+        later = [f"score_{n}" for n in names[names.index(name) + 1 :]]
+        cond = None
+        for other in later:
+            c = F.col(f"score_{name}") >= F.col(other)
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(name)).otherwise(pred)
+    return scored.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
+    token list (document fingerprinting for content-based grouping)."""
+    toks = tokens_col(text_col)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,1 +1,215 @@
-"""Placeholder — filled in as coverage widens."""
+"""Text-analysis + dedup workload over the `documents` table.
+
+The corpus is clean lowercase space-separated tokens, so the split
+delimiter is a single space on both engines; the library kernels accept a
+regex for raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ..operators.text import (
+    classify_by_lexicons,
+    doc_stats,
+    explode_shingles,
+    fingerprint,
+)
+from ..session import prep
+from . import query
+
+N_HASHES = 16
+BAND_SIZE = 4
+JACCARD_THRESHOLD = 0.3
+
+# Topic lexicons fitted to the synthetic corpus vocabulary (the kernel is
+# the same argmax-lexicon classifier used for language ID on real text).
+TOPICS = {
+    "sql": ("join", "query", "filter", "group", "agg"),
+    "storage": ("scan", "table", "column", "row", "part"),
+    "stream": ("stream", "batch", "window", "value"),
+}
+
+# ---- shared DuckDB CTEs ----------------------------------------------------
+
+_DSH_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dsh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t)-1),
+                  i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingle
+    FROM toks
+)
+"""
+
+_SIG_COLS = ",\n        ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+)
+_SIGS_CTE = f"""
+sigs AS (
+    SELECT doc_id, {_SIG_COLS}
+    FROM dsh GROUP BY doc_id
+)
+"""
+
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_hash FROM sigs".format(
+        b=b,
+        cat="||".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)),
+    )
+    for b in range(N_HASHES // BAND_SIZE)
+)
+_BANDS_CTE = f"bands AS ({_BAND_SELECTS})"
+
+_CANDS_CTE = """
+cands AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+)
+"""
+
+_MINHASH_PIPELINE = f"{_DSH_CTE.strip()},\n{_SIGS_CTE.strip()},\n{_BANDS_CTE},\n{_CANDS_CTE.strip()}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, "documents")
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return explode_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_shingled(spark, sf_dir), "doc_id", n_hashes=N_HASHES)
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           round((length(text) - (len(string_split(text, ' ')) - 1))
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: token count, distinct ratio, avg token length —
+    pure per-row array arithmetic, zero shuffles."""
+    return doc_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "doc_topic_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+        {', '.join(
+            "len(list_filter(toks, x -> list_contains(" +
+            "[" + ", ".join("'" + w + "'" for w in words) + "], x))) AS score_" + name
+            for name, words in TOPICS.items()
+        )}
+        FROM t
+    )
+    SELECT doc_id, score_sql, score_storage, score_stream,
+           CASE WHEN score_sql >= score_storage AND score_sql >= score_stream THEN 'sql'
+                WHEN score_storage >= score_stream THEN 'storage'
+                ELSE 'stream' END AS pred
+    FROM s
+    """,
+)
+def doc_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-lexicon classifier (the language-ID kernel shape: score each
+    lexicon's hits, take the max with declaration-order tie-break)."""
+    return classify_by_lexicons(_docs(spark, sf_dir), "doc_id", "text", TOPICS)
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint (md5 of sorted distinct
+    tokens) — content-based grouping key."""
+    return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "exact_dedup_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, min-id keeper."""
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"WITH {_DSH_CTE.strip()},\n{_SIGS_CTE.strip()} SELECT * FROM sigs",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-hash MinHash signature per doc over word-3-gram shingles; the
+    portable seeded-md5 hash family keeps it engine-neutral."""
+    return _sigs(spark, sf_dir)
+
+
+@query(
+    "lsh_candidates",
+    oracle=f"WITH {_MINHASH_PIPELINE} SELECT * FROM cands",
+)
+def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 4 hashes): near-dup candidates via equi-join
+    on band buckets — the scale path that avoids all-pairs comparison."""
+    bands = lsh_bands(_sigs(spark, sf_dir), "doc_id", N_HASHES, BAND_SIZE)
+    return lsh_candidate_pairs(bands, "doc_id")
+
+
+@query(
+    "near_dup_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PIPELINE},
+    na AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(i.i * 1.0 / (a.n + b.n - i.i), 6) AS jaccard
+    FROM inter i JOIN na a ON a.doc_id = i.a_id JOIN na b ON b.doc_id = i.b_id
+    WHERE round(i.i * 1.0 / (a.n + b.n - i.i), 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> candidate join
+    -> exact Jaccard verification at threshold 0.3."""
+    sh = _shingled(spark, sf_dir)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
+    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    cands = lsh_candidate_pairs(bands, "doc_id")
+    return jaccard_verify(cands, sh, "doc_id", threshold=JACCARD_THRESHOLD)

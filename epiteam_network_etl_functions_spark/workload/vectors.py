@@ -1,1 +1,128 @@
-"""Placeholder — filled in as coverage widens."""
+"""Similarity-search workload over the `embeddings` table (64-dim float
+vectors, 10 labels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..operators.similarity import as_double, cosine_topk, ivf_assign, l2_norm
+from ..session import prep
+from . import query
+
+K = 10
+QUERY_VEC_ID = 0
+N_SEEDS = 8  # IVF coarse centroids = vectors with vec_id 0..7
+
+# DuckDB helpers: 1-based positional list access; all math in double.
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = f"sqrt({_DOT})"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, "embeddings")
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round({_NORM.format(a='embedding', b='embedding')}, 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector dimension + L2 norm — the array-fold kernel (F.aggregate /
+    zip_with), zero shuffles."""
+    e = _emb(spark, sf_dir)
+    v = as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(u.pos AS BIGINT) AS pos,
+           round(avg(u.val), 6) AS centroid
+    FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i,
+                                       val := CAST(embedding[i] AS DOUBLE)))) AS u
+        FROM embeddings
+    )
+    GROUP BY label, u.pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector in long form (posexplode -> groupBy avg): the
+    distributed centroid computation underlying k-means / IVF training."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode(as_double(F.col("embedding"))))
+        .select("label", (F.col("pos") + 1).cast("bigint").alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+    )
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qe')}
+                 / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                    * {_NORM.format(a='q.qe', b='q.qe')}), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{K} for a fixed query vector: broadcast query,
+    single corpus pass, TakeOrdered cut (no corpus shuffle)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID)
+    return cosine_topk(e, q, "vec_id", "embedding", k=K)
+
+
+@query(
+    "ivf_assignments",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS se
+        FROM embeddings WHERE vec_id < {N_SEEDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id,
+               round({_DOT.format(a='e.embedding', b='s.se')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='s.se', b='s.se')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT vec_id, centroid_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: nearest of {N_SEEDS} seed centroids per
+    vector (broadcast seeds + argmax winner kernel). At scale the output is
+    written partitioned by centroid_id so ANN probes prune partitions."""
+    e = _emb(spark, sf_dir)
+    seeds = e.where(F.col("vec_id") < N_SEEDS)
+    return ivf_assign(e, seeds, "vec_id", "embedding")
