@@ -1,0 +1,74 @@
+"""Sources & sinks (reference S1-S14).
+
+The reference materializes every stage to parquet and re-reads it
+(SURVEY.md §1.1), with Hive layouts `year=/month=/day=/cve_zm=` written by
+hand-built paths (IndexingHomeAgebs.py:144-146) and read with hand-built
+path pruning (NetworkBuilder.py:67-73). Here the layout is the same but
+pruning is Catalyst's: `read_partitioned(...).where(...)` pushes partition
+filters into the scan — no path arithmetic.
+
+Scale notes:
+- Partitioned writes repartition by the partition columns first so each
+  task writes one file per partition instead of `tasks × partitions`
+  small files (the classic 100 TB small-file explosion).
+- `checkpoint` is the reference's stage-materialization idiom (restart
+  points) — explicit parquet round-trip, not Spark's RDD checkpoint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink (S9: pq.write_to_dataset with
+    partition_cols -> df.write.partitionBy)."""
+    (
+        df.repartition(*[df[c] for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Single-directory parquet sink (S8: stage materialization)."""
+    df.write.mode(mode).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Partitioned dataset scan (S2). Partition-column predicates applied by
+    the caller are pruned at planning time (check: explain() shows them
+    under PartitionFilters, and only matching directories are listed)."""
+    return spark.read.option("basePath", path).parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan (S5: read_csv_auto). Schema inference only when no schema is
+    given — at scale always pass one (inference is a second full read)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S11: SEIR trajectory tables)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def checkpoint(df: DataFrame, path: str) -> DataFrame:
+    """Materialize a stage to parquet and re-read it (the reference's
+    restartable-pipeline idiom, NetworkBuilder.py:120,151,209,260). Cuts
+    lineage and gives the optimizer fresh, accurate stats for what follows."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

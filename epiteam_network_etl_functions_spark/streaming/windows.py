@@ -1,0 +1,74 @@
+"""Structured Streaming variants of the reference's batch windows.
+
+The reference is batch-only (SURVEY.md §2.10); its 10-minute TIME_BUCKET
+(W5) is the batch analog of a tumbling window. These operators are the
+streaming extension a live ping/event feed would need: watermarked tumbling
+window aggregation and a per-window co-location candidate stage.
+
+Streaming semantics vs the batch kernel: `window(ts, "600 seconds")` is
+epoch-anchored — a live stream has no dataset-wide MIN(ts) (it isn't known
+until the stream ends). That is the correct production semantics; the
+batch kernel keeps origin-anchoring only for parity with the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_bucket_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    cell_col: str = "event_type",
+    id_col: str = "user_id",
+    width: str = "600 seconds",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(cell, tumbling-window) event and device counts with late-data
+    handling. approx_count_distinct is used for the device count — exact
+    distinct per window is unbounded state on a stream."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), F.col(cell_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(id_col).alias("n_devices_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            cell_col,
+            "n_events",
+            "n_devices_approx",
+        )
+    )
+
+
+def streaming_colocation_candidates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    cell_col: str = "event_type",
+    id_col: str = "user_id",
+    width: str = "600 seconds",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming prefix of the co-location join: distinct per-window presence
+    rows (device, cell, window). Downstream either joins stream-stream with
+    a watermark-bounded buffer or lands to a sink for the batch pair join —
+    the presence dedup is the part that must happen online (it bounds
+    state by watermark horizon)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, width).alias("w"),
+            F.col(cell_col),
+            F.col(id_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pings"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            cell_col,
+            id_col,
+            "n_pings",
+        )
+    )

@@ -397,6 +397,29 @@ def anti_join_quiet_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_event_share",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value / sum(value) OVER (PARTITION BY user_id), 6) AS share
+    FROM events
+    """,
+)
+def user_event_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device windowed total alongside rows (W2: SUM(x) OVER (PARTITION
+    BY caid), ntl_queries.py:27-31) — each event's share of its device's
+    total value."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") / F.sum("value").over(w), 6).alias("share"),
+    )
+
+
+@query(
     "union_two_days",
     oracle=f"""
     SELECT event_type, count(*) AS n_events FROM (

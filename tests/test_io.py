@@ -1,0 +1,59 @@
+"""Sources/sinks: partitioned layout round-trip, partition pruning, csv,
+checkpoint (reference S2/S5/S8/S9/S11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark import catalog
+from epiteam_network_etl_functions_spark.sources import (
+    checkpoint,
+    read_csv,
+    read_partitioned,
+    write_csv,
+    write_partitioned,
+)
+from tests.conftest import PARITY_SF_DIR
+
+
+@pytest.fixture()
+def events(spark):
+    return catalog.load(spark, PARITY_SF_DIR, "events")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, events, tmp_path):
+    path = str(tmp_path / "events_part")
+    by_day = events.withColumn("day", F.to_date("ts").cast("string"))
+    write_partitioned(by_day, path, ["day", "event_type"])
+
+    back = read_partitioned(spark, path)
+    assert back.count() == events.count()
+
+    pruned = back.where(
+        (F.col("day") == "2024-01-05") & (F.col("event_type") == "error")
+    )
+    expected = events.where(
+        (F.to_date("ts") == F.lit("2024-01-05")) & (F.col("event_type") == "error")
+    )
+    assert pruned.count() == expected.count()
+    # Partition predicates must prune at plan time, not post-scan filter.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan
+
+
+def test_csv_roundtrip(spark, events, tmp_path):
+    path = str(tmp_path / "csv_out")
+    small = events.select("event_id", "user_id", "event_type").limit(100)
+    write_csv(small, path)
+    back = read_csv(spark, path)
+    assert back.count() == 100
+    assert set(back.columns) == {"event_id", "user_id", "event_type"}
+
+
+def test_checkpoint_roundtrip(spark, events, tmp_path):
+    path = str(tmp_path / "ckpt")
+    agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    back = checkpoint(agg, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, agg.collect()))
