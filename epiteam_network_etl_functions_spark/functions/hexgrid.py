@@ -1,0 +1,119 @@
+"""Hex/cell grid functions (reference F1-F4: h3.geo_to_h3, h3_to_geo,
+h3_distance, k_ring — ntl_transforms.py:64-65, home_ageb_imputers.py:36-51,
+RadiusOfGyrationHandler.py:139-140).
+
+Implemented as Arrow-vectorized pandas UDFs — the reference's row-wise
+`.apply(axis=1)` is the slow path these replace. When the `h3` package is
+present it is used; otherwise a deterministic square-grid fallback with the
+same API keeps every pipeline testable in this container (cell ids are
+strings, k_ring returns arrays, distances are integer grid hops).
+
+These UDFs are codegen barriers (SURVEY.md §4): pipelines isolate them in a
+single projection per stage so Catalyst fuses everything around them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - h3 not in this container
+    import h3 as _h3
+
+    HAVE_H3 = True
+except Exception:
+    _h3 = None
+    HAVE_H3 = False
+
+# Fallback grid: cell width in degrees per "resolution" (coarse -> fine).
+_RES_DEG = {r: 10.0 / (2**r) for r in range(16)}
+
+
+def _fallback_cell(lat: float, lon: float, res: int) -> str:
+    size = _RES_DEG[res]
+    return f"g{res}:{math.floor(lat / size)}:{math.floor(lon / size)}"
+
+
+def _parse(cell: str) -> tuple[int, int, int]:
+    r, i, j = cell.split(":")
+    return int(r[1:]), int(i), int(j)
+
+
+@F.pandas_udf(T.StringType())
+def _cell_of_udf(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
+    if HAVE_H3:
+        return pd.Series(
+            [_h3.latlng_to_cell(a, o, int(r)) for a, o, r in zip(lat, lon, res)]
+        )
+    return pd.Series(
+        [_fallback_cell(a, o, int(r)) for a, o, r in zip(lat, lon, res)]
+    )
+
+
+@F.pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]))
+def _centroid_udf(cell: pd.Series) -> pd.DataFrame:
+    if HAVE_H3:
+        pts = [_h3.cell_to_latlng(c) for c in cell]
+    else:
+        pts = []
+        for c in cell:
+            r, i, j = _parse(c)
+            size = _RES_DEG[r]
+            pts.append(((i + 0.5) * size, (j + 0.5) * size))
+    return pd.DataFrame({"lat": [p[0] for p in pts], "lon": [p[1] for p in pts]})
+
+
+@F.pandas_udf(T.LongType())
+def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    if HAVE_H3:
+        return pd.Series([int(_h3.grid_distance(x, y)) for x, y in zip(a, b)])
+    out = []
+    for x, y in zip(a, b):
+        _, xi, xj = _parse(x)
+        _, yi, yj = _parse(y)
+        out.append(max(abs(xi - yi), abs(xj - yj)))
+    return pd.Series(out, dtype="int64")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _k_ring_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
+    if HAVE_H3:
+        return pd.Series([list(_h3.grid_disk(c, int(kk))) for c, kk in zip(cell, k)])
+    out = []
+    for c, kk in zip(cell, k):
+        r, i, j = _parse(c)
+        kk = int(kk)
+        out.append(
+            [
+                f"g{r}:{i + di}:{j + dj}"
+                for di in range(-kk, kk + 1)
+                for dj in range(-kk, kk + 1)
+            ]
+        )
+    return pd.Series(out)
+
+
+def cell_of(lat, lon, res: int):
+    """point -> cell id string (F1: h3.geo_to_h3)."""
+    return _cell_of_udf(F.col(lat) if isinstance(lat, str) else lat,
+                        F.col(lon) if isinstance(lon, str) else lon,
+                        F.lit(res))
+
+
+def cell_centroid(cell):
+    """cell -> struct(lat, lon) centroid (F2: h3.h3_to_geo)."""
+    return _centroid_udf(F.col(cell) if isinstance(cell, str) else cell)
+
+
+def grid_distance(a, b):
+    """integer grid distance between cells (F3: h3.h3_distance)."""
+    return _distance_udf(F.col(a) if isinstance(a, str) else a,
+                         F.col(b) if isinstance(b, str) else b)
+
+
+def k_ring(cell, k: int):
+    """cell -> array of cells within k hops, incl. itself (F4: h3.k_ring)."""
+    return _k_ring_udf(F.col(cell) if isinstance(cell, str) else cell, F.lit(k))

@@ -1,0 +1,114 @@
+"""Network generation (reference F8/F9/F12 + MakeEmpiricNetworks).
+
+- Empiric contact networks come straight from the co-location edge kernel
+  (operators/colocation.py); export to networkx/GraphML is a driver-side
+  step over the collected edge list (SURVEY.md §1.1 "Graphs").
+- SBM sampling is distributed: candidate block-pair edges with Bernoulli
+  keeps via rand(seed) — the reference calls nx.stochastic_block_model on
+  one machine (NetworkBuilder.py:437); the DataFrame variant scales to node
+  counts networkx cannot hold.
+- Size scaling replicates size_scalers.py exactly (driver-side: the input
+  is one row per block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+try:  # pragma: no cover - optional
+    import networkx as nx
+
+    HAVE_NETWORKX = True
+except Exception:
+    nx = None
+    HAVE_NETWORKX = False
+
+
+def scale_sizes(
+    sizes: dict[str, int], target_n: int, seed: int = 3696
+) -> dict[str, int]:
+    """Scale block sizes to sum to ``target_n`` (size_scalers.py:377-412):
+    proportional integer scaling, zero-size blocks bumped to 1
+    (size_scalers.py:39-48), remainder distributed over the largest blocks
+    (size_scalers.py:130-154). Deterministic under ``seed``."""
+    blocks = sorted(sizes)
+    total = sum(sizes.values())
+    if total <= 0:
+        raise ValueError("sizes must sum to a positive value")
+    scaled = {b: int(round(sizes[b] * target_n / total)) for b in blocks}
+    for b in blocks:  # bump zeros so every block survives
+        if scaled[b] == 0:
+            scaled[b] = 1
+    diff = target_n - sum(scaled.values())
+    rng = np.random.default_rng(seed)
+    by_size = sorted(blocks, key=lambda b: (-scaled[b], b))[:10]
+    i = 0
+    while diff != 0 and by_size:
+        b = by_size[i % len(by_size)]
+        step = 1 if diff > 0 else -1
+        if scaled[b] + step >= 1:
+            scaled[b] += step
+            diff -= step
+        i += 1
+        if i > 10 * abs(target_n):  # safety, unreachable in practice
+            raise RuntimeError("scaling did not converge")
+    assert sum(scaled.values()) == target_n  # size_scalers.py:48,100,160
+    _ = rng  # seed reserved for the weighted-sample variant (F8)
+    return scaled
+
+
+def sample_nodes(
+    scaled: dict[str, int], spark, seed: int = 3696
+) -> DataFrame:
+    """Node table (node_id, block) realizing the scaled sizes — the
+    np.random.choice weighted draw (NetworkBuilder.py:374-381) made
+    deterministic: blocks in sorted order, contiguous id ranges."""
+    rows = []
+    nid = 0
+    for b in sorted(scaled):
+        for _ in range(scaled[b]):
+            rows.append((nid, b))
+            nid += 1
+    return spark.createDataFrame(rows, ["node_id", "block"])
+
+
+def sbm_edges(
+    nodes: DataFrame,
+    probs: DataFrame,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed SBM edge sampling (F9). `probs` is the long-form matrix
+    (a_block, b_block, prob). Candidate pairs = nodes × nodes (a < b), edge
+    kept iff rand(seed) < prob[block_a, block_b].
+
+    Scale note: candidate volume is n²/2 — fine to ~10⁵ nodes as a cross
+    join; beyond that, draw per-block-pair edge *counts* binomially and
+    sample pairs directly (reservoir per block pair) instead.
+    """
+    a = nodes.select(
+        F.col("node_id").alias("a_node"), F.col("block").alias("a_block")
+    )
+    b = nodes.select(
+        F.col("node_id").alias("b_node"), F.col("block").alias("b_block")
+    )
+    pairs = a.crossJoin(b).where(F.col("a_node") < F.col("b_node"))
+    with_p = pairs.join(F.broadcast(probs), ["a_block", "b_block"], "left").withColumn(
+        "prob", F.coalesce(F.col("prob"), F.lit(0.0))
+    )
+    return with_p.where(F.rand(seed) < F.col("prob")).select(
+        "a_node", "b_node", "a_block", "b_block"
+    )
+
+
+def to_networkx(edges: DataFrame, a_col: str = "a_node", b_col: str = "b_node"):
+    """Driver-side graph materialization for GraphML export (S12). Collects
+    the edge list — only for graphs that fit the driver (the reference's
+    10⁴-node regime)."""
+    if not HAVE_NETWORKX:
+        raise NotImplementedError("networkx not available in this container")
+    g = nx.Graph()
+    g.add_edges_from(
+        (r[a_col], r[b_col]) for r in edges.select(a_col, b_col).toLocalIterator()
+    )
+    return g
