@@ -44,3 +44,4 @@ def load_all() -> None:
     from . import text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import extended  # noqa: F401

@@ -1,0 +1,227 @@
+"""Extended coverage: SQL-API entry path, dedup-before-expensive-op
+join-back, SimHash, embedding-cosine near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..operators.similarity import as_double, cosine
+from ..operators.timebucket import bucket_sql
+from ..session import prep
+from . import query
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "sql_api_colocation",
+    oracle=f"""
+    WITH presence AS (
+        SELECT DISTINCT user_id, event_type,
+               {bucket_sql('events', 'ts')} AS tw
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_copresences
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id < b.user_id
+    GROUP BY event_type
+    """,
+)
+def sql_api_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notebook-style entry path (SURVEY.md §3.3): temp views +
+    spark.sql. Same Catalyst plan as the DataFrame kernel — registered to
+    prove the SQL surface end-to-end."""
+    prep(spark)
+    catalog.register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH presence AS (
+            SELECT DISTINCT user_id, event_type,
+                   (unix_micros(ts) -
+                    (SELECT min(unix_micros(ts)) FROM events)) div 600000000 AS tw
+            FROM events
+        )
+        SELECT a.event_type, count(*) AS n_copresences
+        FROM presence a JOIN presence b
+          ON a.event_type = b.event_type AND a.tw = b.tw
+        WHERE a.user_id < b.user_id
+        GROUP BY a.event_type
+        """
+    )
+
+
+@query(
+    "dedup_joinback_labels",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT event_type, CAST(floor(value / 50) AS BIGINT) AS vbin
+        FROM events
+    ),
+    labeled AS (
+        SELECT event_type, vbin,
+               md5(event_type || ':' || CAST(vbin AS VARCHAR)) AS geo_label
+        FROM keys
+    )
+    SELECT e.event_id, e.user_id, l.geo_label
+    FROM events e
+    JOIN labeled l
+      ON e.event_type = l.event_type
+     AND CAST(floor(e.value / 50) AS BIGINT) = l.vbin
+    """,
+)
+def dedup_joinback_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-expensive-op + join-back (J7 / SURVEY.md §4): the
+    reference spatial-joins only DISTINCT (lat, lon) and re-attaches labels
+    to all rows (FactPingsBaseGenerator.py:161-211). Here the 'expensive'
+    label runs once per distinct key, then joins back on the computed key —
+    the factor-invariant-computation optimization Catalyst won't invent."""
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events")
+    vbin = F.floor(F.col("value") / 50).cast("bigint")
+    keys = e.select("event_type", vbin.alias("vbin")).distinct()
+    labeled = keys.withColumn(
+        "geo_label",
+        F.md5(
+            F.concat(F.col("event_type"), F.lit(":"), F.col("vbin").cast("string")).cast(
+                "binary"
+            )
+        ),
+    )
+    return (
+        e.withColumn("vbin", vbin)
+        .join(F.broadcast(labeled), ["event_type", "vbin"])
+        .select("event_id", "user_id", "geo_label")
+    )
+
+
+def _hex4_to_int_sql(h: str) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {1 + j}, 1)) - 1) * {m}"
+        for j, m in enumerate((4096, 256, 16, 1))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_CTE = f"""
+dtok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+tokbits AS (
+    SELECT doc_id, {_hex4_to_int_sql('md5(token)')} AS h FROM dtok
+),
+bitsums AS (
+    SELECT doc_id,
+    {', '.join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )}
+    FROM tokbits GROUP BY doc_id
+),
+simhashes AS (
+    SELECT doc_id,
+           CAST({' + '.join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))}
+                AS BIGINT) AS simhash
+    FROM bitsums
+)
+"""
+
+
+def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over the 16-bit md5-derived token hash: per bit, sum +1/-1
+    across the doc's distinct tokens; the sign vector packs into the
+    signature. One explode + one groupBy — a single shuffle."""
+    prep(spark)
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        ).distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 4), 16, 10).cast(
+        "bigint"
+    )
+    tokbits = toks.select("doc_id", h.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bitsums = tokbits.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bitsums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"WITH {_SIMHASH_CTE.strip()} SELECT * FROM simhashes",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhashes(spark, sf_dir)
+
+
+@query(
+    "simhash_buckets",
+    oracle=f"""
+    WITH {_SIMHASH_CTE.strip()}
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM simhashes GROUP BY simhash HAVING count(*) > 1
+    """,
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: identical signatures bucket together; >1 member =
+    near-dup candidate group (HAVING -> agg + where)."""
+    sh = _simhashes(spark, sf_dir)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_EDOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_ENORM = f"sqrt({_EDOT})"
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round({_EDOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_ENORM.format(a='a.embedding', b='a.embedding')}
+                    * {_ENORM.format(a='b.embedding', b='b.embedding')}), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_EDOT.format(a='a.embedding', b='b.embedding')}
+                / ({_ENORM.format(a='a.embedding', b='a.embedding')}
+                   * {_ENORM.format(a='b.embedding', b='b.embedding')}), 6) >= 0.35
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, blocked by label (the coarse
+    cluster standing in for an LSH bucket): pairwise cosine only within
+    blocks — candidate volume is sum of block sizes squared, not corpus
+    squared. At 100 TB the block key comes from ivf_assignments."""
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "embeddings")
+    d = e.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = d.select(
+        F.col("vec_id").alias("a_id"), "label", F.col("v").alias("va")
+    )
+    b = d.select(
+        F.col("vec_id").alias("b_id"), "label", F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("a_id", "b_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
