@@ -24,7 +24,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _presence(pings: DataFrame, id_col: str, cell_col: str, tw_col: str) -> DataFrame:
-    return pings.select(id_col, cell_col, tw_col).distinct()
+    # Repartition by the JOIN keys first: HashPartitioning(cell, tw)
+    # satisfies the distinct's ClusteredDistribution(id, cell, tw) (subset
+    # rule) AND the self-join's requirement, so ONE shuffle feeds dedup and
+    # both join sides (ReuseExchange dedupes the identical subtree). Without
+    # it: distinct shuffles on all 3 cols, then the join reshuffles both
+    # branches on (cell, tw) — 3 wide shuffles of the fact instead of 1.
+    # Skew bound: a partition holds whole (cell, bucket) groups; cells are
+    # fine-grained (H3 res-15 ≈ 1 m²), so group cardinality is small by
+    # construction — the quadratic hazard lives in the pair output, which
+    # stays aggregated/deduped immediately downstream.
+    return pings.select(id_col, cell_col, tw_col).repartition(cell_col, tw_col).distinct()
 
 
 def colocation_pairs(

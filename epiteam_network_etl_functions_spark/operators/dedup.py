@@ -85,8 +85,17 @@ def jaccard_verify(
     """Exact Jaccard over distinct shingle sets for candidate pairs only:
     |A∩B| via a two-hop join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     Candidate volume is LSH-bounded, so this never goes quadratic."""
-    ta = shingled.select(F.col(id_col).alias("a_id"), F.col(shingle_col))
-    tb = shingled.select(F.col(id_col).alias("b_id"), F.col(shingle_col))
+    # Restrict shingle tables to candidate docs before the wide join on
+    # (doc, shingle): the candidate id list is LSH-bounded (broadcastable),
+    # so the semi joins prune the corpus-sized side down to candidate rows.
+    ta = (
+        shingled.select(F.col(id_col).alias("a_id"), F.col(shingle_col))
+        .join(candidates.select("a_id").distinct(), "a_id", "left_semi")
+    )
+    tb = (
+        shingled.select(F.col(id_col).alias("b_id"), F.col(shingle_col))
+        .join(candidates.select("b_id").distinct(), "b_id", "left_semi")
+    )
     inter = (
         candidates.join(ta, "a_id")
         .join(tb, ["b_id", shingle_col])

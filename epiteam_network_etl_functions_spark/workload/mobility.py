@@ -258,7 +258,10 @@ tvo AS (
 
 
 def _tvo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _winners(spark, sf_dir)
+    # The winners table feeds three branches (sizes, a-home, b-home);
+    # localCheckpoint materializes it once (it is one row per device) so the
+    # scan+agg+window subtree is not recomputed per branch.
+    w = _winners(spark, sf_dir).localCheckpoint()
     sizes = group_sizes(w, block_col="home_type", id_col="user_id")
     total = total_contacts(sizes, block_col="home_type")
     p = _bucketed_presence(spark, sf_dir)

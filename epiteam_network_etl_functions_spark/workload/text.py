@@ -208,7 +208,11 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> candidate join
     -> exact Jaccard verification at threshold 0.3."""
-    sh = _shingled(spark, sf_dir)
+    # The distinct-shingle table feeds four branches (signatures, both
+    # sides of the intersection join, sizes): cache it in memory. (Eager
+    # localCheckpoint was measured slower — serialization up front and it
+    # hides stats from the joins.)
+    sh = _shingled(spark, sf_dir).cache()
     sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
     bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
     cands = lsh_candidate_pairs(bands, "doc_id")
