@@ -57,6 +57,9 @@ def main() -> None:
     # At real scale the default (AQE + skew-join) profile applies.
     if _dir_bytes(sf_dir) < 1 << 30:
         os.environ.setdefault("SPARK_GRAFT_SMALL_PROFILE", "1")
+        # Narrow shuffles: at a few hundred MB, task-launch overhead
+        # dominates; 8 post-shuffle partitions measured fastest end-to-end.
+        os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
 
     from epiteam_network_etl_functions_spark.session import get_session
 

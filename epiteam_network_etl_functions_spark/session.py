@@ -59,10 +59,11 @@ def default_parallelism() -> int:
 def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkSession:
     """Build (or reuse) a local session sized from $SPARK_GRAFT_CPUS."""
     cpus = default_parallelism()
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
