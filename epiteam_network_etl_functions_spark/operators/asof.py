@@ -1,0 +1,70 @@
+"""As-of (backward) join — a temporal operator Spark lacks natively.
+
+Implemented as the union+window idiom (the scalable alternative to
+per-group merge_asof): tag left/right rows, sort within the key partition
+by (ts, side), and carry the last-seen right row forward with
+last(ignorenulls). One shuffle on the key — same cost as a regular join —
+and no state blow-up on skewed keys beyond the window sort.
+
+Semantics: for each left row, the right row with the greatest right_ts such
+that right_ts <= left_ts (ties on ts: the right row wins, i.e. <= not <).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right payload at or
+    before its timestamp (NULLs when no prior right row exists)."""
+    keys = list(key_cols)
+    l_tag = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+        F.struct(*[c for c in left.columns if c not in keys and c != ts_col]).alias(
+            "__lrow"
+        ),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None)
+        .cast(l_tag.schema["__lrow"].dataType)
+        .alias("__lrow"),
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows (__side=0) sort before left rows at equal ts => <= semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *keys,
+        ts_col,
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    out = filled.where(F.col("__side") == 1).drop("__side")
+    # unpack the left payload back to top-level columns
+    for field in out.schema["__lrow"].dataType.fieldNames():
+        out = out.withColumn(field, F.col(f"__lrow.{field}"))
+    return out.drop("__lrow")

@@ -45,3 +45,4 @@ def load_all() -> None:
     from . import vectors  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import extended  # noqa: F401
+    from . import temporal  # noqa: F401

@@ -1,0 +1,150 @@
+"""Temporal operators over `events`: as-of join, sessionization, JSON
+extraction, exact quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..operators.asof import asof_join_backward
+from ..operators.sessions import session_stats, sessionize
+from ..session import prep
+from . import query
+
+SESSION_GAP_S = 3600
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, "events")
+
+
+@query(
+    "asof_last_signup",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           s.event_id AS asof_event_id,
+           CASE WHEN s.event_id IS NULL THEN NULL
+                ELSE (epoch_us(e.ts) - epoch_us(s.ts)) // 1000000
+           END AS secs_since_signup
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+    ) s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event paired with the user's most recent
+    signup at or before it (union+window idiom; DuckDB oracle uses its
+    native ASOF JOIN — a genuine cross-engine semantics check)."""
+    e = _events(spark, sf_dir)
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("sig_event_id"))
+    )
+    joined = asof_join_backward(
+        left.withColumnRenamed("event_id", "l_event_id"),
+        right.withColumn("sig_ts_us", F.unix_micros("ts")),
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["sig_event_id", "sig_ts_us"],
+    )
+    return joined.select(
+        F.col("l_event_id").alias("event_id"),
+        "user_id",
+        F.col("asof_sig_event_id").alias("asof_event_id"),
+        F.expr("(unix_micros(ts) - asof_sig_ts_us) div 1000000").alias(
+            "secs_since_signup"
+        ),
+    )
+
+
+_SESSION_CTE = f"""
+ordered AS (
+    SELECT user_id, event_id, ts,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_us IS NULL
+                     OR (epoch_us(ts) - prev_us) > {SESSION_GAP_S * 1_000_000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, event_id, ts,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM flagged
+)
+"""
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+    WITH {_SESSION_CTE.strip()}
+    SELECT user_id, session_id, count(*) AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_secs
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1 h gap): lag + running-sum construction,
+    per-session counts and exact integer durations."""
+    e = _events(spark, sf_dir)
+    s = sessionize(e, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S)
+    return session_stats(s, "user_id", "ts")
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           round((sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0)
+                 / count(*), 6) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (§2.8 JSON family: the reference round-trips
+    GeoJSON strings): get_json_object -> typed aggregation, exact integer
+    sums."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.round((F.sum(k) * 1.0) / F.count(F.lit(1)), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition). The approximate
+    variant for 100 TB is percentile_approx; exact is kept here for the
+    differential gate."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
