@@ -98,3 +98,27 @@ def ivf_assign(
     return top1_per_key(
         scored, [id_col], [F.desc("cosine"), F.asc(seed_id_col)]
     )
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """ANN search via IVF: assign the corpus to coarse centroids, find the
+    query's centroid, and brute-force only that cluster — the probe scans
+    1/n_seeds of the corpus instead of all of it. At 100 TB the assignment
+    is precomputed and written partitioned by centroid_id, so the probe is
+    a partition-pruned scan; here it is derived inline."""
+    assignments = ivf_assign(corpus, seeds, id_col, vec_col)
+    q_centroid = F.broadcast(
+        assignments.join(query.select(id_col), id_col).select("centroid_id")
+    )
+    cluster = corpus.join(
+        assignments.join(q_centroid, "centroid_id").select(id_col), id_col
+    )
+    return cosine_topk(cluster, query, id_col, vec_col, k=k, digits=digits)

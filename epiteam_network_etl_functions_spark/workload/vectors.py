@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import catalog
-from ..operators.similarity import as_double, cosine_topk, ivf_assign, l2_norm
+from ..operators.similarity import (
+    as_double,
+    cosine_topk,
+    ivf_assign,
+    ivf_probe_topk,
+    l2_norm,
+)
 from ..session import prep
 from . import query
 
@@ -96,6 +102,57 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") == QUERY_VEC_ID)
     return cosine_topk(e, q, "vec_id", "embedding", k=K)
+
+
+PROBE_VEC_ID = 42
+
+
+@query(
+    "ivf_probe_knn",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS se
+        FROM embeddings WHERE vec_id < {N_SEEDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id,
+               round({_DOT.format(a='e.embedding', b='s.se')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='s.se', b='s.se')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+    qc AS (SELECT centroid_id FROM assign WHERE vec_id = {PROBE_VEC_ID}),
+    cluster AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+        JOIN qc ON a.centroid_id = qc.centroid_id
+    )
+    SELECT c.vec_id,
+           round({_DOT.format(a='c.embedding', b='q.qe')}
+                 / ({_NORM.format(a='c.embedding', b='c.embedding')}
+                    * {_NORM.format(a='q.qe', b='q.qe')}), 6) AS cosine
+    FROM cluster c, q
+    WHERE c.vec_id <> {PROBE_VEC_ID}
+    ORDER BY cosine DESC, c.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_probe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{K} via IVF probe: brute-force only the query's coarse
+    cluster (1/{N_SEEDS} of the corpus) — the scale path where the
+    assignment table is partition-pruned by centroid_id."""
+    e = _emb(spark, sf_dir)
+    seeds = e.where(F.col("vec_id") < N_SEEDS)
+    q = e.where(F.col("vec_id") == PROBE_VEC_ID)
+    return ivf_probe_topk(e, seeds, q, "vec_id", "embedding", k=K)
 
 
 @query(
