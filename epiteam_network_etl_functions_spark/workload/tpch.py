@@ -279,7 +279,7 @@ def scalar_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_balance_rollup",
     oracle="""
     SELECT n.n_name,
-           round(avg(s.s_acctbal), 6) AS avg_bal,
+           round(avg(s.s_acctbal), 6) + 0.0 AS avg_bal,
            round(coalesce(stddev_samp(s.s_acctbal), 0.0), 6) AS std_bal,
            count(*) AS n_suppliers
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -296,7 +296,7 @@ def supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.avg("s_acctbal"), 6).alias("avg_bal"),
+            (F.round(F.avg("s_acctbal"), 6) + F.lit(0.0)).alias("avg_bal"),
             F.round(F.coalesce(F.stddev_samp("s_acctbal"), F.lit(0.0)), 6).alias(
                 "std_bal"
             ),

@@ -59,7 +59,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroids",
     oracle="""
     SELECT label, CAST(u.pos AS BIGINT) AS pos,
-           round(avg(u.val), 6) AS centroid
+           round(avg(u.val), 6) + 0.0 AS centroid
     FROM (
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
@@ -78,7 +78,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode(as_double(F.col("embedding"))))
         .select("label", (F.col("pos") + 1).cast("bigint").alias("pos"), "col")
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+        .agg((F.round(F.avg("col"), 6) + F.lit(0.0)).alias("centroid"))
     )
 
 
