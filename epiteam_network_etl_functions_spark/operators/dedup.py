@@ -85,35 +85,29 @@ def jaccard_verify(
     """Exact Jaccard over distinct shingle sets for candidate pairs only:
     |A∩B| via a two-hop join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     Candidate volume is LSH-bounded, so this never goes quadratic."""
-    # Restrict shingle tables to candidate docs before the wide join on
-    # (doc, shingle): the candidate id list is LSH-bounded (broadcastable),
-    # so the semi joins prune the corpus-sized side down to candidate rows.
-    ta = (
-        shingled.select(F.col(id_col).alias("a_id"), F.col(shingle_col))
-        .join(candidates.select("a_id").distinct(), "a_id", "left_semi")
+    # Gather each *candidate* doc's shingle set into an array (the semi
+    # join prunes the corpus-sized side to LSH-bounded candidate docs, and
+    # per-doc sets are bounded by document length), then intersect arrays
+    # pairwise — two candidate-sized joins instead of re-shuffling the
+    # (doc, shingle) table on a wide composite key.
+    cand_ids = (
+        candidates.select(F.col("a_id").alias(id_col))
+        .union(candidates.select(F.col("b_id").alias(id_col)))
+        .distinct()
     )
-    tb = (
-        shingled.select(F.col(id_col).alias("b_id"), F.col(shingle_col))
-        .join(candidates.select("b_id").distinct(), "b_id", "left_semi")
+    sets = (
+        shingled.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list(shingle_col).alias("__set"))
     )
-    inter = (
-        candidates.join(ta, "a_id")
-        .join(tb, ["b_id", shingle_col])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    na = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
-    jac = F.round(
-        F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")), 6
-    )
-    # No broadcast hint: `sizes` is one row per doc (too big to ship at
-    # corpus scale), while `inter` is LSH-bounded — AQE picks the right
-    # build side at runtime.
+    sa = sets.select(F.col(id_col).alias("a_id"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("b_id"), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = F.round(inter.cast("double") / union, 6)
     return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
+        candidates.join(sa, "a_id")
+        .join(sb, "b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -150,6 +150,44 @@ def locate_pings(
     return pings.join(dim, cell_col, "left")
 
 
+def fact_pings_base(
+    pings: DataFrame,
+    cell_region_dim: DataFrame,
+    res: int = 15,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    region_col: str = "cve_geo",
+) -> DataFrame:
+    """The fact-table build (FactPingsBaseGenerator.py:140-217): geo-label
+    only the DISTINCT coordinates, then join the labels back to all pings
+    (J7). The join-back key is a computed point-key string, not a 2-double
+    equi-join — float equality keys are fragile and hash worse (SURVEY.md
+    §2.3 J7 note). Adds cve_mun as the region prefix
+    (substring, §1.4) alongside the cell index."""
+    point_key = F.concat_ws(
+        ",", F.col(lat_col).cast("string"), F.col(lon_col).cast("string")
+    )
+    distinct_pts = (
+        pings.select(lat_col, lon_col).distinct()
+    )
+    located_pts = locate_pings(
+        with_cells(distinct_pts, res=res, lat_col=lat_col, lon_col=lon_col),
+        cell_region_dim,
+        cell_col=f"h3index_{res}",
+        region_col=region_col,
+    ).select(
+        point_key.alias("__pt"),
+        f"h3index_{res}",
+        region_col,
+    )
+    return (
+        pings.withColumn("__pt", point_key)
+        .join(located_pts, "__pt", "left")
+        .drop("__pt")
+        .withColumn("cve_mun", F.substring(F.col(region_col), 1, 5))
+    )
+
+
 def impute_kring(
     homes: DataFrame,
     cell_region_dim: DataFrame,

@@ -155,3 +155,26 @@ def test_locate_pings_broadcast_join(spark):
     )
     out = {r["caid"]: r["cve_geo"] for r in locate_pings(pings, dim).collect()}
     assert out == {"A": "R9", "B": None}
+
+
+def test_fact_pings_base_joinback(spark):
+    from epiteam_network_etl_functions_spark.functions.hexgrid import _fallback_cell
+    from epiteam_network_etl_functions_spark.plans.mobility import fact_pings_base
+
+    cell = _fallback_cell(19.05, -99.05, 15)
+    dim = cells_to_regions_dim(
+        spark.createDataFrame([Row(cells=[cell], cve_geo="0901200010010")])
+    )
+    pings = spark.createDataFrame(
+        [
+            Row(caid="A", latitude=19.05, longitude=-99.05),
+            Row(caid="B", latitude=19.05, longitude=-99.05),  # same point: label computed once
+            Row(caid="C", latitude=19.99, longitude=-99.99),  # unmapped
+        ]
+    )
+    out = {r["caid"]: r for r in fact_pings_base(pings, dim).collect()}
+    assert out["A"]["cve_geo"] == "0901200010010"
+    assert out["B"]["cve_geo"] == "0901200010010"
+    assert out["A"]["cve_mun"] == "09012"
+    assert out["C"]["cve_geo"] is None
+    assert out["A"]["h3index_15"] == cell
