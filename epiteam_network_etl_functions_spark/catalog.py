@@ -32,14 +32,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, sf_dir, table) -> DataFrame. DataFrames are immutable plan
+# handles; memoizing skips the per-call file listing + parquet footer read.
+_LOAD_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (id(spark.sparkContext), sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong (session.py); truncate to
         # microseconds exactly as DuckDB does when it surfaces TIMESTAMP.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _LOAD_CACHE[key] = df
     return df
 
 

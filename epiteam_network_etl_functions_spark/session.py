@@ -77,13 +77,21 @@ def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkS
 
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an externally provided session (driver smoke
-    tests hand us their own SparkSession)."""
+    tests hand us their own SparkSession). Idempotent per session — the
+    py4j conf round-trips are skipped after the first call."""
+    profile = "small" if os.environ.get("SPARK_GRAFT_SMALL_PROFILE") == "1" else "scale"
+    if getattr(spark, "_graft_prepped", None) == profile:
+        return spark
     for k, v in _profile_conf().items():
         spark.conf.set(k, v)
     # Keep shuffle width sane on local sessions that kept the 200 default.
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) == 200:
             spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass
+    try:
+        spark._graft_prepped = profile
     except Exception:
         pass
     return spark
