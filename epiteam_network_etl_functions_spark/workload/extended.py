@@ -225,3 +225,48 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("a_id", "b_id", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.35)
     )
+
+
+@query(
+    "returns_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus) with subtotal
+    rows NULL-marked identically on both engines. The reference never uses
+    grouping sets (SURVEY §2.4) — engine-completeness surface."""
+    prep(spark)
+    li = catalog.load(spark, sf_dir, "lineitem")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    return (
+        li.select("l_returnflag", "l_linestatus", qc.alias("qc"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("qc") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "except_day_users",
+    oracle="""
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+    EXCEPT
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+    """,
+)
+def except_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation (absent from the reference, SURVEY §2.7):
+    devices seen on day A but not day B — set semantics, dedup included."""
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events")
+    d1 = e.where(F.to_date("ts") == F.lit("2024-01-03")).select("user_id")
+    d2 = e.where(F.to_date("ts") == F.lit("2024-01-10")).select("user_id")
+    return d1.subtract(d2)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
