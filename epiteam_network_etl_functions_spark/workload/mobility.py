@@ -307,33 +307,33 @@ def contact_probs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "radius_of_gyration",
     oracle="""
-    WITH m AS (
-        SELECT user_id, avg(value) AS mean FROM events GROUP BY user_id
-    )
-    SELECT e.user_id,
-           round(sqrt(sum(pow(e.value - m.mean, 2)) / count(*)), 6) AS rg
-    FROM events e JOIN m ON e.user_id = m.user_id
-    GROUP BY e.user_id
+    SELECT user_id,
+           round(sqrt(greatest(
+               (sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) / 10000.0) / count(*)
+               - pow((sum(CAST(round(value * 100) AS BIGINT)) / 100.0) / count(*), 2),
+               0.0)), 6) AS rg
+    FROM events GROUP BY user_id
     """,
 )
 def radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-D radius of gyration over `value`: sqrt(mean squared deviation from
     the device's mass center) (RadiusOfGyrationHandler.py:134-279, A8/A9;
     squared-diff variant per the handler, not the notebook's abs — SURVEY §7).
-    Mass center attached via broadcast join, not a global window."""
+
+    Single-pass via exact moments: `value` is cent-quantized, so Σv and Σv²
+    accumulate as exact integers and rg² = E[v²] − E[v]² is a fixed sequence
+    of identical FP ops on both engines — one shuffle, no join, bit-exact.
+    (The two-pass join-the-mean formulation lives in plans/gyration.py where
+    the reference's semantics need it.)"""
     e = _events(spark, sf_dir)
-    m = e.groupBy("user_id").agg(F.avg("value").alias("__mean"))
-    return (
-        e.join(F.broadcast(m), "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.sum(F.pow(F.col("value") - F.col("__mean"), F.lit(2)))
-                    / F.count(F.lit(1))
-                ),
-                6,
-            ).alias("rg")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    n = F.count(F.lit(1))
+    ev2 = (F.sum(vc * vc) / 10000.0) / n
+    ev = (F.sum(vc) / 100.0) / n
+    return e.groupBy("user_id").agg(
+        F.round(F.sqrt(F.greatest(ev2 - F.pow(ev, F.lit(2)), F.lit(0.0))), 6).alias(
+            "rg"
         )
     )
 
