@@ -31,18 +31,40 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+HASHES_PER_MD5 = 8  # 32 hex chars -> 8 disjoint 4-hex (16-bit) hash values
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, shingle_col: str = "shingle", n_hashes: int = 16
 ) -> DataFrame:
     """One row per doc with columns mh0..mh{n-1}: min over shingles of the
-    seeded md5. Single groupBy shuffle; partial mins combine map-side."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col(shingle_col)).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(n_hashes)
+    i-th hash. Single groupBy shuffle; partial mins combine map-side.
+
+    Hash family: each md5 digest is split into 8 disjoint 4-hex-char
+    (16-bit) values, so n_hashes needs only ceil(n/8) md5 calls per shingle
+    instead of n — md5 dominates the signature cost at corpus scale.
+    Fixed-width lowercase hex makes lexicographic MIN numeric-correct, and
+    the scheme is expressible verbatim in the SQL oracle."""
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}:"), F.col(shingle_col)).cast("binary"))
+        for d in range((n_hashes + HASHES_PER_MD5 - 1) // HASHES_PER_MD5)
     ]
+    aggs = []
+    for i in range(n_hashes):
+        d, slot = divmod(i, HASHES_PER_MD5)
+        aggs.append(F.min(F.substring(digests[d], slot * 4 + 1, 4)).alias(f"mh{i}"))
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_sql_exprs(n_hashes: int = 16, shingle_expr: str = "shingle") -> list[str]:
+    """The oracle-side expressions matching :func:`minhash_signatures`."""
+    out = []
+    for i in range(n_hashes):
+        d, slot = divmod(i, HASHES_PER_MD5)
+        out.append(
+            f"min(substr(md5('{d}:' || {shingle_expr}), {slot * 4 + 1}, 4)) AS mh{i}"
+        )
+    return out
 
 
 def lsh_bands(

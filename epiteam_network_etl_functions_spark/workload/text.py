@@ -50,9 +50,9 @@ dsh AS (
 )
 """
 
-_SIG_COLS = ",\n        ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
-)
+from ..operators.dedup import minhash_sql_exprs
+
+_SIG_COLS = ",\n        ".join(minhash_sql_exprs(N_HASHES))
 _SIGS_CTE = f"""
 sigs AS (
     SELECT doc_id, {_SIG_COLS}
