@@ -270,3 +270,35 @@ def except_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = e.where(F.to_date("ts") == F.lit("2024-01-03")).select("user_id")
     d2 = e.where(F.to_date("ts") == F.lit("2024-01-10")).select("user_id")
     return d1.subtract(d2)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
+
+
+@query("approx_device_stats")  # rows-only: approximation algorithms are
+# engine-specific (HLL++ / GK-sketch), so no cross-engine value oracle.
+def approx_device_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variants of A1/quantiles: approx_count_distinct (HLL++)
+    and percentile_approx instead of exact distinct/sort — sublinear state,
+    one pass. Driver records the weaker rows-only check by design."""
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_devices"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "salted_hot_key_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregation (operators/skew.py): identical result to
+    a plain groupBy count — the oracle proves it — with the hot key spread
+    over 16 reducers first."""
+    prep(spark)
+    from ..operators.skew import salted_count
+
+    e = catalog.load(spark, sf_dir, "events")
+    return salted_count(e, ["event_type"], buckets=16)
