@@ -34,12 +34,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 # (session id, sf_dir, table) -> DataFrame. DataFrames are immutable plan
 # handles; memoizing skips the per-call file listing + parquet footer read.
+# Bounded: cleared wholesale past _LOAD_CACHE_MAX so stopped sessions'
+# object graphs cannot accumulate in a long-lived process.
 _LOAD_CACHE: dict[tuple, DataFrame] = {}
+_LOAD_CACHE_MAX = 256
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if len(_LOAD_CACHE) > _LOAD_CACHE_MAX:
+        _LOAD_CACHE.clear()
     key = (id(spark.sparkContext), sf_dir, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:

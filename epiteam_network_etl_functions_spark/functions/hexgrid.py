@@ -42,24 +42,39 @@ def _parse(cell: str) -> tuple[int, int, int]:
     return int(r[1:]), int(i), int(j)
 
 
+def _is_bad(*vals) -> bool:
+    """NULL arrives as NaN/None in the Arrow batch; emit NULL out, never
+    crash the stage on one bad row."""
+    for v in vals:
+        if v is None:
+            return True
+        if isinstance(v, float) and math.isnan(v):
+            return True
+    return False
+
+
 @F.pandas_udf(T.StringType())
 def _cell_of_udf(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
-    if HAVE_H3:
-        return pd.Series(
-            [_h3.latlng_to_cell(a, o, int(r)) for a, o, r in zip(lat, lon, res)]
-        )
-    return pd.Series(
-        [_fallback_cell(a, o, int(r)) for a, o, r in zip(lat, lon, res)]
-    )
+    out = []
+    for a, o, r in zip(lat, lon, res):
+        if _is_bad(a, o, r):
+            out.append(None)
+        elif HAVE_H3:
+            out.append(_h3.latlng_to_cell(a, o, int(r)))
+        else:
+            out.append(_fallback_cell(a, o, int(r)))
+    return pd.Series(out, dtype="object")
 
 
 @F.pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]))
 def _centroid_udf(cell: pd.Series) -> pd.DataFrame:
-    if HAVE_H3:
-        pts = [_h3.cell_to_latlng(c) for c in cell]
-    else:
-        pts = []
-        for c in cell:
+    pts = []
+    for c in cell:
+        if _is_bad(c):
+            pts.append((None, None))
+        elif HAVE_H3:
+            pts.append(_h3.cell_to_latlng(c))
+        else:
             r, i, j = _parse(c)
             size = _RES_DEG[r]
             pts.append(((i + 0.5) * size, (j + 0.5) * size))
@@ -68,31 +83,37 @@ def _centroid_udf(cell: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(T.LongType())
 def _distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    if HAVE_H3:
-        return pd.Series([int(_h3.grid_distance(x, y)) for x, y in zip(a, b)])
     out = []
     for x, y in zip(a, b):
-        _, xi, xj = _parse(x)
-        _, yi, yj = _parse(y)
-        out.append(max(abs(xi - yi), abs(xj - yj)))
-    return pd.Series(out, dtype="int64")
+        if _is_bad(x, y):
+            out.append(None)
+        elif HAVE_H3:
+            out.append(int(_h3.grid_distance(x, y)))
+        else:
+            _, xi, xj = _parse(x)
+            _, yi, yj = _parse(y)
+            out.append(max(abs(xi - yi), abs(xj - yj)))
+    return pd.Series(out, dtype="object")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def _k_ring_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
-    if HAVE_H3:
-        return pd.Series([list(_h3.grid_disk(c, int(kk))) for c, kk in zip(cell, k)])
     out = []
     for c, kk in zip(cell, k):
-        r, i, j = _parse(c)
-        kk = int(kk)
-        out.append(
-            [
-                f"g{r}:{i + di}:{j + dj}"
-                for di in range(-kk, kk + 1)
-                for dj in range(-kk, kk + 1)
-            ]
-        )
+        if _is_bad(c, kk):
+            out.append(None)
+        elif HAVE_H3:
+            out.append(list(_h3.grid_disk(c, int(kk))))
+        else:
+            r, i, j = _parse(c)
+            kk = int(kk)
+            out.append(
+                [
+                    f"g{r}:{i + di}:{j + dj}"
+                    for di in range(-kk, kk + 1)
+                    for dj in range(-kk, kk + 1)
+                ]
+            )
     return pd.Series(out)
 
 

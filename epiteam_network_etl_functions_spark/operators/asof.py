@@ -47,10 +47,19 @@ def asof_join_backward(
         .alias("__lrow"),
     )
     u = l_tag.unionByName(r_tag)
-    # right rows (__side=0) sort before left rows at equal ts => <= semantics
+    # right rows (__side=0) sort before left rows at equal ts => <= semantics.
+    # Payload columns extend the ordering so ties among right rows with
+    # identical (key, ts) resolve deterministically (last payload wins) —
+    # callers that need oracle-exact results should still deduplicate the
+    # right side to unique (key, ts) first, since SQL ASOF JOIN's pick among
+    # exact ts duplicates is engine-defined.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__p_{c}").asc_nulls_first() for c in payload_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

@@ -13,7 +13,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 try:  # pragma: no cover - optional
@@ -25,23 +24,26 @@ except Exception:
     HAVE_NETWORKX = False
 
 
-def scale_sizes(
-    sizes: dict[str, int], target_n: int, seed: int = 3696
-) -> dict[str, int]:
+def scale_sizes(sizes: dict[str, int], target_n: int) -> dict[str, int]:
     """Scale block sizes to sum to ``target_n`` (size_scalers.py:377-412):
     proportional integer scaling, zero-size blocks bumped to 1
     (size_scalers.py:39-48), remainder distributed over the largest blocks
-    (size_scalers.py:130-154). Deterministic under ``seed``."""
+    (size_scalers.py:130-154). Fully deterministic (sorted-block order)."""
     blocks = sorted(sizes)
     total = sum(sizes.values())
     if total <= 0:
         raise ValueError("sizes must sum to a positive value")
+    if target_n < len(blocks):
+        # every block must keep >= 1 node (zero bump), so smaller targets
+        # are mathematically infeasible — fail up front, not after the loop
+        raise ValueError(
+            f"target_n={target_n} < n_blocks={len(blocks)}; each block keeps >= 1"
+        )
     scaled = {b: int(round(sizes[b] * target_n / total)) for b in blocks}
     for b in blocks:  # bump zeros so every block survives
         if scaled[b] == 0:
             scaled[b] = 1
     diff = target_n - sum(scaled.values())
-    rng = np.random.default_rng(seed)
     by_size = sorted(blocks, key=lambda b: (-scaled[b], b))[:10]
     i = 0
     while diff != 0 and by_size:
@@ -54,13 +56,10 @@ def scale_sizes(
         if i > 10 * abs(target_n):  # safety, unreachable in practice
             raise RuntimeError("scaling did not converge")
     assert sum(scaled.values()) == target_n  # size_scalers.py:48,100,160
-    _ = rng  # seed reserved for the weighted-sample variant (F8)
     return scaled
 
 
-def sample_nodes(
-    scaled: dict[str, int], spark, seed: int = 3696
-) -> DataFrame:
+def sample_nodes(scaled: dict[str, int], spark) -> DataFrame:
     """Node table (node_id, block) realizing the scaled sizes — the
     np.random.choice weighted draw (NetworkBuilder.py:374-381) made
     deterministic: blocks in sorted order, contiguous id ranges."""

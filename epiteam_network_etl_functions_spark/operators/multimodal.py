@@ -68,11 +68,10 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            if _HAVE_PIL:
-                # Real path (exercised only where PIL exists): parse headers.
-                raise NotImplementedError(
-                    "real image decode is out of scope in this container"
-                )
+            # A real decoder would branch on _HAVE_PIL here and parse image
+            # headers; the payloads in this repo are synthetic (text bytes),
+            # so the deterministic fake runs regardless of PIL presence —
+            # the gate must never turn into a crash path.
             dims = [_fake_dims(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {

@@ -164,8 +164,13 @@ def fact_pings_base(
     equi-join — float equality keys are fragile and hash worse (SURVEY.md
     §2.3 J7 note). Adds cve_mun as the region prefix
     (substring, §1.4) alongside the cell index."""
+    # +0.0 normalizes -0.0 (distinct() applies NormalizeFloatingNumbers on
+    # one side but not the other); coalesce keeps NULL lat vs NULL lon keys
+    # distinct (concat_ws would silently skip NULL args and collide them).
     point_key = F.concat_ws(
-        ",", F.col(lat_col).cast("string"), F.col(lon_col).cast("string")
+        ",",
+        F.coalesce((F.col(lat_col) + 0.0).cast("string"), F.lit("∅lat")),
+        F.coalesce((F.col(lon_col) + 0.0).cast("string"), F.lit("∅lon")),
     )
     distinct_pts = (
         pings.select(lat_col, lon_col).distinct()
@@ -206,9 +211,15 @@ def impute_kring(
     )
     resolved = cur.where(F.col(region_col).isNotNull())
     missing = cur.where(F.col(region_col).isNull()).drop(region_col)
+    prev_cached = None
     for k in range(1, max_k + 1):
         missing = missing.cache()
-        if missing.isEmpty():
+        empty = missing.isEmpty()
+        # materialized this round's cache -> the previous round's is dead
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = missing
+        if empty:
             break
         ring = missing.select(
             id_col, cell_col, F.explode(k_ring(cell_col, k)).alias("cell")
@@ -247,10 +258,15 @@ def impute_neighbour_frequency(
         F.explode(F.col(comp_col)).alias(id_col),
     )
     cur = homes
+    prev_cached = None
     for _ in range(rounds):
         cur = cur.cache()
         missing = cur.where(F.col(home_col) == sentinel)
-        if missing.isEmpty():
+        empty = missing.isEmpty()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cur
+        if empty:
             break
         with_comp = cur.join(member, id_col, "left")
         freq = (

@@ -45,17 +45,22 @@ def _track(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
     else:
         session_no, n_events, start_us, last_us = 0, 0, None, None
     closed = []
+    # Drain ALL chunks before segmenting: a group's rows can arrive across
+    # multiple unordered Arrow batches, and per-chunk sorting would
+    # mis-segment sessions when a later chunk holds earlier timestamps.
+    all_ts = []
     for pdf in pdf_iter:
-        for ts in sorted(pdf["ts"]):
-            us = int(pd.Timestamp(ts).value // 1000)
-            if last_us is None:
-                session_no, n_events, start_us = session_no + 1, 1, us
-            elif us - last_us > GAP_US:
-                closed.append((user_id, session_no, n_events, start_us, last_us))
-                session_no, n_events, start_us = session_no + 1, 1, us
-            else:
-                n_events += 1
-            last_us = us
+        all_ts.extend(pdf["ts"])
+    for ts in sorted(all_ts):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if last_us is None:
+            session_no, n_events, start_us = session_no + 1, 1, us
+        elif us - last_us > GAP_US:
+            closed.append((user_id, session_no, n_events, start_us, last_us))
+            session_no, n_events, start_us = session_no + 1, 1, us
+        else:
+            n_events += 1
+        last_us = us
     state.update((session_no, n_events, start_us, last_us))
     if closed:
         yield pd.DataFrame(

@@ -29,7 +29,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS secs_since_signup
     FROM events e
     ASOF LEFT JOIN (
-        SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS rn
+            FROM events WHERE event_type = 'signup'
+        ) WHERE rn = 1
     ) s ON e.user_id = s.user_id AND e.ts >= s.ts
     """,
 )
@@ -37,11 +42,19 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: every event paired with the user's most recent
     signup at or before it (union+window idiom; DuckDB oracle uses its
     native ASOF JOIN — a genuine cross-engine semantics check)."""
+    from ..operators.winners import top1_per_key
+
     e = _events(spark, sf_dir)
     left = e.select("event_id", "user_id", "ts")
-    right = (
-        e.where(F.col("event_type") == "signup")
-        .select("user_id", "ts", F.col("event_id").alias("sig_event_id"))
+    # Dedupe the right side to unique (user, ts): SQL ASOF JOIN's pick among
+    # exact-timestamp duplicates is engine-defined, so the differential gate
+    # needs a canonical right row (max event_id) before the join.
+    right = top1_per_key(
+        e.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("event_id").alias("sig_event_id")
+        ),
+        ["user_id", "ts"],
+        [F.desc("sig_event_id")],
     )
     joined = asof_join_backward(
         left.withColumnRenamed("event_id", "l_event_id"),
