@@ -1,0 +1,55 @@
+"""CDC / SCD2 emulation kernels."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from epiteam_network_etl_functions_spark.operators.cdc import scd2_apply, upsert_latest
+
+
+def _d(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_upsert_latest_wins(spark):
+    current = spark.createDataFrame(
+        [Row(k=1, v="old", ts=_d(1), seq=1), Row(k=2, v="keep", ts=_d(1), seq=1)]
+    )
+    updates = spark.createDataFrame(
+        [Row(k=1, v="new", ts=_d(5), seq=2), Row(k=3, v="ins", ts=_d(5), seq=1)]
+    )
+    out = {r["k"]: r["v"] for r in upsert_latest(current, updates, ["k"], "ts", "seq").collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_tiebreak_deterministic(spark):
+    current = spark.createDataFrame([Row(k=1, v="a", ts=_d(1), seq=1)])
+    updates = spark.createDataFrame([Row(k=1, v="b", ts=_d(1), seq=2)])
+    out = upsert_latest(current, updates, ["k"], "ts", "seq").collect()
+    assert len(out) == 1 and out[0]["v"] == "b"  # same ts -> higher seq wins
+
+
+def test_scd2_apply(spark):
+    history = spark.createDataFrame(
+        [
+            Row(k=1, v="v1", valid_from=_d(1), valid_to=_d(3)),
+            Row(k=1, v="v2", valid_from=_d(3), valid_to=None),
+            Row(k=2, v="w1", valid_from=_d(1), valid_to=None),
+        ]
+    )
+    updates = spark.createDataFrame([Row(k=1, v="v3", ts=_d(7))])
+    out = scd2_apply(history, updates, ["k"], "ts")
+    rows = sorted(
+        [(r["k"], r["v"], r["valid_from"], r["valid_to"]) for r in out.collect()]
+    )
+    assert rows == [
+        (1, "v1", _d(1), _d(3)),
+        (1, "v2", _d(3), _d(7)),   # open row closed at update ts
+        (1, "v3", _d(7), None),    # new open row
+        (2, "w1", _d(1), None),    # untouched key passes through
+    ]
+    # exactly one open row per key
+    opens = out.where("valid_to IS NULL").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)

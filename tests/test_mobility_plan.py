@@ -178,3 +178,29 @@ def test_fact_pings_base_joinback(spark):
     assert out["A"]["cve_mun"] == "09012"
     assert out["C"]["cve_geo"] is None
     assert out["A"]["h3index_15"] == cell
+
+
+def test_hexgrid_null_inputs_yield_nulls(spark):
+    from epiteam_network_etl_functions_spark.functions.hexgrid import (
+        cell_of,
+        grid_distance,
+        k_ring,
+    )
+
+    df = spark.createDataFrame(
+        [Row(lat=19.0, lon=-99.0), Row(lat=None, lon=-99.0), Row(lat=19.0, lon=None)]
+    )
+    out = df.select(
+        cell_of("lat", "lon", 7).alias("cell")
+    ).collect()
+    assert out[0]["cell"] is not None
+    assert out[1]["cell"] is None and out[2]["cell"] is None
+
+    cells = spark.createDataFrame(
+        [Row(a="g7:1:1", b="g7:2:2"), Row(a=None, b="g7:2:2")]
+    )
+    got = cells.select(
+        grid_distance("a", "b").alias("d"), k_ring("a", 1).alias("ring")
+    ).collect()
+    assert got[0]["d"] == 1 and len(got[0]["ring"]) == 9
+    assert got[1]["d"] is None and got[1]["ring"] is None
