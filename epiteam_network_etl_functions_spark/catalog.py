@@ -54,6 +54,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) read via nanosAsLong (session.py); truncate to
         # microseconds exactly as DuckDB does when it surfaces TIMESTAMP.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Plain µs/ms parquet written with isAdjustedToUTC=false surfaces as
+    # TIMESTAMP_NTZ under Spark 4 inference; unix_micros()/window() require
+    # TIMESTAMP. The session is pinned to UTC, so the cast is value-exact.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 
