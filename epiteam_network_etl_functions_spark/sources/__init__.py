@@ -2,6 +2,7 @@
 
 from .io import (  # noqa: F401
     read_partitioned,
+    read_days,
     write_partitioned,
     write_single,
     read_csv,

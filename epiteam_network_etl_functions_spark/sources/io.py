@@ -50,6 +50,21 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
 
 
+def read_days(
+    spark: SparkSession,
+    path: str,
+    dates: Sequence[str],
+    date_col: str = "day",
+) -> DataFrame:
+    """Multi-day scan (S3: the reference loops per-date reads and concats,
+    parquet_extractor.py:22-40). One partitioned read + an IN-list partition
+    predicate — Catalyst prunes to exactly the requested directories, no
+    loop, no union. Pair with calendar_utils.trusted_range / last_n_days."""
+    from pyspark.sql import functions as F
+
+    return read_partitioned(spark, path).where(F.col(date_col).isin(list(dates)))
+
+
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """CSV scan (S5: read_csv_auto). Schema inference only when no schema is
     given — at scale always pass one (inference is a second full read)."""

@@ -53,3 +53,24 @@ def test_scd2_apply(spark):
     # exactly one open row per key
     opens = out.where("valid_to IS NULL").groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_normalize_text(spark):
+    from epiteam_network_etl_functions_spark.operators.textnorm import (
+        normalize_text,
+        normalized_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="H\u00e9llo   W\u00f6rld "),
+            Row(doc_id=2, text="hello world"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    out = {r["doc_id"]: r["text_norm"] for r in normalize_text(df, "text").collect()}
+    assert out[1] == "hello world" == out[2]
+    assert out[3] is None
+    keys = df.select("doc_id", normalized_key("text").alias("k")).collect()
+    kmap = {r["doc_id"]: r["k"] for r in keys}
+    assert kmap[1] == kmap[2]  # accent/width/case variants dedupe together

@@ -57,3 +57,17 @@ def test_checkpoint_roundtrip(spark, events, tmp_path):
     agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     back = checkpoint(agg, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, agg.collect()))
+
+
+def test_read_days_prunes(spark, events, tmp_path):
+    from epiteam_network_etl_functions_spark.sources import read_days, write_partitioned
+
+    path = str(tmp_path / "by_day")
+    by_day = events.withColumn("day", F.to_date("ts").cast("string"))
+    write_partitioned(by_day, path, ["day"])
+    days = ["2024-01-03", "2024-01-04", "2024-01-05"]
+    got = read_days(spark, path, days)
+    expected = events.where(F.to_date("ts").cast("string").isin(days))
+    assert got.count() == expected.count()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
