@@ -1,0 +1,115 @@
+"""Distributed discrete-time SEIR over DataFrames (SURVEY.md §7 step 11
+stretch: the reference's Gillespie runs are driver-side per graph; this
+variant distributes ONE simulation over a cluster-sized graph).
+
+State is a node table (node_id, state); each time step is:
+    exposure:   edges ⋈ infected -> susceptible neighbours draw Bernoulli(β)
+    progression: E -> I with prob σ, I -> R with prob γ
+Randomness is hash-uniform — u(node, t, salt) = md5-derived in [0,1) — so a
+run is exactly reproducible for a (graph, seed) pair regardless of
+partitioning or retries (rand(seed) would not be: it depends on partition
+layout). Event times are step-quantized; that is the documented divergence
+from the reference's continuous-time EoN runs.
+
+Scale shape per step: one join edge-list ⋈ infected (key-partitioned),
+one union, one aggregation for the trajectory row. State is cached and the
+previous step unpersisted; lineage is cut every few steps via
+localCheckpoint so plans do not grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+S, E, I, R = "S", "E", "I", "R"
+
+
+def _uniform(col_id, t: int, salt: str, seed: int):
+    """Deterministic hash-uniform in [0,1): md5 of (seed, salt, t, node)."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.lit(salt), F.lit(t), col_id.cast("string")).cast(
+            "binary"
+        )
+    )
+    # first 12 hex chars -> 48-bit integer -> [0,1)
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / float(1 << 48)
+
+
+def distributed_seir(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    beta: float = 0.1,
+    sigma: float = 0.2,
+    gamma: float = 0.1,
+    seed: int = 0,
+    t_max: int = 50,
+    initial_infected: int = 1,
+    id_col: str = "node_id",
+    a_col: str = "a_node",
+    b_col: str = "b_node",
+) -> DataFrame:
+    """Run one SEIR epidemic; returns the trajectory (t, S, E, I, R).
+
+    Initial infections: the `initial_infected` smallest node ids
+    (deterministic; pass a pre-seeded state column for custom seeding).
+    """
+    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    adj = fwd.unionByName(rev).distinct().cache()
+
+    first = [r[0] for r in nodes.select(id_col).orderBy(id_col).limit(initial_infected).collect()]
+    state = nodes.select(
+        F.col(id_col),
+        F.when(F.col(id_col).isin(first), I).otherwise(S).alias("state"),
+    ).cache()
+
+    rows = []
+    for t in range(t_max + 1):
+        counts = {
+            r["state"]: r["n"]
+            for r in state.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rows.append((t, counts.get(S, 0), counts.get(E, 0), counts.get(I, 0), counts.get(R, 0)))
+        if counts.get(E, 0) == 0 and counts.get(I, 0) == 0:
+            break
+
+        infected = state.where(F.col("state") == I).select(F.col(id_col).alias("src"))
+        exposed_targets = (
+            adj.join(infected, "src")
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+        )
+        new_state = (
+            state.join(exposed_targets.withColumn("__hit", F.lit(1)), id_col, "left")
+            .select(
+                id_col,
+                F.when(
+                    (F.col("state") == S)
+                    & F.col("__hit").isNotNull()
+                    & (_uniform(F.col(id_col), t, "expose", seed) < beta),
+                    E,
+                )
+                .when(
+                    (F.col("state") == E)
+                    & (_uniform(F.col(id_col), t, "progress", seed) < sigma),
+                    I,
+                )
+                .when(
+                    (F.col("state") == I)
+                    & (_uniform(F.col(id_col), t, "recover", seed) < gamma),
+                    R,
+                )
+                .otherwise(F.col("state"))
+                .alias("state"),
+            )
+        )
+        if t % 5 == 4:
+            new_state = new_state.localCheckpoint()  # cut lineage growth
+        else:
+            new_state = new_state.cache()
+        state.unpersist()
+        state = new_state
+    adj.unpersist()
+    state.unpersist()
+    return spark.createDataFrame(rows, ["t", "S", "E", "I", "R"])
