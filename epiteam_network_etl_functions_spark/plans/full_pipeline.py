@@ -1,0 +1,137 @@
+"""The complete reference pipeline as one composition (SURVEY.md §3.2):
+
+    raw pings -> day extract -> hex cells -> geo attribution
+              -> night presence scores -> daily winners -> global winner
+              -> sentinel attach -> co-location interactions
+              -> contact-probability table -> (driver-sized) SBM network
+              -> SEIR trajectory
+
+What the reference runs as a chain-of-responsibility over Context.payload
+plus seven CLI scripts is here a function per stage and one orchestrating
+call — each stage lazy, checkpointable, and unit-tested on its own
+(plans/mobility.py, operators/*). This module exists so a reference user
+can run the whole product with one call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.colocation import colocation_edges
+from ..operators.graphs import sample_nodes, sbm_edges, scale_sizes
+from ..operators.timebucket import with_time_bucket
+from .contact_matrix import contact_prob_table
+from .mobility import (
+    attach_home,
+    daily_home_winners,
+    extract_day,
+    locate_pings,
+    night_presence_scores,
+    with_cells,
+)
+from .seir_distributed import distributed_seir
+
+
+@dataclass
+class PipelineConfig:
+    """Replaces the reference's env-var Context (context.py:12-96)."""
+
+    day: str
+    min_accuracy: float = 100.0
+    cell_res: int = 15
+    bucket_seconds: int = 600
+    network_nodes: int = 1000
+    seir: dict = field(default_factory=lambda: dict(beta=0.3, sigma=0.4, gamma=0.2))
+    seed: int = 3696
+    checkpoint_dir: str | None = None
+
+
+@dataclass
+class PipelineResult:
+    pings_located: DataFrame
+    homes: DataFrame
+    interactions: DataFrame
+    contact_probs: DataFrame
+    sbm_edge_list: DataFrame
+    seir_trajectory: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pings: DataFrame,
+    cell_region_dim: DataFrame,
+    cfg: PipelineConfig,
+) -> PipelineResult:
+    """One day's end-to-end run. Everything before the SBM scale-down is
+    fully distributed; the SBM/SEIR stage sizes itself to cfg.network_nodes
+    exactly as the reference scales ~9M population to 10^4 nodes."""
+    day_pings = with_cells(
+        extract_day(pings, cfg.day, min_accuracy=cfg.min_accuracy),
+        res=cfg.cell_res,
+        out_col="h3index_15",
+    )
+    located = locate_pings(day_pings, cell_region_dim)
+
+    scores = night_presence_scores(
+        located, bucket_seconds=cfg.bucket_seconds
+    )
+    # winner CELL per device, then the cell's region = the home AGEB
+    # (HomeAgebGenerator: night winner -> census-tract attribution)
+    winners = daily_home_winners(scores)
+    homes = (
+        locate_pings(
+            winners.withColumnRenamed("home_cell", "h3index_15"),
+            cell_region_dim,
+        )
+        .withColumnRenamed("cve_geo", "home_ageb")
+        .select("caid", "home_ageb", "score", "confidence")
+    )
+    with_home = attach_home(located, homes.select("caid", "home_ageb"))
+
+    bucketed = with_time_bucket(with_home, "cdmx_datetime", cfg.bucket_seconds)
+    interactions = colocation_edges(
+        bucketed, id_col="caid", cell_col="h3index_15", tw_col="tw"
+    )
+
+    probs = contact_prob_table(
+        with_home.drop("home_ageb"),
+        homes.select("caid", "home_ageb"),
+        bucket_seconds=cfg.bucket_seconds,
+        checkpoint_dir=cfg.checkpoint_dir,
+    )
+
+    # scale block sizes to the network size (driver-side: one row per block)
+    sizes = {
+        r["a_home_ageb"]: 1
+        for r in probs.select("a_home_ageb").distinct().collect()
+    }
+    measured = {
+        r["home_ageb"]: r["n"]
+        for r in homes.groupBy("home_ageb").count().withColumnRenamed("count", "n").collect()
+    }
+    sizes.update(measured)
+    scaled = scale_sizes(sizes, max(cfg.network_nodes, len(sizes)))
+    nodes = sample_nodes(scaled, spark)
+    prob_long = probs.selectExpr(
+        "a_home_ageb AS a_block", "b_home_ageb AS b_block", "prob"
+    )
+    edge_list = sbm_edges(nodes, prob_long, seed=cfg.seed)
+
+    traj = distributed_seir(
+        spark,
+        nodes.selectExpr("node_id"),
+        edge_list.selectExpr("a_node", "b_node"),
+        seed=cfg.seed,
+        t_max=60,
+        **cfg.seir,
+    )
+    return PipelineResult(
+        pings_located=located,
+        homes=homes,
+        interactions=interactions,
+        contact_probs=probs,
+        sbm_edge_list=edge_list,
+        seir_trajectory=traj,
+    )
