@@ -1,3 +1,7 @@
 """Structured Streaming variants of the batch operators."""
 
-from .windows import streaming_bucket_counts, streaming_colocation_candidates  # noqa: F401
+from .windows import (  # noqa: F401
+    streaming_bucket_counts,
+    streaming_colocation_candidates,
+    streaming_colocation_pairs,
+)

@@ -44,6 +44,42 @@ def streaming_bucket_counts(
     )
 
 
+def streaming_colocation_pairs(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    cell_col: str = "event_type",
+    id_col: str = "user_id",
+    width: str = "600 seconds",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The flagship co-location join, fully online: a watermarked
+    stream-stream self-join on (cell, tumbling window) emitting canonical
+    (a < b) co-presence pairs. Join state is bounded by the watermark
+    horizon — each side buffers only rows whose window can still match.
+    Epoch-anchored windows (the streaming-correct semantics; see module
+    docstring) — the batch kernel stays origin-anchored for reference
+    parity."""
+    pres = stream.withWatermark(ts_col, watermark).select(
+        id_col, cell_col, F.window(ts_col, width).alias("w"), ts_col
+    )
+    a, b = pres.alias("a"), pres.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{cell_col}").alias(cell_col),
+            F.col("a.w.start").alias("window_start"),
+            F.col(f"a.{id_col}").alias(f"a_{id_col}"),
+            F.col(f"b.{id_col}").alias(f"b_{id_col}"),
+        )
+        .dropDuplicates([cell_col, "window_start", f"a_{id_col}", f"b_{id_col}"])
+    )
+
+
 def streaming_colocation_candidates(
     stream: DataFrame,
     ts_col: str = "ts",

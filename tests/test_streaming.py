@@ -63,3 +63,48 @@ def test_streaming_colocation_candidates(spark, stream_src):
     # presence rows are unique per (window, cell, device)
     keys = [(r.window_start, r.event_type, r.user_id) for r in out]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_colocation_pairs_matches_batch(spark, stream_src):
+    from epiteam_network_etl_functions_spark.streaming import (
+        streaming_colocation_pairs,
+    )
+
+    pairs = streaming_colocation_pairs(stream_src)
+    _run(pairs, "pairs_out")
+    got = {
+        (r.event_type, r.window_start, r.a_user_id, r.b_user_id)
+        for r in spark.sql("SELECT * FROM pairs_out").collect()
+    }
+    assert len(got) > 0
+    batch = (
+        catalog.load(spark, PARITY_SF_DIR, "events")
+        .select(
+            "user_id", "event_type", F.window("ts", "600 seconds").alias("w")
+        )
+        .distinct()
+    )
+    a, b = batch.alias("a"), batch.alias("b")
+    expected = {
+        (r["event_type"], r["ws"], r["a_user_id"], r["b_user_id"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.w") == F.col("b.w"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .select(
+                F.col("a.event_type").alias("event_type"),
+                F.col("a.w.start").alias("ws"),
+                F.col("a.user_id").alias("a_user_id"),
+                F.col("b.user_id").alias("b_user_id"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    # append mode may withhold the final unclosed window; emitted pairs must
+    # be a subset and cover everything whose window closed under the watermark
+    assert got <= expected
+    assert len(got) >= len(expected) * 0.8
