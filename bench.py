@@ -28,10 +28,17 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_unshipped_orders",
     "region_nation_revenue",
-    # extensions (skipped silently if not yet registered)
+    "late_shipment_orders",
+    "top_return_customers",
+    # temporal
+    "user_sessions",
+    "asof_last_signup",
+    # dedup / text / vectors
     "minhash_signatures",
     "near_dup_pairs",
+    "simhash_signatures",
     "knn_bruteforce",
+    "label_centroids",
     "doc_token_stats",
 ]
 

@@ -302,3 +302,62 @@ def salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = catalog.load(spark, sf_dir, "events")
     return salted_count(e, ["event_type"], buckets=16)
+
+
+def _hash_bucket_sql(id_expr: str, buckets: int, salt: str) -> str:
+    """48-bit md5-derived bucket, matching operators/sampling.hash_bucket."""
+    digits = []
+    for i in range(12):
+        digits.append(
+            f"(strpos('0123456789abcdef', substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        )
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"({acc} * 16 + {d})"
+    return f"({acc} % {buckets})"
+
+
+@query(
+    "dataset_splits",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_hash_bucket_sql('doc_id', 100, 'split')} < 90 THEN 'train'
+                WHEN {_hash_bucket_sql('doc_id', 100, 'split')} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-percentile train/val/test assignment
+    (operators/sampling.with_split): membership depends only on doc_id, so
+    engines, re-runs and backfills agree row-for-row — proven here by the
+    cross-engine oracle."""
+    prep(spark)
+    from ..operators.sampling import with_split
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    return with_split(docs, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "split_balance",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs FROM (
+        SELECT CASE WHEN {_hash_bucket_sql('doc_id', 100, 'split')} < 90 THEN 'train'
+                    WHEN {_hash_bucket_sql('doc_id', 100, 'split')} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) GROUP BY split
+    """,
+)
+def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split cardinalities — the sanity aggregate a curation run records."""
+    prep(spark)
+    from ..operators.sampling import with_split
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    return (
+        with_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -74,3 +74,23 @@ def test_normalize_text(spark):
     keys = df.select("doc_id", normalized_key("text").alias("k")).collect()
     kmap = {r["doc_id"]: r["k"] for r in keys}
     assert kmap[1] == kmap[2]  # accent/width/case variants dedupe together
+
+
+def test_stratified_sample_deterministic(spark):
+    from epiteam_network_etl_functions_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from epiteam_network_etl_functions_spark import catalog
+    from tests.conftest import PARITY_SF_DIR
+
+    docs = catalog.load(spark, PARITY_SF_DIR, "documents")
+    frac = {"en": 0.5, "es": 0.1}
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", "doc_id", frac).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(13), "lang", "doc_id", frac).collect()}
+    assert a == b  # stable under repartitioning (sampleBy is not)
+    by_lang = stratified_sample(docs, "lang", "doc_id", frac).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in by_lang}
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(got) <= {"en", "es"}
+    assert 0.3 * totals["en"] <= got.get("en", 0) <= 0.7 * totals["en"]
