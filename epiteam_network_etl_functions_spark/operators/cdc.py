@@ -44,9 +44,25 @@ def scd2_apply(
     `history` columns: key_cols + payload + valid_from + valid_to (NULL for
     open rows). `updates` columns: key_cols + payload + ts_col.
     One shuffle on the key; untouched keys pass through unchanged.
+
+    Multiple updates for one key in a batch chain correctly: each version
+    is closed by the next one (lead over the key window); only the latest
+    stays open. Out-of-order protection: an update older than the open
+    row's valid_from clamps the close to valid_from (zero-length interval)
+    rather than emitting an inverted one — late CDC feeds should be
+    pre-filtered upstream.
     """
-    upd_keyed = updates.withColumnRenamed(ts_col, valid_from).withColumn(
-        valid_to, F.lit(None).cast(history.schema[valid_to].dataType)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(valid_from))
+    upd_keyed = (
+        updates.withColumnRenamed(ts_col, valid_from)
+        .withColumn("__next_from", F.lead(valid_from).over(w))
+        .withColumn(
+            valid_to,
+            F.col("__next_from").cast(history.schema[valid_to].dataType),
+        )
+        .drop("__next_from")
     )
     first_update = top1_per_key(
         upd_keyed.select(*key_cols, valid_from), key_cols, [F.asc(valid_from)]
@@ -56,7 +72,7 @@ def scd2_apply(
     closed_rows = history.where(F.col(valid_to).isNotNull())
 
     newly_closed = open_rows.join(first_update, key_cols, "inner").withColumn(
-        valid_to, F.col("__close_at")
+        valid_to, F.greatest(F.col("__close_at"), F.col(valid_from))
     ).drop("__close_at")
     untouched_open = open_rows.join(first_update, key_cols, "left_anti")
 

@@ -17,20 +17,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def undirected_adjacency(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Canonical (src, dst) adjacency with both directions, deduplicated —
+    shared by components and the distributed SEIR."""
+    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(node_id, component_id) with component_id = min node id in the
     component. Nodes appearing only in `edges`; isolated nodes absent from
     the edge list keep themselves as their own component by definition —
-    union them in from the node table if needed."""
-    # undirected: both directions
-    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    adj = fwd.unionByName(rev).distinct().cache()
+    union them in from the node table if needed.
+
+    Min-label propagation converges in O(diameter) rounds; if the cap is
+    hit first the labels would be silently wrong, so that raises instead —
+    raise ``max_iterations`` (or switch to large-star/small-star, the known
+    O(log n)-round variant) for extreme-diameter graphs."""
+    adj = undirected_adjacency(edges, a_col, b_col).cache()
 
     labels = (
         adj.select(F.col("src").alias("node_id"))
@@ -38,6 +48,7 @@ def connected_components(
         .withColumn("component_id", F.col("node_id"))
         .cache()
     )
+    converged = False
     for _ in range(max_iterations):
         # each node: min(own label, min neighbour label)
         neighbour_min = (
@@ -72,8 +83,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     adj.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            "(graph diameter exceeds the cap); raise max_iterations"
+        )
     return labels
 
 

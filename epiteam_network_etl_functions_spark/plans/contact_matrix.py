@@ -34,11 +34,15 @@ def contact_prob_table(
     home_col: str = "home_ageb",
     bucket_seconds: int = 600,
     checkpoint_dir: str | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Long-form (a_block, b_block, total_pairs, observed, prob) table —
-    the full NetworkBuilder get_tables() flow as one lazy DAG."""
-    b = with_time_bucket(pings, ts_col, bucket_seconds)
-    pairs = colocation_pairs(b, id_col=id_col, cell_col=cell_col, tw_col="tw")
+    the full NetworkBuilder get_tables() flow as one lazy DAG. Pass a
+    precomputed ``pairs`` table to reuse the co-location join output
+    across consumers (the widest shuffle in the product)."""
+    if pairs is None:
+        b = with_time_bucket(pings, ts_col, bucket_seconds)
+        pairs = colocation_pairs(b, id_col=id_col, cell_col=cell_col, tw_col="tw")
     if checkpoint_dir:
         pairs = ckpt(pairs, f"{checkpoint_dir}/pairs")
     homes = homes.localCheckpoint()  # feeds sizes + both endpoint attaches

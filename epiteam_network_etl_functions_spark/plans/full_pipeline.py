@@ -17,9 +17,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.colocation import colocation_edges
+from ..operators.colocation import colocation_edges, colocation_pairs
 from ..operators.graphs import sample_nodes, sbm_edges, scale_sizes
 from ..operators.timebucket import with_time_bucket
 from .contact_matrix import contact_prob_table
@@ -72,25 +72,36 @@ def run_pipeline(
         res=cfg.cell_res,
         out_col="h3index_15",
     )
-    located = locate_pings(day_pings, cell_region_dim)
+    # located feeds scores, interactions AND the contact pipeline — cache
+    # it so the pandas-UDF cell computation runs one pass over the facts.
+    located = locate_pings(day_pings, cell_region_dim).cache()
 
     scores = night_presence_scores(
         located, bucket_seconds=cfg.bucket_seconds
     )
     # winner CELL per device, then the cell's region = the home AGEB
-    # (HomeAgebGenerator: night winner -> census-tract attribution)
+    # (HomeAgebGenerator: night winner -> census-tract attribution); cells
+    # outside the covered region fall back to the 13-zero sentinel exactly
+    # as the reference does (localization_transforms.py:73).
+    from ..constants import SENTINEL_AGEB_13
+
     winners = daily_home_winners(scores)
     homes = (
         locate_pings(
             winners.withColumnRenamed("home_cell", "h3index_15"),
             cell_region_dim,
         )
-        .withColumnRenamed("cve_geo", "home_ageb")
+        .withColumn("home_ageb", F.coalesce(F.col("cve_geo"), F.lit(SENTINEL_AGEB_13)))
         .select("caid", "home_ageb", "score", "confidence")
     )
     with_home = attach_home(located, homes.select("caid", "home_ageb"))
 
     bucketed = with_time_bucket(with_home, "cdmx_datetime", cfg.bucket_seconds)
+    # ONE co-location presence join feeds both the empiric edge list and
+    # the observed-contacts stage of the probability pipeline.
+    pairs = colocation_pairs(
+        bucketed, id_col="caid", cell_col="h3index_15", tw_col="tw"
+    ).cache()
     interactions = colocation_edges(
         bucketed, id_col="caid", cell_col="h3index_15", tw_col="tw"
     )
@@ -100,18 +111,15 @@ def run_pipeline(
         homes.select("caid", "home_ageb"),
         bucket_seconds=cfg.bucket_seconds,
         checkpoint_dir=cfg.checkpoint_dir,
+        pairs=pairs,
     )
 
-    # scale block sizes to the network size (driver-side: one row per block)
+    # scale block sizes to the network size (driver-side: one row per
+    # block; probs' block set equals homes' by construction)
     sizes = {
-        r["a_home_ageb"]: 1
-        for r in probs.select("a_home_ageb").distinct().collect()
-    }
-    measured = {
         r["home_ageb"]: r["n"]
         for r in homes.groupBy("home_ageb").count().withColumnRenamed("count", "n").collect()
     }
-    sizes.update(measured)
     scaled = scale_sizes(sizes, max(cfg.network_nodes, len(sizes)))
     nodes = sample_nodes(scaled, spark)
     prob_long = probs.selectExpr(

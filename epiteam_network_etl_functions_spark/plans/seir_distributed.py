@@ -3,7 +3,9 @@ stretch: the reference's Gillespie runs are driver-side per graph; this
 variant distributes ONE simulation over a cluster-sized graph).
 
 State is a node table (node_id, state); each time step is:
-    exposure:   edges ⋈ infected -> susceptible neighbours draw Bernoulli(β)
+    exposure:   edges ⋈ infected -> a susceptible node with k infected
+                neighbours becomes exposed with prob 1-(1-β)^k
+                (per-contact transmission, matching the per-edge dynamics)
     progression: E -> I with prob σ, I -> R with prob γ
 Randomness is hash-uniform — u(node, t, salt) = md5-derived in [0,1) — so a
 run is exactly reproducible for a (graph, seed) pair regardless of
@@ -25,14 +27,13 @@ S, E, I, R = "S", "E", "I", "R"
 
 
 def _uniform(col_id, t: int, salt: str, seed: int):
-    """Deterministic hash-uniform in [0,1): md5 of (seed, salt, t, node)."""
-    h = F.md5(
-        F.concat_ws(":", F.lit(seed), F.lit(salt), F.lit(t), col_id.cast("string")).cast(
-            "binary"
-        )
-    )
-    # first 12 hex chars -> 48-bit integer -> [0,1)
-    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / float(1 << 48)
+    """Deterministic hash-uniform in [0,1): the sampling kernel's 48-bit
+    md5 bucket (one shared derivation — operators/sampling.hash_bucket)."""
+    from ..operators.sampling import hash_bucket
+
+    return hash_bucket(col_id, 1 << 48, salt=f"{seed}:{salt}:{t}").cast(
+        "double"
+    ) / float(1 << 48)
 
 
 def distributed_seir(
@@ -54,9 +55,9 @@ def distributed_seir(
     Initial infections: the `initial_infected` smallest node ids
     (deterministic; pass a pre-seeded state column for custom seeding).
     """
-    fwd = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    rev = edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    adj = fwd.unionByName(rev).distinct().cache()
+    from ..operators.components import undirected_adjacency
+
+    adj = undirected_adjacency(edges, a_col, b_col).cache()
 
     first = [r[0] for r in nodes.select(id_col).orderBy(id_col).limit(initial_infected).collect()]
     state = nodes.select(
@@ -65,29 +66,38 @@ def distributed_seir(
     ).cache()
 
     rows = []
+    prev_state = None
     for t in range(t_max + 1):
+        # this aggregate MATERIALIZES the current state's cache; only then
+        # is the previous round's cache safe to drop without recompute.
         counts = {
             r["state"]: r["n"]
             for r in state.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        if prev_state is not None:
+            prev_state.unpersist()
+            prev_state = None
         rows.append((t, counts.get(S, 0), counts.get(E, 0), counts.get(I, 0), counts.get(R, 0)))
         if counts.get(E, 0) == 0 and counts.get(I, 0) == 0:
             break
 
         infected = state.where(F.col("state") == I).select(F.col(id_col).alias("src"))
-        exposed_targets = (
+        # k = number of infected contacts -> per-contact transmission
+        exposure_counts = (
             adj.join(infected, "src")
-            .select(F.col("dst").alias(id_col))
-            .distinct()
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .withColumnRenamed("dst", id_col)
         )
+        p_expose = 1.0 - F.pow(F.lit(1.0 - beta), F.col("__k"))
         new_state = (
-            state.join(exposed_targets.withColumn("__hit", F.lit(1)), id_col, "left")
+            state.join(exposure_counts, id_col, "left")
             .select(
                 id_col,
                 F.when(
                     (F.col("state") == S)
-                    & F.col("__hit").isNotNull()
-                    & (_uniform(F.col(id_col), t, "expose", seed) < beta),
+                    & F.col("__k").isNotNull()
+                    & (_uniform(F.col(id_col), t, "expose", seed) < p_expose),
                     E,
                 )
                 .when(
@@ -106,9 +116,10 @@ def distributed_seir(
         )
         if t % 5 == 4:
             new_state = new_state.localCheckpoint()  # cut lineage growth
+            state.unpersist()
         else:
             new_state = new_state.cache()
-        state.unpersist()
+            prev_state = state
         state = new_state
     adj.unpersist()
     state.unpersist()

@@ -52,15 +52,23 @@ def streaming_colocation_pairs(
     width: str = "600 seconds",
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """The flagship co-location join, fully online: a watermarked
-    stream-stream self-join on (cell, tumbling window) emitting canonical
-    (a < b) co-presence pairs. Join state is bounded by the watermark
-    horizon — each side buffers only rows whose window can still match.
+    """The flagship co-location join, fully online: presence dedup
+    (dropDuplicatesWithinWatermark — the online analog of the batch
+    kernel's dedup-before-join, so a chatty device contributes ONE row per
+    (cell, window) to the join instead of m×n row multiplicity), then a
+    watermarked stream-stream self-join on (cell, tumbling window)
+    emitting canonical (a < b) co-presence pairs. Every stateful stage's
+    state is watermark-bounded: dedup state expires with the horizon, join
+    state buffers only windows that can still match, and the output needs
+    no further dedup (each side holds exactly one row per presence).
     Epoch-anchored windows (the streaming-correct semantics; see module
     docstring) — the batch kernel stays origin-anchored for reference
-    parity."""
-    pres = stream.withWatermark(ts_col, watermark).select(
-        id_col, cell_col, F.window(ts_col, width).alias("w"), ts_col
+    parity. Raw `ts` is dropped after windowing: the window struct is the
+    stream's single event-time column."""
+    pres = (
+        stream.withWatermark(ts_col, watermark)
+        .select(id_col, cell_col, F.window(ts_col, width).alias("w"))
+        .dropDuplicatesWithinWatermark([id_col, cell_col, "w"])
     )
     a, b = pres.alias("a"), pres.alias("b")
     return (
@@ -76,7 +84,6 @@ def streaming_colocation_pairs(
             F.col(f"a.{id_col}").alias(f"a_{id_col}"),
             F.col(f"b.{id_col}").alias(f"b_{id_col}"),
         )
-        .dropDuplicates([cell_col, "window_start", f"a_{id_col}", f"b_{id_col}"])
     )
 
 

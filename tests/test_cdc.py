@@ -94,3 +94,33 @@ def test_stratified_sample_deterministic(spark):
     totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
     assert set(got) <= {"en", "es"}
     assert 0.3 * totals["en"] <= got.get("en", 0) <= 0.7 * totals["en"]
+
+
+def test_scd2_multi_update_same_batch_chains(spark):
+    history = spark.createDataFrame(
+        [(1, "v1", _d(1), None)],
+        "k long, v string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [Row(k=1, v="v5", ts=_d(5)), Row(k=1, v="v7", ts=_d(7))]
+    )
+    out = scd2_apply(history, updates, ["k"], "ts")
+    rows = sorted((r["v"], r["valid_from"], r["valid_to"]) for r in out.collect())
+    assert rows == [
+        ("v1", _d(1), _d(5)),
+        ("v5", _d(5), _d(7)),  # chained: closed by the NEXT update
+        ("v7", _d(7), None),
+    ]
+    assert out.where("valid_to IS NULL").count() == 1
+
+
+def test_scd2_late_update_never_inverts_interval(spark):
+    history = spark.createDataFrame(
+        [(1, "v5", _d(5), None)],
+        "k long, v string, valid_from timestamp, valid_to timestamp",
+    )
+    late = spark.createDataFrame([Row(k=1, v="v3", ts=_d(3))])
+    out = scd2_apply(history, late, ["k"], "ts")
+    for r in out.collect():
+        if r["valid_to"] is not None:
+            assert r["valid_to"] >= r["valid_from"]  # clamped, not inverted
