@@ -161,3 +161,69 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+@query(
+    "running_value_totals",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING
+           ) / 100.0 AS running_value
+    FROM events
+    """,
+)
+def running_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame (ROWS UNBOUNDED PRECEDING running sum) — the
+    reference only ever uses default frames (SURVEY §2.5); engine surface.
+    Cent-quantized accumulation keeps every prefix sum bit-exact."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(vc).over(w) / 100.0).alias("running_value"),
+    )
+
+
+@query(
+    "inter_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           (sum(gap_us) // 1000000) AS total_gap_secs,
+           round((sum(gap_us) / 1000000.0) / count(gap_us), 6) AS avg_gap_secs
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-arrival analysis: per-device gap count and mean, exact
+    integer microsecond arithmetic end to end."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    g = e.select("user_id", gap.alias("gap_us")).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.expr("sum(gap_us) div 1000000").alias("total_gap_secs"),
+        F.round((F.sum("gap_us") / 1000000.0) / F.count("gap_us"), 6).alias(
+            "avg_gap_secs"
+        ),
+    )
