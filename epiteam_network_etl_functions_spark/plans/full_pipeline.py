@@ -44,6 +44,7 @@ class PipelineConfig:
     bucket_seconds: int = 600
     network_nodes: int = 1000
     seir: dict = field(default_factory=lambda: dict(beta=0.3, sigma=0.4, gamma=0.2))
+    seir_t_max: int = 60
     seed: int = 3696
     checkpoint_dir: str | None = None
 
@@ -132,7 +133,7 @@ def run_pipeline(
         nodes.selectExpr("node_id"),
         edge_list.selectExpr("a_node", "b_node"),
         seed=cfg.seed,
-        t_max=60,
+        t_max=cfg.seir_t_max,
         **cfg.seir,
     )
     return PipelineResult(

@@ -57,13 +57,18 @@ def distributed_seir(
     """
     from ..operators.components import undirected_adjacency
 
-    adj = undirected_adjacency(edges, a_col, b_col).cache()
+    # Cut lineage at entry: each step references the previous state's plan
+    # TWICE (join left + infected side), so logical plans double between
+    # checkpoints — starting from a LogicalRDD keeps that growth on a tiny
+    # base instead of the caller's full pipeline lineage (a contact-matrix
+    # caller otherwise OOMs the driver on plan trees alone).
+    adj = undirected_adjacency(edges, a_col, b_col).localCheckpoint()
 
     first = [r[0] for r in nodes.select(id_col).orderBy(id_col).limit(initial_infected).collect()]
     state = nodes.select(
         F.col(id_col),
         F.when(F.col(id_col).isin(first), I).otherwise(S).alias("state"),
-    ).cache()
+    ).localCheckpoint()
 
     rows = []
     prev_state = None
@@ -114,7 +119,7 @@ def distributed_seir(
                 .alias("state"),
             )
         )
-        if t % 5 == 4:
+        if t % 3 == 2:
             new_state = new_state.localCheckpoint()  # cut lineage growth
             state.unpersist()
         else:
