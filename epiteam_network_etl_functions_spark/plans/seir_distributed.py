@@ -71,20 +71,16 @@ def distributed_seir(
     ).localCheckpoint()
 
     rows = []
-    prev_state = None
     for t in range(t_max + 1):
-        # this aggregate MATERIALIZES the current state's cache; only then
-        # is the previous round's cache safe to drop without recompute.
         counts = {
             r["state"]: r["n"]
             for r in state.groupBy("state").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        if prev_state is not None:
-            prev_state.unpersist()
-            prev_state = None
         rows.append((t, counts.get(S, 0), counts.get(E, 0), counts.get(I, 0), counts.get(R, 0)))
         if counts.get(E, 0) == 0 and counts.get(I, 0) == 0:
             break
+        if t == t_max:
+            break  # last trajectory row recorded; don't build a discarded step
 
         infected = state.where(F.col("state") == I).select(F.col(id_col).alias("src"))
         # k = number of infected contacts -> per-contact transmission
@@ -119,12 +115,15 @@ def distributed_seir(
                 .alias("state"),
             )
         )
-        if t % 3 == 2:
-            new_state = new_state.localCheckpoint()  # cut lineage growth
-            state.unpersist()
-        else:
-            new_state = new_state.cache()
-            prev_state = state
+        # Eager localCheckpoint EVERY step: the state is materialized each
+        # step anyway (the counts aggregate), checkpointing roots each
+        # step's lineage in its own blocks — so dropping the predecessor
+        # can never invalidate a recompute path, and plans stay O(1).
+        # Fault-tolerance note for clusters: localCheckpoint blocks are
+        # non-replicated; swap for reliable checkpoint() with a checkpoint
+        # dir when executor loss must be survivable.
+        new_state = new_state.localCheckpoint()
+        state.unpersist()
         state = new_state
     adj.unpersist()
     state.unpersist()

@@ -16,11 +16,14 @@ import os
 import random
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# workers import the package by module reference when deserializing the
+# pandas UDFs — PYTHONPATH must carry the repo root to them too
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import Row
 
-from epiteam_network_etl_functions_spark.functions.hexgrid import _fallback_cell
 from epiteam_network_etl_functions_spark.plans.full_pipeline import (
     PipelineConfig,
     run_pipeline,
@@ -59,11 +62,23 @@ def main() -> None:
     spark = get_session("mobility-demo")
     rows, hoods = synthetic_pings()
     pings = spark.createDataFrame(rows)
+    # Derive the region dim's covering cells through the SAME cell backend
+    # the pipeline uses (h3 when installed, fallback grid otherwise) — a
+    # hardcoded grid string would silently mismatch real h3 indices.
+    from epiteam_network_etl_functions_spark.plans.mobility import with_cells
+
+    hood_cells = with_cells(
+        spark.createDataFrame(
+            [Row(idx=i, latitude=lat, longitude=lon) for i, (lat, lon) in enumerate(hoods)]
+        ),
+        res=15,
+        out_col="cell",
+    ).collect()
     dim = cells_to_regions_dim(
         spark.createDataFrame(
             [
-                Row(cells=[_fallback_cell(lat, lon, 15)], cve_geo=f"090120001{i:04d}")
-                for i, (lat, lon) in enumerate(hoods)
+                Row(cells=[r["cell"]], cve_geo=f"090120001{r['idx']:04d}")
+                for r in hood_cells
             ]
         )
     )

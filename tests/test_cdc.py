@@ -125,24 +125,3 @@ def test_scd2_late_update_never_inverts_interval(spark):
         if r["valid_to"] is not None:
             assert r["valid_to"] >= r["valid_from"]  # clamped, not inverted
 
-
-def test_salted_join_matches_plain_join(spark):
-    from epiteam_network_etl_functions_spark.operators.skew import (
-        salted_join_broadcast_replicate,
-    )
-    from epiteam_network_etl_functions_spark import catalog
-    from tests.conftest import PARITY_SF_DIR
-    from pyspark.sql import functions as F
-
-    e = catalog.load(spark, PARITY_SF_DIR, "events").select("event_id", "user_id")
-    dim = (
-        catalog.load(spark, PARITY_SF_DIR, "events")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    salted = salted_join_broadcast_replicate(e, dim, "user_id", buckets=8)
-    plain = e.join(dim, "user_id")
-    assert salted.count() == plain.count()
-    a = sorted((r["event_id"], r["n_events"]) for r in salted.collect())
-    b = sorted((r["event_id"], r["n_events"]) for r in plain.collect())
-    assert a == b
