@@ -45,7 +45,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if len(_LOAD_CACHE) > _LOAD_CACHE_MAX:
         _LOAD_CACHE.clear()
-    key = (id(spark.sparkContext), sf_dir, name)
+    sc = spark.sparkContext
+    # applicationId+startTime is stable for the session's lifetime and can
+    # never alias a new context the way a recycled id() could after GC.
+    key = (sc.applicationId, sc.startTime, sf_dir, name)
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached

@@ -120,7 +120,11 @@ def jaccard_verify(
     sets = (
         shingled.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_list(shingle_col).alias("__set"))
+        # collect_SET, not list: |A| must count distinct shingles even when
+        # a caller passes duplicate (id, shingle) rows — array_intersect
+        # already dedups the intersection, so a list here would overcount
+        # the union term and deflate Jaccard.
+        .agg(F.collect_set(shingle_col).alias("__set"))
     )
     sa = sets.select(F.col(id_col).alias("a_id"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("b_id"), F.col("__set").alias("__sb"))

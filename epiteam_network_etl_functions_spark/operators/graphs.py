@@ -4,9 +4,10 @@
   (operators/colocation.py); export to networkx/GraphML is a driver-side
   step over the collected edge list (SURVEY.md §1.1 "Graphs").
 - SBM sampling is distributed: candidate block-pair edges with Bernoulli
-  keeps via rand(seed) — the reference calls nx.stochastic_block_model on
-  one machine (NetworkBuilder.py:437); the DataFrame variant scales to node
-  counts networkx cannot hold.
+  keeps via a hash-derived uniform per (edge, seed) — the reference calls
+  nx.stochastic_block_model on one machine (NetworkBuilder.py:437); the
+  DataFrame variant scales to node counts networkx cannot hold and is
+  partition-layout independent.
 - Size scaling replicates size_scalers.py exactly (driver-side: the input
   is one row per block).
 """
@@ -14,6 +15,8 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from .sampling import hash_bucket
 
 try:  # pragma: no cover - optional
     import networkx as nx
@@ -79,7 +82,11 @@ def sbm_edges(
 ) -> DataFrame:
     """Distributed SBM edge sampling (F9). `probs` is the long-form matrix
     (a_block, b_block, prob). Candidate pairs = nodes × nodes (a < b), edge
-    kept iff rand(seed) < prob[block_a, block_b].
+    kept iff u(a_node, b_node, seed) < prob[block_a, block_b], where u is a
+    hash-derived uniform (operators/sampling.hash_bucket) — NOT rand(seed),
+    whose stream depends on partition layout. The sampled edge set is
+    therefore identical at any parallelism / after a task retry, making SBM
+    runs reproducible per (graph, seed) as DETERMINISM.md §7 claims.
 
     Scale note: candidate volume is n²/2 — fine to ~10⁵ nodes as a cross
     join; beyond that, draw per-block-pair edge *counts* binomially and
@@ -95,7 +102,9 @@ def sbm_edges(
     with_p = pairs.join(F.broadcast(probs), ["a_block", "b_block"], "left").withColumn(
         "prob", F.coalesce(F.col("prob"), F.lit(0.0))
     )
-    return with_p.where(F.rand(seed) < F.col("prob")).select(
+    pair_id = F.concat_ws("|", F.col("a_node").cast("string"), F.col("b_node").cast("string"))
+    u = hash_bucket(pair_id, 1_000_000, salt=f"sbm:{seed}") / F.lit(1_000_000.0)
+    return with_p.where(u < F.col("prob")).select(
         "a_node", "b_node", "a_block", "b_block"
     )
 

@@ -19,8 +19,15 @@ def salted_count(
     plain groupBy().count() — structurally immune to single-reducer
     hot spots. (For algebraic aggs Spark's map-side partial aggregation
     usually suffices; salting matters for countDistinct-style aggs where
-    partials can't combine early.)"""
-    salt = (F.rand(seed=7) * buckets).cast("int")
+    partials can't combine early.)
+
+    The salt is derived from a hash of the whole row (xxhash64 of every
+    column), not rand(seed): rand's stream depends on partition layout, so a
+    task retry or repartition would re-route rows — counts stay correct but
+    the execution is non-deterministic, violating DETERMINISM.md. Hash
+    salting is retry-stable and still spreads a hot key uniformly whenever
+    the non-key columns vary (the only case where salting helps)."""
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -39,8 +46,9 @@ def salted_join_broadcast_replicate(
     is replicated across all salt values (explode), and the join key becomes
     (key, salt) — a hot key's rows now land on `buckets` different
     reducers. Use when the small side is too big to broadcast outright but
-    cheap to replicate `buckets`×."""
-    salt = (F.rand(seed=7) * buckets).cast("int")
+    cheap to replicate `buckets`×. Salt is hash-derived (see salted_count)
+    so retries re-route rows identically."""
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(buckets)).cast("int")
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -63,8 +63,15 @@ def test_streaming_session_tracker(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    out = spark.sql("SELECT * FROM sessions_out").collect()
-    # only user 1's first session closed (the 2h gap)
-    assert len(out) == 1
-    r = out[0]
-    assert (r["user_id"], r["session_no"], r["n_events"]) == (1, 1, 3)
+    out = sorted(
+        spark.sql("SELECT * FROM sessions_out").collect(),
+        key=lambda r: (r["user_id"], r["session_no"]),
+    )
+    # user 1's first session closed by the 2h gap; user 2's idle session
+    # flushed by the event-time timeout (watermark base+3h-10m passed its
+    # last event + 1h gap). user 1's second session (base+3h) is still open:
+    # its timeout base+4h is beyond the final watermark.
+    assert [(r["user_id"], r["session_no"], r["n_events"]) for r in out] == [
+        (1, 1, 3),
+        (2, 1, 1),
+    ]

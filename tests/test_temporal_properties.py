@@ -82,3 +82,27 @@ def test_asof_matches_naive(spark, lefts, rights):
                 best = (rs, j)
         expected[i] = best[1] if best else None
     assert got == expected
+
+
+def test_asof_payload_columns_come_from_same_row(spark):
+    # Right rows with NULLs in some payload columns: all asof_* outputs must
+    # come from the single latest right row — a NULL there stays NULL, never
+    # back-filled per-column from an older row.
+    r_rows = [
+        Row(user_id=1, ts=BASE, a="a0", b="b0"),
+        Row(user_id=1, ts=BASE + dt.timedelta(seconds=10), a=None, b="b1"),
+        Row(user_id=1, ts=BASE + dt.timedelta(seconds=20), a="a2", b=None),
+    ]
+    l_rows = [
+        Row(lid=0, user_id=1, ts=BASE + dt.timedelta(seconds=15)),
+        Row(lid=1, user_id=1, ts=BASE + dt.timedelta(seconds=25)),
+    ]
+    out = asof_join_backward(
+        spark.createDataFrame(l_rows),
+        spark.createDataFrame(r_rows),
+        ["user_id"],
+        "ts",
+        ["a", "b"],
+    )
+    got = {r["lid"]: (r["asof_a"], r["asof_b"]) for r in out.collect()}
+    assert got == {0: (None, "b1"), 1: ("a2", None)}
