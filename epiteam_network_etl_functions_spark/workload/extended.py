@@ -272,18 +272,47 @@ def except_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.subtract(d2)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
 
 
-@query("approx_device_stats")  # rows-only: approximation algorithms are
-# engine-specific (HLL++ / GK-sketch), so no cross-engine value oracle.
+@query(
+    "approx_device_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS exact_devices,
+           TRUE AS devices_in_bounds,
+           TRUE AS p50_in_bounds
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_device_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variants of A1/quantiles: approx_count_distinct (HLL++)
-    and percentile_approx instead of exact distinct/sort — sublinear state,
-    one pass. Driver records the weaker rows-only check by design."""
+    and percentile_approx (GK sketch) instead of exact distinct/sort —
+    sublinear state, one pass.
+
+    Approximation values are engine-specific, so the cross-engine oracle is
+    a deterministic ERROR-BOUND recast: the Spark side computes approx AND
+    exact in the same aggregation and emits booleans asserting the approx
+    values fall inside their published bounds (HLL++ rsd 5% with +2 slack
+    for tiny groups; GK p50 within the exact p45..p55 value range). The
+    oracle emits literal TRUE plus the exact counts, so a hash match proves
+    both the exact aggregates and that every approximation met its bound."""
     prep(spark)
     e = catalog.load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_devices"),
-        F.percentile_approx("value", 0.5).alias("p50_approx"),
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_devices"),
+        F.approx_count_distinct("user_id").alias("__ad"),
+        F.percentile_approx("value", 0.5).alias("__p50a"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
+    )
+    dev_err = F.abs(F.col("__ad") - F.col("exact_devices"))
+    dev_tol = F.greatest(F.lit(2.0), F.col("exact_devices") * 0.05)
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_devices",
+        (dev_err <= dev_tol).alias("devices_in_bounds"),
+        F.col("__p50a").between(F.col("__p45"), F.col("__p55")).alias("p50_in_bounds"),
     )
 
 
