@@ -45,14 +45,18 @@ def minhash_signatures(
     instead of n — md5 dominates the signature cost at corpus scale.
     Fixed-width lowercase hex makes lexicographic MIN numeric-correct, and
     the scheme is expressible verbatim in the SQL oracle."""
-    digests = [
-        F.md5(F.concat(F.lit(f"{d}:"), F.col(shingle_col)).cast("binary"))
-        for d in range((n_hashes + HASHES_PER_MD5 - 1) // HASHES_PER_MD5)
-    ]
+    # One F.expr per output column (SQL parsed JVM-side) instead of nested
+    # Column algebra: the 16-hash build is ~8 py4j round-trips per agg as
+    # Column objects, which is measurable driver latency on wide signatures.
     aggs = []
     for i in range(n_hashes):
         d, slot = divmod(i, HASHES_PER_MD5)
-        aggs.append(F.min(F.substring(digests[d], slot * 4 + 1, 4)).alias(f"mh{i}"))
+        aggs.append(
+            F.expr(
+                f"min(substring(md5(cast(concat('{d}:', `{shingle_col}`) as binary)),"
+                f" {slot * 4 + 1}, 4))"
+            ).alias(f"mh{i}")
+        )
     return shingled.groupBy(id_col).agg(*aggs)
 
 

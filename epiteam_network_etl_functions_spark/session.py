@@ -39,7 +39,24 @@ _SCALE_CONF = {
 # (bench.py sets it from the measured input size).
 _SMALL_CONF = {
     "spark.sql.adaptive.enabled": "false",
-    "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),
+    # 4 MB: every true dimension broadcasts, but a fact-sized side of a
+    # self-join does NOT — broadcasting one presence branch both costs a
+    # broadcast job and breaks the ReuseExchange that lets one shuffle feed
+    # both sides (measured 2x slower on the co-location kernels at 100 MB).
+    "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
+    # Shuffled-hash over sort-merge: at sub-GB scale the per-partition sort
+    # costs more than the hash table build, and single-JVM memory is ample.
+    "spark.sql.join.preferSortMergeJoin": "false",
+}
+
+# Static core confs — only settable at session build time (get_session), not
+# via prep() on an externally provided session. Small-profile only: sub-GB
+# shuffles are latency-bound, so compression just adds CPU to the critical
+# path; at scale the defaults (compressed) win once shuffle hits disk/net.
+_SMALL_CORE_CONF = {
+    "spark.shuffle.compress": "false",
+    "spark.shuffle.spill.compress": "false",
+    "spark.locality.wait": "0",
 }
 
 
@@ -70,6 +87,9 @@ def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkS
     )
     for k, v in _profile_conf().items():
         builder = builder.config(k, v)
+    if os.environ.get("SPARK_GRAFT_SMALL_PROFILE") == "1":
+        for k, v in _SMALL_CORE_CONF.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

