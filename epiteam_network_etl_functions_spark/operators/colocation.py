@@ -46,7 +46,11 @@ def colocation_pairs(
     """Distinct *ordered* pairs (a_id, b_id), a != b — both directions, as the
     reference's interactions table (interaction_queries.py:21-28)."""
     p = _presence(pings, id_col, cell_col, tw_col)
-    a, b = p.alias("a"), p.alias("b")
+    # SHUFFLE_HASH hint: presence is fact-sized on BOTH sides, so the
+    # planner must never broadcast one branch (a size misestimate does
+    # exactly that at small scale) — the hint keeps the single
+    # co-partitioned exchange feeding both sides via ReuseExchange.
+    a, b = p.alias("a"), p.hint("shuffle_hash").alias("b")
     return (
         a.join(b, on=[cell_col, tw_col])
         .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
@@ -68,7 +72,7 @@ def colocation_edges(
     """Undirected weighted edges: canonicalize with LEAST/GREATEST
     (MakeEmpiricNetworks.py:85-86) and count distinct co-located buckets."""
     p = _presence(pings, id_col, cell_col, tw_col)
-    a, b = p.alias("a"), p.alias("b")
+    a, b = p.alias("a"), p.hint("shuffle_hash").alias("b")  # see colocation_pairs
     ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     return (
         a.join(b, on=[cell_col, tw_col])
