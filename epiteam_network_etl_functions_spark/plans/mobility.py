@@ -12,7 +12,7 @@ double (+ h3 cell columns added here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..constants import NIGHT_END_HOUR, NIGHT_START_HOUR, SENTINEL_AGEB_13
 from ..functions.hexgrid import cell_of, k_ring
@@ -40,10 +40,17 @@ def with_cells(
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     out_col: str = "h3index_15",
+    cell_expr: Column | None = None,
 ) -> DataFrame:
     """Attach the hex cell (F1) in one isolated projection — the pandas UDF
-    is a codegen barrier, so it runs exactly once per stage."""
-    return pings.withColumn(out_col, cell_of(lat_col, lon_col, res))
+    is a codegen barrier, so it runs exactly once per stage.
+
+    ``cell_expr`` swaps the grid system: pass a JVM Column (e.g. the
+    portable square-grid expression the oracle queries use) and the stage
+    stays inside whole-stage codegen with engine-portable semantics;
+    default None uses the h3-or-fallback pandas UDF."""
+    col = cell_expr if cell_expr is not None else cell_of(lat_col, lon_col, res)
+    return pings.withColumn(out_col, col)
 
 
 def night_pings(pings: DataFrame, ts_col: str = "cdmx_datetime") -> DataFrame:
@@ -157,6 +164,7 @@ def fact_pings_base(
     lat_col: str = "latitude",
     lon_col: str = "longitude",
     region_col: str = "cve_geo",
+    cell_expr: Column | None = None,
 ) -> DataFrame:
     """The fact-table build (FactPingsBaseGenerator.py:140-217): geo-label
     only the DISTINCT coordinates, then join the labels back to all pings
@@ -176,7 +184,10 @@ def fact_pings_base(
         pings.select(lat_col, lon_col).distinct()
     )
     located_pts = locate_pings(
-        with_cells(distinct_pts, res=res, lat_col=lat_col, lon_col=lon_col),
+        with_cells(
+            distinct_pts, res=res, lat_col=lat_col, lon_col=lon_col,
+            out_col=f"h3index_{res}", cell_expr=cell_expr,
+        ),
         cell_region_dim,
         cell_col=f"h3index_{res}",
         region_col=region_col,
@@ -200,11 +211,15 @@ def impute_kring(
     cell_col: str = "home_cell",
     region_col: str = "cve_geo",
     max_k: int = 5,
+    ring_fn=None,
 ) -> DataFrame:
     """Iterative k-ring imputation (home_ageb_imputers.py:22-118): devices
     whose home cell maps to no region get the nearest mapped neighbour cell's
     region, widening k each round; loop-with-shrinking-input, cached, early
-    exit when nothing is missing (SURVEY.md §4 'iterative loop')."""
+    exit when nothing is missing (SURVEY.md §4 'iterative loop').
+
+    ``ring_fn(cell_col, k) -> array Column`` swaps the grid system (see
+    with_cells); default None uses the h3-or-fallback k_ring pandas UDF."""
     dim = cell_region_dim
     cur = homes.join(
         F.broadcast(dim.withColumnRenamed("cell", cell_col)), cell_col, "left"
@@ -221,9 +236,8 @@ def impute_kring(
         prev_cached = missing
         if empty:
             break
-        ring = missing.select(
-            id_col, cell_col, F.explode(k_ring(cell_col, k)).alias("cell")
-        )
+        rings = (ring_fn or k_ring)(cell_col, k)
+        ring = missing.select(id_col, cell_col, F.explode(rings).alias("cell"))
         hits = ring.join(F.broadcast(dim), "cell").select(
             id_col, cell_col, F.col(region_col)
         )
@@ -281,7 +295,14 @@ def impute_neighbour_frequency(
             .join(best.select("__comp_id", F.col(home_col).alias("__fill")), "__comp_id")
             .select(id_col, "__fill")
         )
-        fill = top1_per_key(fill, [id_col], [F.asc("__fill")])
+        fill = top1_per_key(fill, [id_col], [F.asc("__fill")]).cache()
+        # Fixpoint check on FILL, not just missing: devices in all-sentinel
+        # components stay missing forever, and without this exit the loop
+        # would run every remaining round as a no-op — each one nesting the
+        # previous plan ~3x (cur feeds cur, freq and missing), which blows
+        # the analyzer's heap long before the data is large.
+        if fill.isEmpty():
+            break
         cur = (
             cur.join(fill, id_col, "left")
             .withColumn(

@@ -46,3 +46,4 @@ def load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import extended  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import pings  # noqa: F401

@@ -1,0 +1,400 @@
+"""Pings-shaped oracle coverage for the home-location plans.
+
+The driver's testdata has no pings table, so the §3.2 plan kernels
+(`plans/mobility.py`) were pytest-only in round 1. These queries close that
+gap: a pings-shaped input (caid, cdmx_datetime, latitude, longitude,
+horizontal_accuracy) is DERIVED deterministically from `events` with the
+engine-portable md5 hash-bucket (operators/sampling.hash_bucket — already
+oracle-proven by `dataset_splits`), and the real plan kernels run on it
+with a DuckDB oracle reproducing the same derivation.
+
+Grid system: the kernels take a pluggable cell expression / ring function
+(production = the h3 pandas UDF, here = the portable square grid as a pure
+JVM expression `g{res}:{floor(lat/size)}:{floor(lon/size)}`), so these
+oracles hold whether or not the h3 package is installed.
+
+Reference parity targets:
+- pings_fact_base       -> FactPingsBaseGenerator.py:140-217 (J7 dedup-joinback)
+- pings_daily_homes     -> HomeAgebGenerator.py:107-180 (night scores + confidence)
+- pings_global_home     -> IndexingHomeAgebs.py:66-89 (multi-day repo winner)
+- pings_impute_kring    -> home_ageb_imputers.py:22-118 (iterative k-ring)
+- pings_impute_neighbours -> home_ageb_imputers.py:120-206 (component frequency)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .. import catalog
+from ..constants import SENTINEL_AGEB_13
+from ..operators.winners import top1_per_key
+from ..plans.mobility import (
+    daily_home_winners,
+    fact_pings_base,
+    global_home_winner,
+    impute_kring,
+    impute_neighbour_frequency,
+    night_presence_scores,
+    with_cells,
+)
+from ..session import prep
+from . import query
+from .extended import _hash_bucket_sql
+
+RES = 9
+SIZE = 10.0 / (1 << RES)  # 0.01953125 — exact binary fraction, both engines
+
+
+def _hb_spark(expr: str, salt: str, buckets: int) -> str:
+    """Spark-SQL text of sampling.hash_bucket (DuckDB side: _hash_bucket_sql)."""
+    return (
+        f"(cast(conv(substring(md5(cast(concat('{salt}:', cast({expr} as string))"
+        f" as binary)), 1, 12), 16, 10) as bigint) % {buckets})"
+    )
+
+
+def _cell_sql(lat: str = "latitude", lon: str = "longitude") -> str:
+    """Square-grid cell id — identical text parses in Spark SQL and DuckDB.
+    The divisor is cast to double explicitly: a bare decimal literal is
+    DECIMAL in Spark SQL but DOUBLE in DuckDB, and the arithmetic must be
+    the same IEEE754 ops on both engines."""
+    size = f"cast({SIZE!r} as double)"
+    return (
+        f"concat('g{RES}:', cast(floor({lat} / {size}) as bigint), "
+        f"':', cast(floor({lon} / {size}) as bigint))"
+    )
+
+
+def _cell_expr() -> Column:
+    return F.expr(_cell_sql())
+
+
+# ---- derived pings + region dim (Spark side) --------------------------------
+
+
+def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events")
+    # doubles made explicit: bare decimal literals are DECIMAL in Spark SQL
+    # (but DOUBLE in DuckDB), and the oracle compare needs identical types.
+    return e.selectExpr(
+        "cast(user_id as string) AS caid",
+        "ts AS cdmx_datetime",
+        f"cast(19.0 as double) + ({_hb_spark('event_id', 'lat', 2000)}"
+        " / cast(2000.0 as double)) AS latitude",
+        f"cast(-99.5 as double) + ({_hb_spark('event_id', 'lon', 2000)}"
+        " / cast(2000.0 as double)) AS longitude",
+        f"cast(50 + {_hb_spark('event_id', 'acc', 150)} as double)"
+        " AS horizontal_accuracy",
+    )
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell -> 13-char cve_geo) for ~70% of realized cells; the unmapped 30%
+    exercise the sentinel and imputation paths."""
+    cells = _pings(spark, sf_dir).selectExpr(f"{_cell_sql()} AS cell").distinct()
+    return cells.where(F.expr(f"{_hb_spark('cell', 'geo', 10)} < 7")).selectExpr(
+        "cell",
+        "concat('09', "
+        f"lpad(cast({_hb_spark('cell', 'mun', 900)} as string), 3, '0'), "
+        f"lpad(cast({_hb_spark('cell', 'loc', 9000)} as string), 4, '0'), "
+        f"lpad(cast({_hb_spark('cell', 'blk', 9000)} as string), 4, '0')) AS cve_geo",
+    )
+
+
+# ---- shared DuckDB CTEs -----------------------------------------------------
+
+_PINGS_CTE = f"""
+pings AS (
+    SELECT CAST(user_id AS VARCHAR) AS caid,
+           ts AS cdmx_datetime,
+           19.0 + ({_hash_bucket_sql('event_id', 2000, 'lat')} / 2000.0) AS latitude,
+           -99.5 + ({_hash_bucket_sql('event_id', 2000, 'lon')} / 2000.0) AS longitude,
+           CAST(50 + {_hash_bucket_sql('event_id', 150, 'acc')} AS DOUBLE)
+               AS horizontal_accuracy
+    FROM events
+)
+"""
+
+_DIM_CTE = f"""
+cells AS (SELECT DISTINCT {_cell_sql()} AS cell FROM pings),
+dim AS (
+    SELECT cell,
+           concat('09',
+                  lpad(CAST({_hash_bucket_sql('cell', 900, 'mun')} AS VARCHAR), 3, '0'),
+                  lpad(CAST({_hash_bucket_sql('cell', 9000, 'loc')} AS VARCHAR), 4, '0'),
+                  lpad(CAST({_hash_bucket_sql('cell', 9000, 'blk')} AS VARCHAR), 4, '0'))
+               AS cve_geo
+    FROM cells
+    WHERE {_hash_bucket_sql('cell', 10, 'geo')} < 7
+)
+"""
+
+# all-time winner cell per device (input homes table for the imputers)
+_WINNERS_CTE = f"""
+pc AS (SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings),
+allc AS (SELECT caid, cell, count(*) AS n FROM pc GROUP BY caid, cell),
+winners AS (
+    SELECT caid, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY caid ORDER BY n DESC, cell ASC
+        ) AS rn FROM allc
+    ) WHERE rn = 1
+)
+"""
+
+
+def _home_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    allc = p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
+    return top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")]).select(
+        "caid", "cell"
+    )
+
+
+# ---- queries ----------------------------------------------------------------
+
+
+@query(
+    "pings_fact_base",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_DIM_CTE.strip()}
+    SELECT p.caid,
+           epoch_us(p.cdmx_datetime) AS ts_us,
+           round(p.latitude, 6) AS lat6,
+           round(p.longitude, 6) AS lon6,
+           CAST(p.horizontal_accuracy AS BIGINT) AS acc,
+           {_cell_sql('p.latitude', 'p.longitude')} AS cell,
+           d.cve_geo,
+           substr(d.cve_geo, 1, 5) AS cve_mun
+    FROM pings p
+    LEFT JOIN dim d ON d.cell = {_cell_sql('p.latitude', 'p.longitude')}
+    """,
+)
+def pings_fact_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact_pings_base over derived pings: geo-label DISTINCT coordinates,
+    join back on the point key (J7), cve_mun prefix — the oracle is the
+    direct join, proving dedup-joinback is semantics-preserving."""
+    out = fact_pings_base(
+        _pings(spark, sf_dir),
+        _dim(spark, sf_dir),
+        res=RES,
+        cell_expr=_cell_expr(),
+    )
+    return out.selectExpr(
+        "caid",
+        "unix_micros(cdmx_datetime) AS ts_us",
+        "round(latitude, 6) AS lat6",
+        "round(longitude, 6) AS lon6",
+        "cast(horizontal_accuracy as bigint) AS acc",
+        f"h3index_{RES} AS cell",
+        "cve_geo",
+        "cve_mun",
+    )
+
+
+@query(
+    "pings_daily_homes",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    night AS (
+        SELECT caid, cdmx_datetime, {_cell_sql()} AS cell
+        FROM pings WHERE hour(cdmx_datetime) >= 22 OR hour(cdmx_datetime) < 6
+    ),
+    org AS (SELECT min(epoch_us(cdmx_datetime)) AS o FROM night),
+    scores AS (
+        SELECT caid, cell,
+               count(DISTINCT (epoch_us(cdmx_datetime) - (SELECT o FROM org))
+                     // 600000000) AS score
+        FROM night GROUP BY caid, cell
+    ),
+    won AS (
+        SELECT caid, cell, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY score DESC, cell ASC
+            ) AS rn FROM scores
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT avg(score) AS ms FROM won)
+    SELECT caid, cell AS home_cell, score,
+           CASE WHEN score >= (SELECT ms FROM m) THEN 'high' ELSE 'low' END
+               AS confidence
+    FROM won
+    """,
+)
+def pings_daily_homes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """night_presence_scores + daily_home_winners: distinct night buckets per
+    (device, cell), argmax cell, confidence vs the global mean score
+    (HomeAgebGenerator.py:107-180)."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    scores = night_presence_scores(p, cell_col="cell")
+    return daily_home_winners(scores, cell_col="cell")
+
+
+@query(
+    "pings_global_home",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_DIM_CTE.strip()},
+    pc AS (
+        SELECT caid, CAST(cdmx_datetime AS DATE) AS day, {_cell_sql()} AS cell
+        FROM pings
+    ),
+    daily AS (SELECT caid, day, cell, count(*) AS score FROM pc GROUP BY caid, day, cell),
+    dwin AS (
+        SELECT caid, day, cell, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid, day ORDER BY score DESC, cell ASC
+            ) AS rn FROM daily
+        ) WHERE rn = 1
+    ),
+    repo AS (
+        SELECT w.caid, coalesce(d.cve_geo, '{SENTINEL_AGEB_13}') AS home_ageb, w.score
+        FROM dwin w LEFT JOIN dim d USING (cell)
+    )
+    SELECT caid, home_ageb, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY caid
+            ORDER BY length(home_ageb) DESC, score DESC, home_ageb ASC
+        ) AS rn FROM repo
+    ) WHERE rn = 1
+    """,
+)
+def pings_global_home(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily winners per (device, day) -> multi-day repository with sentinel
+    fill -> global winner by (len DESC, score DESC, code ASC)
+    (IndexingHomeAgebs.py:66-89)."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    daily = p.groupBy(
+        "caid", F.to_date("cdmx_datetime").alias("day"), "cell"
+    ).agg(F.count(F.lit(1)).alias("score"))
+    dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
+    repo = (
+        dwin.join(_dim(spark, sf_dir), "cell", "left")
+        .select(
+            "caid",
+            F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
+            "score",
+        )
+    )
+    return global_home_winner(repo)
+
+
+def _ring_fn(cell_col: str, k: int) -> Column:
+    """Portable square-grid k-ring: all cells within Chebyshev distance k,
+    as one parsed JVM array expression (matches hexgrid's fallback ring)."""
+    i = f"cast(split_part({cell_col}, ':', 2) as bigint)"
+    j = f"cast(split_part({cell_col}, ':', 3) as bigint)"
+    items = ", ".join(
+        f"concat('g{RES}:', cast({i} + {di} as string), ':', cast({j} + {dj} as string))"
+        for di in range(-k, k + 1)
+        for dj in range(-k, k + 1)
+    )
+    return F.expr(f"array({items})")
+
+
+@query(
+    "pings_impute_kring",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_DIM_CTE.strip()},
+    {_WINNERS_CTE.strip()},
+    cand AS (
+        SELECT h.caid, h.home_cell, d.cve_geo,
+               greatest(abs(a.di), abs(b.dj)) AS cheb
+        FROM (SELECT caid, cell AS home_cell FROM winners) h
+        CROSS JOIN (SELECT range AS di FROM range(-5, 6)) a
+        CROSS JOIN (SELECT range AS dj FROM range(-5, 6)) b
+        JOIN dim d ON d.cell = concat('g{RES}:',
+            CAST(CAST(split_part(h.home_cell, ':', 2) AS BIGINT) + a.di AS VARCHAR),
+            ':',
+            CAST(CAST(split_part(h.home_cell, ':', 3) AS BIGINT) + b.dj AS VARCHAR))
+    ),
+    pick AS (
+        SELECT caid, cve_geo FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY cheb ASC, cve_geo ASC
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT w.caid, w.cell AS home_cell, p.cve_geo
+    FROM winners w LEFT JOIN pick p USING (caid)
+    """,
+)
+def pings_impute_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """impute_kring over the all-time winner cells: unmapped homes take the
+    minimum region among mapped cells at the smallest Chebyshev ring k <= 5
+    (home_ageb_imputers.py:22-118). The oracle collapses the widening loop
+    into 'min region at min ring distance' — provably the loop's fixpoint,
+    because the first non-empty ring k contains exactly the cells at
+    distance min_dist."""
+    homes = _home_winners(spark, sf_dir).withColumnRenamed("cell", "home_cell")
+    out = impute_kring(
+        homes,
+        _dim(spark, sf_dir),
+        cell_col="home_cell",
+        max_k=5,
+        ring_fn=_ring_fn,
+    )
+    return out.select("caid", "home_cell", "cve_geo")
+
+
+@query(
+    "pings_impute_neighbours",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_DIM_CTE.strip()},
+    {_WINNERS_CTE.strip()},
+    homes AS (
+        SELECT w.caid, coalesce(d.cve_geo, '{SENTINEL_AGEB_13}') AS home_ageb
+        FROM winners w LEFT JOIN dim d USING (cell)
+    ),
+    comp AS (
+        SELECT caid, {_hash_bucket_sql('caid', 30, 'comp')} AS cb
+        FROM (SELECT DISTINCT caid FROM pings)
+    ),
+    freq AS (
+        SELECT c.cb, h.home_ageb, count(*) AS n
+        FROM homes h JOIN comp c USING (caid)
+        WHERE h.home_ageb <> '{SENTINEL_AGEB_13}'
+        GROUP BY c.cb, h.home_ageb
+    ),
+    best AS (
+        SELECT cb, home_ageb AS fill FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cb ORDER BY n DESC, home_ageb ASC
+            ) AS rn FROM freq
+        ) WHERE rn = 1
+    )
+    SELECT h.caid,
+           CASE WHEN h.home_ageb = '{SENTINEL_AGEB_13}' AND b.fill IS NOT NULL
+                THEN b.fill ELSE h.home_ageb END AS home_ageb
+    FROM homes h
+    JOIN comp c USING (caid)
+    LEFT JOIN best b ON b.cb = c.cb
+    """,
+)
+def pings_impute_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """impute_neighbour_frequency: sentinel homes inherit the most frequent
+    non-sentinel home in their connected component
+    (home_ageb_imputers.py:120-206). Components derive from a deterministic
+    hash partition of the device population; the oracle is the one-round
+    closed form (round 1 fills every fillable device, later rounds are
+    no-ops, so the loop's fixpoint equals the single-round result)."""
+    homes = (
+        _home_winners(spark, sf_dir)
+        .join(_dim(spark, sf_dir), "cell", "left")
+        .select(
+            "caid",
+            F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
+        )
+    )
+    members = _pings(spark, sf_dir).select("caid").distinct()
+    components = (
+        members.withColumn("cb", F.expr(f"{_hb_spark('caid', 'comp', 30)}"))
+        .groupBy("cb")
+        .agg(F.array_sort(F.collect_set("caid")).alias("connected_component"))
+        .select("connected_component")
+    )
+    return impute_neighbour_frequency(homes, components)
