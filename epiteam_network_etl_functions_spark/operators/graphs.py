@@ -110,9 +110,10 @@ def sbm_edges(
 
 
 def to_networkx(edges: DataFrame, a_col: str = "a_node", b_col: str = "b_node"):
-    """Driver-side graph materialization for GraphML export (S12). Collects
+    """Driver-side graph materialization (optional convenience). Collects
     the edge list — only for graphs that fit the driver (the reference's
-    10⁴-node regime)."""
+    10⁴-node regime). GraphML export does NOT go through here — see
+    ``write_graphml``, which emits the XML directly."""
     if not HAVE_NETWORKX:
         raise NotImplementedError("networkx not available in this container")
     g = nx.Graph()
@@ -120,3 +121,106 @@ def to_networkx(edges: DataFrame, a_col: str = "a_node", b_col: str = "b_node"):
         (r[a_col], r[b_col]) for r in edges.select(a_col, b_col).toLocalIterator()
     )
     return g
+
+
+_GRAPHML_TYPES = {
+    "string": "string",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "bigint": "long",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def write_graphml(
+    path: str,
+    edges: DataFrame,
+    a_col: str = "a_node",
+    b_col: str = "b_node",
+    nodes: DataFrame | None = None,
+    id_col: str = "node_id",
+    attr_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """GraphML sink (S12) — emits the XML directly, no networkx required.
+
+    Matches the reference's export shape (MakeEmpiricNetworks.py:108-126):
+    an undirected graph from the edge list, plus isolated nodes and node
+    attributes (caid/home_ageb there) taken from an optional ``nodes``
+    table. Output parses with networkx's ``read_graphml`` (same xmlns,
+    ``<key>`` declarations inferred from the Spark schema).
+
+    Driver-side by design — GraphML is a single XML document, so this is
+    for the reference's 10⁴-node regime (node attrs stream partition-at-a-
+    time; the edge list is held once to declare endpoint-only nodes before
+    the edges that reference them). Returns ``{"nodes": n, "edges": m}``.
+    """
+    from xml.sax.saxutils import escape, quoteattr
+
+    attr_cols = list(attr_cols or [])
+    keys: list[tuple[str, str, str]] = []  # (key_id, attr_name, graphml_type)
+    if nodes is not None:
+        schema = {f.name: f.dataType.simpleString() for f in nodes.schema.fields}
+        for i, c in enumerate(attr_cols):
+            keys.append((f"d{i}", c, _GRAPHML_TYPES.get(schema.get(c, "string"), "string")))
+
+    node_ids: set[str] = set()
+    with open(path, "w", encoding="utf-8") as out:
+        out.write("<?xml version='1.0' encoding='utf-8'?>\n")
+        out.write(
+            '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"'
+            ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"'
+            ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
+            ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">\n'
+        )
+        for key_id, name, gtype in keys:
+            out.write(
+                f'  <key id="{key_id}" for="node" attr.name={quoteattr(name)}'
+                f' attr.type="{gtype}" />\n'
+            )
+        out.write('  <graph edgedefault="undirected">\n')
+
+        def emit_node(nid: str, attrs: list[tuple[str, object]]) -> None:
+            if attrs:
+                out.write(f"    <node id={quoteattr(nid)}>\n")
+                for key_id, val in attrs:
+                    out.write(
+                        f'      <data key="{key_id}">{escape(str(val))}</data>\n'
+                    )
+                out.write("    </node>\n")
+            else:
+                out.write(f"    <node id={quoteattr(nid)} />\n")
+
+        if nodes is not None:
+            for r in nodes.select(id_col, *attr_cols).toLocalIterator():
+                nid = str(r[id_col])
+                node_ids.add(nid)
+                emit_node(
+                    nid,
+                    [
+                        (keys[i][0], r[c])
+                        for i, c in enumerate(attr_cols)
+                        if r[c] is not None
+                    ],
+                )
+
+        n_edges = 0
+        endpoint_only: set[str] = set()
+        edge_rows = list(edges.select(a_col, b_col).toLocalIterator())
+        for r in edge_rows:  # nodes must be declared before edges reference them
+            for v in (str(r[a_col]), str(r[b_col])):
+                if v not in node_ids and v not in endpoint_only:
+                    endpoint_only.add(v)
+                    emit_node(v, [])
+        for r in edge_rows:
+            out.write(
+                f"    <edge source={quoteattr(str(r[a_col]))}"
+                f" target={quoteattr(str(r[b_col]))} />\n"
+            )
+            n_edges += 1
+        out.write("  </graph>\n</graphml>\n")
+    return {"nodes": len(node_ids | endpoint_only), "edges": n_edges}
