@@ -4,8 +4,10 @@
 Prints exactly ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute) with a driver-side collect,
-matching how the DuckDB baseline is measured. Heavier queries dominate; the
+Each query is timed end-to-end (optimize + execute) as `df.count()` — the
+same count-wrapping protocol the DuckDB re-timing uses on its side, so both
+engines pay plan + execution but neither pays result-serialization to the
+Python driver. Heavier queries dominate; the
 set covers the flagship co-location join, the contact-matrix pipeline, the
 TPC-H shapes, and the dedup/similarity extensions as they land.
 """

@@ -18,14 +18,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from .sampling import hash_bucket
 
-try:  # pragma: no cover - optional
-    import networkx as nx
-
-    HAVE_NETWORKX = True
-except Exception:
-    nx = None
-    HAVE_NETWORKX = False
-
 
 def scale_sizes(sizes: dict[str, int], target_n: int) -> dict[str, int]:
     """Scale block sizes to sum to ``target_n`` (size_scalers.py:377-412):
@@ -113,9 +105,9 @@ def to_networkx(edges: DataFrame, a_col: str = "a_node", b_col: str = "b_node"):
     """Driver-side graph materialization (optional convenience). Collects
     the edge list — only for graphs that fit the driver (the reference's
     10⁴-node regime). GraphML export does NOT go through here — see
-    ``write_graphml``, which emits the XML directly."""
-    if not HAVE_NETWORKX:
-        raise NotImplementedError("networkx not available in this container")
+    ``write_graphml``, which emits the XML directly and needs no networkx."""
+    import networkx as nx  # driver-side convenience; ImportError if absent
+
     g = nx.Graph()
     g.add_edges_from(
         (r[a_col], r[b_col]) for r in edges.select(a_col, b_col).toLocalIterator()
@@ -154,10 +146,11 @@ def write_graphml(
     table. Output parses with networkx's ``read_graphml`` (same xmlns,
     ``<key>`` declarations inferred from the Spark schema).
 
-    Driver-side by design — GraphML is a single XML document, so this is
-    for the reference's 10⁴-node regime (node attrs stream partition-at-a-
-    time; the edge list is held once to declare endpoint-only nodes before
-    the edges that reference them). Returns ``{"nodes": n, "edges": m}``.
+    Driver-side by design — GraphML is a single XML document. Both node
+    attrs and edges stream partition-at-a-time (two passes over the edge
+    list: one to declare endpoint-only nodes before any edge references
+    them, one to emit the edges); driver memory is bounded by the node-id
+    set, never by the edge count. Returns ``{"nodes": n, "edges": m}``.
     """
     from xml.sax.saxutils import escape, quoteattr
 
@@ -210,17 +203,22 @@ def write_graphml(
 
         n_edges = 0
         endpoint_only: set[str] = set()
-        edge_rows = list(edges.select(a_col, b_col).toLocalIterator())
-        for r in edge_rows:  # nodes must be declared before edges reference them
+        edge_list = edges.select(a_col, b_col)
+        # Nodes must be declared before edges reference them — pass 1 streams
+        # the edge list for endpoint-only node declarations, pass 2 re-streams
+        # it for the edges themselves. Cache so the plan runs once.
+        edge_list.persist()
+        for r in edge_list.toLocalIterator():
             for v in (str(r[a_col]), str(r[b_col])):
                 if v not in node_ids and v not in endpoint_only:
                     endpoint_only.add(v)
                     emit_node(v, [])
-        for r in edge_rows:
+        for r in edge_list.toLocalIterator():
             out.write(
                 f"    <edge source={quoteattr(str(r[a_col]))}"
                 f" target={quoteattr(str(r[b_col]))} />\n"
             )
             n_edges += 1
         out.write("  </graph>\n</graphml>\n")
+    edge_list.unpersist()
     return {"nodes": len(node_ids | endpoint_only), "edges": n_edges}

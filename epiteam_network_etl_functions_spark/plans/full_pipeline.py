@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.colocation import colocation_edges, colocation_pairs
+from ..operators.components import components_as_arrays, connected_components_star
 from ..operators.graphs import sample_nodes, sbm_edges, scale_sizes
 from ..operators.timebucket import with_time_bucket
 from .contact_matrix import contact_prob_table
@@ -27,6 +28,7 @@ from .mobility import (
     attach_home,
     daily_home_winners,
     extract_day,
+    impute_neighbour_frequency,
     locate_pings,
     night_presence_scores,
     with_cells,
@@ -47,6 +49,9 @@ class PipelineConfig:
     seir_t_max: int = 60
     seed: int = 3696
     checkpoint_dir: str | None = None
+    # neighbour-frequency imputation rounds over the co-location graph
+    # (home_ageb_imputers.py:120-206 runs 6; 0 disables the stage)
+    impute_rounds: int = 6
 
 
 @dataclass
@@ -106,6 +111,22 @@ def run_pipeline(
     interactions = colocation_edges(
         bucketed, id_col="caid", cell_col="h3index_15", tw_col="tw"
     )
+
+    if cfg.impute_rounds > 0:
+        # Sentinel homes inherit the modal home of their co-location
+        # component (home_ageb_imputers.py:120-206). Components come from
+        # the O(log n)-round large-star/small-star kernel — the min-label
+        # variant's O(diameter) rounds would be the pipeline's ceiling on
+        # a high-diameter contact graph.
+        comp_labels = connected_components_star(
+            interactions, a_col="a_caid", b_col="b_caid"
+        )
+        homes = impute_neighbour_frequency(
+            homes,
+            components_as_arrays(comp_labels),
+            rounds=cfg.impute_rounds,
+        )
+        with_home = attach_home(located, homes.select("caid", "home_ageb"))
 
     probs = contact_prob_table(
         with_home.drop("home_ageb"),

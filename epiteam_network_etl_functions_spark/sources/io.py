@@ -81,6 +81,42 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_matrix_npy(path: str, matrix) -> None:
+    """Text-matrix sink (S13): the reference persists the dense AGEB×AGEB
+    matrices with ``np.savetxt(...npy)`` (NetworkBuilder.py:305,315,323 —
+    text format despite the .npy suffix; kept bug-for-bug so files
+    interchange). Driver-side by design: the matrix is n_blocks², produced
+    by plans/contact_matrix.probs_to_matrix after the distributed pivot."""
+    import numpy as np
+
+    np.savetxt(path, matrix)
+
+
+def read_matrix_npy(path: str):
+    """Read back a ``write_matrix_npy`` text matrix (np.loadtxt)."""
+    import numpy as np
+
+    return np.loadtxt(path)
+
+
+def write_pickle(path: str, obj) -> None:
+    """Pickle sink (S13): raw simulation results and context objects
+    (SimulationManager.py:239-240, seir_utils.py:96-110). Driver-side —
+    for the small per-run artifacts, never for table data."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def read_pickle(path: str):
+    """Read back a ``write_pickle`` artifact."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def checkpoint(df: DataFrame, path: str) -> DataFrame:
     """Materialize a stage to parquet and re-read it (the reference's
     restartable-pipeline idiom, NetworkBuilder.py:120,151,209,260). Cuts

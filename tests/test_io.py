@@ -71,3 +71,29 @@ def test_read_days_prunes(spark, events, tmp_path):
     assert got.count() == expected.count()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-03" in plan
+
+
+def test_matrix_and_pickle_sinks(tmp_path):
+    """S13: text-matrix (np.savetxt .npy) + pickle round-trips."""
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.sources.io import (
+        read_matrix_npy,
+        read_pickle,
+        write_matrix_npy,
+        write_pickle,
+    )
+
+    m = np.array([[0.0, 0.25], [0.5, 1.0]])
+    mp = str(tmp_path / "probs_matrix.npy")
+    write_matrix_npy(mp, m)
+    # reference writes TEXT via savetxt despite the .npy suffix — parse as text
+    assert np.allclose(read_matrix_npy(mp), m)
+    with open(mp) as f:
+        first = f.readline()
+    assert "e" in first and " " in first  # savetxt text rows, as NetworkBuilder emits
+
+    obj = {"seed": 7, "trajectory": [(0, 199, 0, 1, 0)]}
+    pp = str(tmp_path / "SIM_SEED_7_raw_result.pkl")
+    write_pickle(pp, obj)
+    assert read_pickle(pp) == obj
