@@ -19,6 +19,8 @@ Reference parity targets:
 - pings_global_home     -> IndexingHomeAgebs.py:66-89 (multi-day repo winner)
 - pings_impute_kring    -> home_ageb_imputers.py:22-118 (iterative k-ring)
 - pings_impute_neighbours -> home_ageb_imputers.py:120-206 (component frequency)
+- pings_device_rg       -> RadiusOfGyrationHandler.py:134-279 (grid-hop RG)
+- pings_interactions    -> interaction_queries.py:7-29 (the §3.2 interactions table)
 """
 
 from __future__ import annotations
@@ -28,6 +30,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from .. import catalog
 from ..constants import SENTINEL_AGEB_13
 from ..operators.winners import top1_per_key
+from ..operators.colocation import colocation_pairs
+from ..operators.timebucket import with_time_bucket
+from ..plans.gyration import device_rg
 from ..plans.mobility import (
     daily_home_winners,
     fact_pings_base,
@@ -398,3 +403,100 @@ def pings_impute_neighbours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("connected_component")
     )
     return impute_neighbour_frequency(homes, components)
+
+
+@query(
+    "pings_device_rg",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (SELECT caid, {_cell_sql()} AS cell FROM pings),
+    visits AS (SELECT caid, cell, count(*) AS n FROM pc GROUP BY caid, cell),
+    center AS (
+        SELECT caid, cell AS c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY n DESC, cell ASC
+            ) AS rn FROM visits
+        ) WHERE rn = 1
+    ),
+    d AS (
+        SELECT v.caid, v.n,
+               greatest(
+                   abs(CAST(split_part(v.cell, ':', 2) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 2) AS BIGINT)),
+                   abs(CAST(split_part(v.cell, ':', 3) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 3) AS BIGINT))) AS d
+        FROM visits v JOIN center c USING (caid)
+    )
+    SELECT caid,
+           round(sqrt(sum(n * d * d) / sum(n)), 6) AS rg,
+           count(*) AS n_cells
+    FROM d GROUP BY caid
+    """,
+)
+def pings_device_rg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """plans/gyration.device_rg over derived pings: visit-weighted RG in
+    grid hops from the most-visited cell, squared-diff per the handler
+    (RadiusOfGyrationHandler.py:134-279; SURVEY §7 squared-vs-abs decision
+    documented in plans/gyration.py). The grid-distance pandas UDF runs on
+    the square grid (Chebyshev hops), which the oracle reproduces in closed
+    form; every addend is an integer-valued double, so the float sums are
+    exact on both engines."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    return device_rg(p, id_col="caid", cell_col="cell")
+
+
+def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time winner cell -> region, sentinel-filled (the interactions
+    table's home_ageb input, IndexingHomeAgebs.py:112-132 shape)."""
+    return (
+        _home_winners(spark, sf_dir)
+        .join(_dim(spark, sf_dir), "cell", "left")
+        .select(
+            "caid",
+            F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
+        )
+    )
+
+
+@query(
+    "pings_interactions",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_DIM_CTE.strip()},
+    {_WINNERS_CTE.strip()},
+    homes AS (
+        SELECT w.caid, coalesce(d.cve_geo, '{SENTINEL_AGEB_13}') AS home_ageb
+        FROM winners w LEFT JOIN dim d USING (cell)
+    ),
+    org AS (SELECT min(epoch_us(cdmx_datetime)) AS o FROM pings),
+    pb AS (
+        SELECT caid, {_cell_sql()} AS cell,
+               (epoch_us(cdmx_datetime) - (SELECT o FROM org)) // 600000000 AS tw
+        FROM pings
+    )
+    SELECT DISTINCT a.caid AS a_caid, ah.home_ageb AS a_home_ageb,
+           b.caid AS b_caid, bh.home_ageb AS b_home_ageb
+    FROM pb a
+    JOIN pb b ON a.cell = b.cell AND a.tw = b.tw
+    JOIN homes ah ON ah.caid = a.caid
+    JOIN homes bh ON bh.caid = b.caid
+    WHERE a.caid <> b.caid
+    """,
+)
+def pings_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 interactions table (interaction_queries.py:7-29): origin-
+    anchored 600 s buckets over the whole pings table, co-location self-join
+    on (cell, tw), DISTINCT ordered pairs, each endpoint labelled with its
+    home AGEB. Runs the real kernels (with_time_bucket + colocation_pairs);
+    home_ageb is functionally dependent on caid, so attaching homes after
+    the pair dedup is equivalent to the reference's pre-join attach — and
+    keeps the wide shuffle on the narrow (id, cell, tw) presence."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    b = with_time_bucket(p, "cdmx_datetime", 600)
+    pairs = colocation_pairs(b, id_col="caid", cell_col="cell", tw_col="tw")
+    homes = _homes(spark, sf_dir)
+    ah = homes.selectExpr("caid AS a_caid", "home_ageb AS a_home_ageb")
+    bh = homes.selectExpr("caid AS b_caid", "home_ageb AS b_home_ageb")
+    return pairs.join(ah, "a_caid").join(bh, "b_caid").select(
+        "a_caid", "a_home_ageb", "b_caid", "b_home_ageb"
+    )
