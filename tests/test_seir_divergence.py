@@ -1,26 +1,42 @@
-"""Quantified divergence between the two SEIR variants (VERDICT r1 #6).
+"""Quantified divergence between the three SEIR variants (VERDICT r1 #6,
+r2 #2).
 
 The reference runs continuous-time Gillespie (EoN.Gillespie_simple_contagion,
-seir_utils.py:75-82); both repo variants are discrete-time (documented in
-DETERMINISM.md §8). This test locks the two *repo* variants to each other:
-`operators.seir.seir_discrete` (per-edge Bernoulli draws, numpy RNG) and
-`plans.seir_distributed.distributed_seir` (per-node 1-(1-beta)^k, hash
-uniforms) share identical step dynamics in distribution, so their epidemic
-size and peak-time distributions must agree within sampling noise.
+seir_utils.py:75-82). The repo now has all three shapes:
 
-Calibration on this exact graph/params (100 discrete + 8 distributed runs):
-mean final size 0.9953 (sd 0.0057) vs 0.9912 (sd 0.0074); mean peak time
-13.0 (sd 2.0) vs 14.3 (sd 1.8). Tolerances below are ~5 sd of the test's
-4-run distributed mean — a real dynamics regression (e.g. beta applied once
-instead of per contact, a state transition skipped) moves final size or
-peak time far beyond them.
+- `operators.seir.seir_gillespie` — continuous-time direct-method Gillespie,
+  the reference's semantics (rates, exponential event times);
+- `operators.seir.seir_discrete` — discrete-time, per-edge Bernoulli draws
+  (numpy RNG);
+- `plans.seir_distributed.distributed_seir` — discrete-time, per-node
+  1-(1-beta)^k (hash uniforms, cluster-distributed).
+
+The two discrete variants share identical step dynamics in distribution;
+the Gillespie variant matches them when per-step probabilities p convert to
+rates as r = -ln(1-p) (the exact discretization correspondence). Residual
+divergence is the transmit-vs-recover race: discrete applies exposure
+before same-step recovery, so P(transmit) = beta(1-... ) slightly exceeds
+the continuous b/(b+g) — visible as ~0.01 higher final size and ~1 step
+later peak.
+
+Calibration on this exact graph/params (40 runs each): discrete final size
+0.9932 (sd 0.0066) peak 13.2 (sd 2.1); Gillespie (converted rates) 0.9818
+(sd 0.0112) peak 11.9 (sd 2.2); distributed (8 runs) 0.9912 (sd 0.0074)
+peak 14.3 (sd 1.8). Tolerances below are ~5 sd of the smallest-sample
+mean — a real dynamics regression (beta applied once instead of per
+contact, a skipped transition, rates used as probabilities) moves final
+size or peak time far beyond them.
 """
 
 from __future__ import annotations
 
+import math
 import statistics as st
 
-from epiteam_network_etl_functions_spark.operators.seir import seir_discrete
+from epiteam_network_etl_functions_spark.operators.seir import (
+    seir_discrete,
+    seir_gillespie,
+)
 from epiteam_network_etl_functions_spark.plans.seir_distributed import (
     distributed_seir,
 )
@@ -62,3 +78,65 @@ def test_discrete_and_distributed_seir_agree(spark):
     assert abs(st.mean(sizes_d) - st.mean(sizes_x)) < 0.05
     # peak of the infected curve lands in the same window
     assert abs(st.mean(peaks_d) - st.mean(peaks_x)) <= 5
+
+
+def test_gillespie_matches_discrete_distributions():
+    """Continuous-time Gillespie (reference semantics) vs discrete-time,
+    with per-step probabilities converted to rates via r = -ln(1-p)."""
+    rates = {k: -math.log(1.0 - PARAMS[k]) for k in ("beta", "sigma", "gamma")}
+    sizes_g, peaks_g = [], []
+    for seed in range(40):
+        traj = seir_gillespie(
+            N, EDGES, seed=seed, t_max=80.0, initial_infected=5, **rates
+        )
+        s, p = _final_size_and_peak(traj)
+        sizes_g.append(s)
+        peaks_g.append(p)
+
+    sizes_d, peaks_d = [], []
+    for seed in range(40):
+        rows = seir_discrete(N, EDGES, seed=seed, **PARAMS)
+        s, p = _final_size_and_peak(rows)
+        sizes_d.append(s)
+        peaks_d.append(p)
+
+    assert st.mean(sizes_g) > 0.9
+    assert abs(st.mean(sizes_g) - st.mean(sizes_d)) < 0.04
+    assert abs(st.mean(peaks_g) - st.mean(peaks_d)) <= 5
+
+
+def test_gillespie_invariants():
+    """Per-event state conservation and monotonicity: S never increases,
+    R never decreases, S+E+I+R is constant, event times strictly increase."""
+    traj = seir_gillespie(
+        N, EDGES, seed=3, t_max=80.0, initial_infected=5,
+        beta=0.36, sigma=0.69, gamma=0.36,
+    )
+    assert traj[0] == (0.0, N - 5, 0, 5, 0)
+    for (t0, s0, e0, i0, r0), (t1, s1, e1, i1, r1) in zip(traj, traj[1:]):
+        assert t1 > t0
+        assert s1 <= s0
+        assert r1 >= r0
+        assert s1 + e1 + i1 + r1 == N
+    # same seed -> identical event sequence
+    assert traj == seir_gillespie(
+        N, EDGES, seed=3, t_max=80.0, initial_infected=5,
+        beta=0.36, sigma=0.69, gamma=0.36,
+    )
+
+
+def test_gillespie_sweep_distributed(spark):
+    """Seed fan-out via parallelize (the reference's 100-seed mp.Pool) —
+    weighted with funcion_preparadora-shaped node/edge multipliers."""
+    from epiteam_network_etl_functions_spark.operators.seir import (
+        run_gillespie_sweep,
+    )
+
+    df = run_gillespie_sweep(
+        spark, N, EDGES, seeds=[0, 1, 2], weighted=True,
+        beta=0.36, sigma=0.69, gamma=0.36, t_max=40.0, initial_infected=5,
+    )
+    rows = df.collect()
+    assert {r["seed"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r["S"] + r["E"] + r["I"] + r["R"] == N
