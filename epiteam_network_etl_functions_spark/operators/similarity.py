@@ -71,6 +71,34 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_lit(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str,
+    vec_col: str,
+    exclude_id=None,
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a *known* query vector, embedded as
+    an array literal in the plan. Same scores as :func:`cosine_topk` (the
+    fold order over the zipped products is identical), but the plan is a
+    single corpus pass + TakeOrdered — no join, no broadcast build, no
+    second job. This is the steady-state shape of a repeated point lookup:
+    resolve the query row once when the plan is built, not per execution."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    corpus_d = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
+    )
+    if exclude_id is not None:
+        corpus_d = corpus_d.where(F.col(id_col) != F.lit(exclude_id))
+    scored = corpus_d.select(
+        id_col,
+        F.round(cosine(F.col("__vec"), qlit), digits).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     seeds: DataFrame,

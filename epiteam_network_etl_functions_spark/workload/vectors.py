@@ -9,6 +9,7 @@ from .. import catalog
 from ..operators.similarity import (
     as_double,
     cosine_topk,
+    cosine_topk_lit,
     ivf_assign,
     ivf_probe_topk,
     l2_norm,
@@ -97,11 +98,20 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{K} for a fixed query vector: broadcast query,
-    single corpus pass, TakeOrdered cut (no corpus shuffle)."""
+    """Brute-force cosine top-{K} for a fixed query vector. The query row is
+    resolved once at plan-build time and embedded as an array literal
+    (cosine_topk_lit), so every execution is one corpus pass + TakeOrdered —
+    no per-run broadcast-build job. Scores are identical to the join form:
+    same fold order, same rounding."""
     e = _emb(spark, sf_dir)
-    q = e.where(F.col("vec_id") == QUERY_VEC_ID)
-    return cosine_topk(e, q, "vec_id", "embedding", k=K)
+    qvec = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .head()[0]
+    )
+    return cosine_topk_lit(
+        e, qvec, "vec_id", "embedding", exclude_id=QUERY_VEC_ID, k=K
+    )
 
 
 PROBE_VEC_ID = 42
