@@ -57,14 +57,22 @@ def scale_sizes(sizes: dict[str, int], target_n: int) -> dict[str, int]:
 def sample_nodes(scaled: dict[str, int], spark) -> DataFrame:
     """Node table (node_id, block) realizing the scaled sizes — the
     np.random.choice weighted draw (NetworkBuilder.py:374-381) made
-    deterministic: blocks in sorted order, contiguous id ranges."""
+    deterministic: blocks in sorted order, contiguous id ranges.
+
+    Partition count is sized to the node count, not the session default:
+    the table feeds an n² cross join whose partitioning is the *product*
+    of both sides' (32 slices of a 200-row table → 1024 near-empty
+    cartesian tasks). ~2k nodes per slice keeps the product sane at every
+    scale."""
     rows = []
     nid = 0
     for b in sorted(scaled):
         for _ in range(scaled[b]):
             rows.append((nid, b))
             nid += 1
-    return spark.createDataFrame(rows, ["node_id", "block"])
+    slices = max(1, min(32, len(rows) // 2000))
+    rdd = spark.sparkContext.parallelize(rows, slices)
+    return spark.createDataFrame(rdd, ["node_id", "block"])
 
 
 def sbm_edges(

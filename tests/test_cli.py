@@ -1,0 +1,78 @@
+"""CLI driver smoke: the staged NetworkBuilder-shaped entry point
+(cli.py) runs end-to-end on the sf0.001 demo derivation and leaves the
+reference's side_results-shaped IR behind."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from epiteam_network_etl_functions_spark import cli
+from conftest import PARITY_SF_DIR
+
+
+def _args(out: str, extra: list[str] | None = None):
+    return cli.build_parser().parse_args(
+        [
+            "all",
+            "--sf-dir",
+            PARITY_SF_DIR,
+            "--out",
+            out,
+            "--bucket-seconds",
+            "86400",
+            "--impute-rounds",
+            "2",
+            "--scale",
+            "120",
+            "--seeds",
+            "2",
+            "--t-max",
+            "10",
+        ]
+        + (extra or [])
+    )
+
+
+def test_cli_stages_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+    args = _args(out)
+
+    tables = cli.gen_tables(spark, args)
+    homes = tables["homes"]
+    assert set(homes.columns) >= {"caid", "home_ageb"}
+    assert homes.count() > 0
+    for name in ("homes.parquet", "interactions.parquet", "located.parquet"):
+        assert os.path.exists(os.path.join(out, name))
+
+    probs = cli.prob_matrix(spark, args, tables)
+    assert set(probs.columns) == {
+        "a_home_ageb", "b_home_ageb", "total_pairs", "observed", "prob"
+    }
+    labels = json.load(open(os.path.join(out, "probs_labels.json")))
+    assert len(labels) > 0
+    assert os.path.exists(os.path.join(out, "probs_matrix.npy"))
+
+    nodes, edges = cli.build_network(spark, args, tables, probs)
+    assert nodes.count() == 120  # scale honored exactly (sizes sum assert)
+    assert os.path.exists(os.path.join(out, "network.graphml"))
+
+    cli.seir_sweep(spark, args, nodes, edges)
+    traj = os.path.join(out, "seir_trajectories.csv")
+    assert os.path.exists(traj)
+    with open(traj) as f:
+        header = f.readline().strip()
+    assert header == "seed,t,S,E,I,R"
+    assert os.path.exists(os.path.join(out, "seir_results.pickle"))
+
+
+def test_cli_stage_restart_reads_prior_ir(spark, tmp_path):
+    """A later stage in a fresh invocation reuses the parquet IR."""
+    out = str(tmp_path / "run2")
+    os.makedirs(out)
+    args = _args(out)
+    cli.gen_tables(spark, args)
+    # no in-memory tables passed: must read homes/located from disk
+    probs = cli.prob_matrix(spark, args, None)
+    assert probs.count() > 0
