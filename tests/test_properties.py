@@ -153,3 +153,33 @@ def test_graphml_export(spark, tmp_path):
     nx.write_graphml(g, path)
     back = nx.read_graphml(path)
     assert back.number_of_edges() == 2
+
+
+def test_cosine_topk_lit_equals_join_form(spark):
+    """The literal-embedded top-k (one job) returns exactly what the
+    broadcast-join form returns — same scores, same rounding, same cut."""
+    import random
+
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        as_double,
+        cosine_topk,
+        cosine_topk_lit,
+    )
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qid = 17
+    join_form = cosine_topk(
+        corpus, corpus.where(F.col("vec_id") == qid), "vec_id", "embedding", k=7
+    ).collect()
+    qvec = (
+        corpus.where(F.col("vec_id") == qid)
+        .select(as_double(F.col("embedding")))
+        .head()[0]
+    )
+    lit_form = cosine_topk_lit(
+        corpus, qvec, "vec_id", "embedding", exclude_id=qid, k=7
+    ).collect()
+    assert [tuple(r) for r in join_form] == [tuple(r) for r in lit_form]
