@@ -140,6 +140,56 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer pattern (the GPT-2 shape reduced to character
+# classes so the same text parses identically under Java regex and RE2):
+# letter runs | digit runs | non-alphanumeric-non-space runs.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "props_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type,
+               regexp_extract_all(props, '{_BPE_PAT}') AS toks,
+               regexp_extract(props, '[0-9]+') AS num_tok
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           sum(len(toks)) AS n_tokens,
+           sum(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))))
+               AS n_word,
+           sum(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))))
+               AS n_num,
+           sum(len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))))
+               AS n_punct,
+           sum(length(num_tok)) AS digit_width
+    FROM t GROUP BY event_type
+    """,
+)
+def props_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenization (the training-pipeline token-counting kernel:
+    whitespace split is `doc_token_stats`; this is the BPE-ish class-run
+    pattern) over the punctuation-rich JSON props column — all JVM-side
+    regexp_extract_all/filter, no Python in the path."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        "event_type",
+        F.expr(f"regexp_extract_all(props, '{_BPE_PAT}', 0)").alias("toks"),
+        F.expr("regexp_extract(props, '[0-9]+', 0)").alias("num_tok"),
+    )
+    n_of = lambda cond: F.sum(F.size(F.expr(f"filter(toks, x -> {cond})")))  # noqa: E731
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size("toks")).alias("n_tokens"),
+        n_of("x rlike '^[A-Za-z]'").alias("n_word"),
+        n_of("x rlike '^[0-9]'").alias("n_num"),
+        n_of("NOT (x rlike '^[A-Za-z0-9]')").alias("n_punct"),
+        F.sum(F.length("num_tok")).alias("digit_width"),
+    )
+
+
 @query(
     "value_quantiles",
     oracle="""
