@@ -207,6 +207,7 @@ def seir_sweep(spark, args, nodes: DataFrame | None, edges: DataFrame | None):
         sigma=args.sigma,
         gamma=args.gamma,
         t_max=args.t_max,
+        initial_infected=args.initial_infected,
     ).cache()
     traj.toPandas().to_csv(_out(args, "seir_trajectories.csv"), index=False)
     trajectory_stats(traj).toPandas().to_csv(
@@ -254,6 +255,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma", type=float, default=0.4, help="E->I rate")
     p.add_argument("--gamma", type=float, default=0.2, help="I->R rate")
     p.add_argument("--t-max", type=float, default=60.0)
+    p.add_argument(
+        "--initial-infected", type=int, default=5,
+        help="index cases (lowest node ids; node 0 alone can be isolated)",
+    )
     return p
 
 
