@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     # temporal
     "user_sessions",
     "asof_last_signup",
+    # the reference's §3.2 home-location product over derived pings
+    # (imputer stages excluded: their iterative rounds cache internally,
+    # so a timed re-count would not re-execute the real work)
+    "pings_fact_base",
+    "pings_daily_homes",
+    "pings_global_home",
+    "pings_interactions",
+    "pings_device_rg",
     # dedup / text / vectors
     "minhash_signatures",
     "near_dup_pairs",

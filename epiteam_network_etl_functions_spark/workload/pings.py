@@ -109,8 +109,13 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- shared DuckDB CTEs -----------------------------------------------------
 
+# MATERIALIZED: the md5 derivation is referenced 2-4x per oracle (self-
+# joins, multi-day winners); DuckDB inlines plain CTEs and re-derives each
+# time (9s vs 0.35s at sf0.1), while the reference's own pipeline always
+# materializes stage IR to parquet. Spark's side gets the same effect from
+# ReuseExchange. Materialized is the fair, reference-faithful baseline.
 _PINGS_CTE = f"""
-pings AS (
+pings AS MATERIALIZED (
     SELECT CAST(user_id AS VARCHAR) AS caid,
            ts AS cdmx_datetime,
            19.0 + ({_hash_bucket_sql('event_id', 2000, 'lat')} / 2000.0) AS latitude,
@@ -122,8 +127,8 @@ pings AS (
 """
 
 _DIM_CTE = f"""
-cells AS (SELECT DISTINCT {_cell_sql()} AS cell FROM pings),
-dim AS (
+cells AS MATERIALIZED (SELECT DISTINCT {_cell_sql()} AS cell FROM pings),
+dim AS MATERIALIZED (
     SELECT cell,
            concat('09',
                   lpad(CAST({_hash_bucket_sql('cell', 900, 'mun')} AS VARCHAR), 3, '0'),
@@ -137,9 +142,9 @@ dim AS (
 
 # all-time winner cell per device (input homes table for the imputers)
 _WINNERS_CTE = f"""
-pc AS (SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings),
+pc AS MATERIALIZED (SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings),
 allc AS (SELECT caid, cell, count(*) AS n FROM pc GROUP BY caid, cell),
-winners AS (
+winners AS MATERIALIZED (
     SELECT caid, cell FROM (
         SELECT *, row_number() OVER (
             PARTITION BY caid ORDER BY n DESC, cell ASC
