@@ -220,6 +220,29 @@ def seir_sweep(spark, args, nodes: DataFrame | None, edges: DataFrame | None):
     print(f"# seir: {args.seeds} seeds over {n_nodes} nodes", file=sys.stderr)
 
 
+def rg_stage(spark, args, tables: dict | None) -> None:
+    """Radius-of-gyration stage (RadiusOfGyrationHandler.py:134-279 +
+    RGAggregatorByMun.py:75-104): per-device grid-hop RG over located
+    pings, then the municipal AVG/STDDEV rollup keyed by the home code's
+    5-char municipality prefix."""
+    from .plans.gyration import device_rg, rg_rollup
+
+    if tables:
+        located, homes = tables["located"], tables["homes"]
+    else:
+        located = spark.read.parquet(_out(args, "located.parquet"))
+        homes = spark.read.parquet(_out(args, "homes.parquet"))
+    rgs = device_rg(located, id_col="caid", cell_col="h3index_15")
+    rgs.write.mode("overwrite").parquet(_out(args, "device_rg.parquet"))
+    membership = homes.select(
+        "caid", F.substring("home_ageb", 1, 5).alias("cve_mun")
+    )
+    rg_rollup(rgs, membership).toPandas().to_csv(
+        _out(args, "rg_by_mun.csv"), index=False
+    )
+    print("# rg: device_rg.parquet + rg_by_mun.csv", file=sys.stderr)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="epiteam-etl-spark",
@@ -245,6 +268,8 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--prob-matrix", action="store_true")
     st.add_argument("--build-network", action="store_true")
     st.add_argument("--seir", action="store_true")
+    st.add_argument("--rg", action="store_true",
+                    help="radius-of-gyration + municipal rollup stage")
     p.add_argument("--min-accuracy", type=float, default=100.0)
     p.add_argument("--bucket-seconds", type=int, default=600)
     p.add_argument("--impute-rounds", type=int, default=6)
@@ -264,9 +289,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
-    if not (args.gen_tables or args.prob_matrix or args.build_network or args.seir):
+    if not (args.gen_tables or args.prob_matrix or args.build_network
+            or args.seir or args.rg):
         sys.exit("nothing to do: pass at least one of --gen-tables --prob-matrix "
-                 "--build-network --seir")
+                 "--build-network --seir --rg")
     os.makedirs(args.out, exist_ok=True)
     spark = get_session("epiteam-etl-spark-cli")
     tables = gen_tables(spark, args) if args.gen_tables else None
@@ -276,6 +302,8 @@ def main(argv: list[str] | None = None) -> None:
         nodes, edges = build_network(spark, args, tables, probs)
     if args.seir:
         seir_sweep(spark, args, nodes, edges)
+    if args.rg:
+        rg_stage(spark, args, tables)
     spark.stop()
 
 

@@ -76,3 +76,6 @@ def test_cli_stage_restart_reads_prior_ir(spark, tmp_path):
     # no in-memory tables passed: must read homes/located from disk
     probs = cli.prob_matrix(spark, args, None)
     assert probs.count() > 0
+    cli.rg_stage(spark, args, None)
+    with open(os.path.join(out, "rg_by_mun.csv")) as f:
+        assert f.readline().strip() == "cve_mun,avg_rg,std_rg,n_devices"
