@@ -132,8 +132,10 @@ def prob_matrix(spark, args, tables: dict | None) -> DataFrame:
         located = _read_or(spark, _out(args, "located.parquet"), lambda: None, "located")
         if homes is None or located is None:
             sys.exit("prob-matrix needs gen-tables outputs (run --gen-tables first)")
+    # contact_prob_table attaches homes itself (via observed_contacts); a
+    # pre-join here would be a pure wasted shuffle of the located facts.
     probs = contact_prob_table(
-        attach_home(located, homes.select("caid", "home_ageb")).drop("home_ageb"),
+        located,
         homes.select("caid", "home_ageb"),
         bucket_seconds=args.bucket_seconds,
     )
@@ -234,7 +236,10 @@ def rg_stage(spark, args, tables: dict | None) -> None:
         homes = spark.read.parquet(_out(args, "homes.parquet"))
     rgs = device_rg(located, id_col="caid", cell_col="h3index_15")
     rgs.write.mode("overwrite").parquet(_out(args, "device_rg.parquet"))
-    membership = homes.select(
+    # Devices whose home stayed the 13-char sentinel (unlocatable /
+    # imputation miss) must not roll up into a phantom "00000" municipality
+    # — the reference rollup keys on real cve_mun membership.
+    membership = homes.where(F.col("home_ageb") != SENTINEL_AGEB_13).select(
         "caid", F.substring("home_ageb", 1, 5).alias("cve_mun")
     )
     rg_rollup(rgs, membership).toPandas().to_csv(

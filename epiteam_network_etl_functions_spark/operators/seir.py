@@ -159,7 +159,15 @@ def seir_gillespie(
         if t > t_max:
             break
         node = int(np.searchsorted(np.cumsum(rate), rng.random() * total, side="right"))
-        node = min(node, n_nodes - 1)
+        if node >= n_nodes or rate[node] <= 0.0:
+            # Float edge: cumsum's sequential accumulation can disagree with
+            # rate.sum()'s pairwise sum, landing the draw past the last
+            # positive-rate slot. Re-draw (exponential waits are memoryless)
+            # rather than clamping into a zero-rate node's transition branch,
+            # which would re-run I->R on a recovered node and double-decrement
+            # neighbour pressure.
+            total = float(rate.sum())
+            continue
         s = state[node]
         if s == 0:  # S -> E (induced)
             state[node] = 1

@@ -104,11 +104,16 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-run broadcast-build job. Scores are identical to the join form:
     same fold order, same rounding."""
     e = _emb(spark, sf_dir)
-    qvec = (
+    qrow = (
         e.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(as_double(F.col("embedding")).alias("v"))
-        .head()[0]
+        .head()
     )
+    if qrow is None:
+        raise ValueError(
+            f"query vec {QUERY_VEC_ID} not found in embeddings at {sf_dir}"
+        )
+    qvec = qrow[0]
     return cosine_topk_lit(
         e, qvec, "vec_id", "embedding", exclude_id=QUERY_VEC_ID, k=K
     )

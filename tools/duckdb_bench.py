@@ -56,26 +56,36 @@ def main() -> None:
             print(f"# warm {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in names:
         sql = f"SELECT count(*) FROM ({oracles[name]})"
         dt = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            n = con.execute(sql).fetchall()[0][0]
-            run = time.perf_counter() - t0
-            dt = run if dt is None else min(dt, run)
+        n = None
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = con.execute(sql).fetchall()[0][0]
+                run = time.perf_counter() - t0
+                dt = run if dt is None else min(dt, run)
+        except Exception as exc:
+            errors[name] = str(exc)
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.4f}s ({n} rows)", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "duckdb_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
