@@ -220,3 +220,52 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference re-runs the whole shingle->sig->band->join subtree.
     cands = lsh_candidate_pairs(bands, "doc_id").cache()
     return jaccard_verify(cands, sh, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+@query(
+    "dedup_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PIPELINE},
+    na AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    nd AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i JOIN na a ON a.doc_id = i.a_id JOIN na b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.n + b.n - i.i), 6) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM nd
+        UNION ALL SELECT b_id, a_id FROM nd
+    ),
+    reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS keeper_id, id = min(r) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operation a 100 TB text pipeline actually runs: near-dup pairs ->
+    connected components (large/small-star, O(log n) rounds) -> min-id
+    canonical keeper per cluster. One row per clustered doc with its keeper
+    and a keep flag; docs with no near-dup never enter the component step.
+    The DuckDB oracle closes the pair graph with a recursive reachability
+    CTE — a genuinely different component algorithm, so the differential
+    checks the clustering semantics, not the implementation."""
+    from ..operators.components import connected_components_star
+
+    pairs = near_dup_pairs_q(spark, sf_dir)
+    labels = connected_components_star(pairs, a_col="a_id", b_col="b_id")
+    return labels.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component_id").alias("keeper_id"),
+        (F.col("node_id") == F.col("component_id")).alias("keep"),
+    )
