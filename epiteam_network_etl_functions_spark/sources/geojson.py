@@ -48,17 +48,9 @@ def feature_collection_to_catalog(
     return spark.createDataFrame(rows, CATALOG_SCHEMA)
 
 
-def polygon_bbox_cells(geometry_json: str, res: int) -> Sequence[str]:
-    """Covering cells for a polygon via its bounding box on the fallback
-    grid (the h3.polyfill stand-in used to build the cell->region dim).
-    With h3 installed, swap for `h3.polygon_to_cells`."""
-    import math
-
-    from ..functions.hexgrid import _RES_DEG
-
-    geom = json.loads(geometry_json)
-    coords = geom.get("coordinates", [])
-    pts = []
+def _walk_points(coords) -> list[tuple[float, float]]:
+    """Flatten nested GeoJSON coordinates into (lat, lon) points."""
+    pts: list[tuple[float, float]] = []
 
     def walk(c):
         if isinstance(c, (list, tuple)) and c and isinstance(c[0], (int, float)):
@@ -68,6 +60,48 @@ def polygon_bbox_cells(geometry_json: str, res: int) -> Sequence[str]:
                 walk(x)
 
     walk(coords)
+    return pts
+
+
+def _ray_cast(lat: float, lon: float, rings: Sequence[Sequence[Sequence[float]]]) -> bool:
+    """Even-odd ray cast over every ring of one polygon: crossing a hole
+    ring flips the parity back out, so holes need no special casing. Rings
+    are GeoJSON [[lon, lat], ...]."""
+    inside = False
+    for ring in rings:
+        n = len(ring)
+        for k in range(n):
+            x1, y1 = ring[k][0], ring[k][1]
+            x2, y2 = ring[(k + 1) % n][0], ring[(k + 1) % n][1]
+            if (y1 > lat) != (y2 > lat):
+                xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+                if lon < xint:
+                    inside = not inside
+    return inside
+
+
+def point_in_geometry(lat: float, lon: float, geom: Mapping) -> bool:
+    """Exact point-in-polygon for GeoJSON Polygon / MultiPolygon (the
+    geopandas sjoin predicate, reference FactPingsBaseGenerator.py:74)."""
+    gtype = geom.get("type")
+    coords = geom.get("coordinates", [])
+    if gtype == "Polygon":
+        return _ray_cast(lat, lon, coords)
+    if gtype == "MultiPolygon":
+        return any(_ray_cast(lat, lon, poly) for poly in coords)
+    raise ValueError(f"unsupported geometry type {gtype!r}")
+
+
+def polygon_bbox_cells(geometry_json: str, res: int) -> Sequence[str]:
+    """Bounding-box candidate cells for a polygon on the fallback grid —
+    an over-approximation; :func:`polygon_cover_cells` refines it. Kept
+    public as the candidate generator and for cheap coarse prefilters."""
+    import math
+
+    from ..functions.hexgrid import _RES_DEG
+
+    geom = json.loads(geometry_json)
+    pts = _walk_points(geom.get("coordinates", []))
     if not pts:
         return []
     size = _RES_DEG[res]
@@ -80,3 +114,26 @@ def polygon_bbox_cells(geometry_json: str, res: int) -> Sequence[str]:
         for j in range(j0, j1 + 1):
             cells.add(f"g{res}:{i}:{j}")
     return sorted(cells)
+
+
+def polygon_cover_cells(geometry_json: str, res: int) -> Sequence[str]:
+    """Covering cells for a polygon: bbox candidates refined to the cells
+    whose *centroid* lies inside the polygon (exact ray cast, holes and
+    MultiPolygon included) — the same containment rule as
+    `h3.polygon_to_cells`, so a non-convex polygon's bbox notch is
+    excluded and the cell->region dim matches the reference's sjoin
+    (FactPingsBaseGenerator.py:74) at cell granularity. Driver-side by
+    design: catalogs are a few hundred polygons and the candidate set is
+    bbox-bounded."""
+    from ..functions.hexgrid import _RES_DEG
+
+    geom = json.loads(geometry_json)
+    size = _RES_DEG[res]
+    out = []
+    for cell in polygon_bbox_cells(geometry_json, res):
+        _, i, j = cell.split(":")
+        clat = (int(i) + 0.5) * size
+        clon = (int(j) + 0.5) * size
+        if point_in_geometry(clat, clon, geom):
+            out.append(cell)
+    return out

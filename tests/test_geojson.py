@@ -12,7 +12,9 @@ from epiteam_network_etl_functions_spark.plans.mobility import (
 )
 from epiteam_network_etl_functions_spark.sources.geojson import (
     feature_collection_to_catalog,
+    point_in_geometry,
     polygon_bbox_cells,
+    polygon_cover_cells,
 )
 
 FC = {
@@ -51,7 +53,7 @@ def test_catalog_flatten(spark):
 def test_polygon_cover_and_locate(spark):
     cat = feature_collection_to_catalog(spark, FC)
     covered = cat.rdd.map(
-        lambda r: (r["cve_geo"], list(polygon_bbox_cells(r["geometry"], res=7)))
+        lambda r: (r["cve_geo"], list(polygon_cover_cells(r["geometry"], res=7)))
     ).collect()
     dim_src = spark.createDataFrame(
         [Row(cve_geo=k, cells=v) for k, v in covered]
@@ -66,3 +68,60 @@ def test_polygon_cover_and_locate(spark):
     pings = spark.createDataFrame([Row(caid="A", h3index_15=ping_cell)])
     out = locate_pings(pings, dim).collect()[0]
     assert out["cve_geo"] == "09010"
+
+
+# L-shape: a 1°×1° square with its NE quadrant [19.5..20] × [-99.5..-99]
+# removed. The notch is inside the bbox but outside the polygon.
+L_SHAPE = {
+    "type": "Polygon",
+    "coordinates": [[
+        [-100.0, 19.0], [-99.0, 19.0], [-99.0, 19.5], [-99.5, 19.5],
+        [-99.5, 20.0], [-100.0, 20.0], [-100.0, 19.0],
+    ]],
+}
+
+
+def test_point_in_geometry_nonconvex_and_holes():
+    assert point_in_geometry(19.25, -99.25, L_SHAPE)  # SE arm
+    assert point_in_geometry(19.75, -99.75, L_SHAPE)  # NW arm
+    assert not point_in_geometry(19.75, -99.25, L_SHAPE)  # the notch
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            [[-100.0, 19.0], [-99.0, 19.0], [-99.0, 20.0], [-100.0, 20.0],
+             [-100.0, 19.0]],
+            [[-99.7, 19.3], [-99.3, 19.3], [-99.3, 19.7], [-99.7, 19.7],
+             [-99.7, 19.3]],
+        ],
+    }
+    assert not point_in_geometry(19.5, -99.5, donut)  # in the hole
+    assert point_in_geometry(19.1, -99.9, donut)  # in the band
+    multi = {"type": "MultiPolygon", "coordinates": [L_SHAPE["coordinates"]]}
+    assert point_in_geometry(19.25, -99.25, multi)
+    assert not point_in_geometry(19.75, -99.25, multi)
+
+
+def test_nonconvex_cover_excludes_notch(spark):
+    """Regression for the J6 bbox over-cover: a ping in the bbox notch of a
+    non-convex polygon must NOT attribute to it (reference sjoin gives it
+    no region -> NULL)."""
+    geom_json = json.dumps(L_SHAPE, sort_keys=True)
+    bbox = set(polygon_bbox_cells(geom_json, res=6))
+    cover = set(polygon_cover_cells(geom_json, res=6))
+    assert cover < bbox  # strictly refined
+    from epiteam_network_etl_functions_spark.functions.hexgrid import _fallback_cell
+
+    notch_cell = _fallback_cell(19.75, -99.25, 6)
+    arm_cell = _fallback_cell(19.25, -99.25, 6)
+    assert notch_cell in bbox and notch_cell not in cover
+    assert arm_cell in cover
+
+    dim = cells_to_regions_dim(
+        spark.createDataFrame([Row(cve_geo="09999", cells=sorted(cover))])
+    )
+    pings = spark.createDataFrame(
+        [Row(caid="notch", h3index_15=notch_cell), Row(caid="arm", h3index_15=arm_cell)]
+    )
+    out = {r["caid"]: r["cve_geo"] for r in locate_pings(pings, dim).collect()}
+    assert out["arm"] == "09999"
+    assert out["notch"] is None
