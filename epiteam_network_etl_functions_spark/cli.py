@@ -36,7 +36,13 @@ from .constants import SENTINEL_AGEB_13
 from .operators.colocation import colocation_edges, colocation_pairs
 from .operators.components import components_as_arrays, connected_components_star
 from .operators.contacts import group_sizes
-from .operators.graphs import sample_nodes, sbm_edges, scale_sizes, write_graphml
+from .operators.graphs import (
+    sample_nodes,
+    sbm_edges,
+    sbm_edges_binomial,
+    scale_sizes,
+    write_graphml,
+)
 from .operators.seir import run_gillespie_sweep, trajectory_stats
 from .operators.timebucket import with_time_bucket
 from .plans.contact_matrix import contact_prob_table, probs_to_matrix
@@ -164,11 +170,15 @@ def build_network(spark, args, tables: dict | None, probs: DataFrame | None):
     }
     scaled = scale_sizes(sizes, max(args.scale, len(sizes)))
     nodes = sample_nodes(scaled, spark)
-    edges = sbm_edges(
-        nodes,
-        probs.selectExpr("a_home_ageb AS a_block", "b_home_ageb AS b_block", "prob"),
-        seed=args.seed,
+    prob_table = probs.selectExpr(
+        "a_home_ageb AS a_block", "b_home_ageb AS b_block", "prob"
     )
+    if sum(scaled.values()) > 50_000:
+        # beyond the n² candidate-join regime: binomial per-chunk counts,
+        # identical edge distribution, output-sized work
+        edges = sbm_edges_binomial(scaled, prob_table, spark, seed=args.seed)
+    else:
+        edges = sbm_edges(nodes, prob_table, seed=args.seed)
     edges.write.mode("overwrite").parquet(_out(args, "network_edges.parquet"))
     nodes.write.mode("overwrite").parquet(_out(args, "network_nodes.parquet"))
     # Downstream consumers read the materialized IR back — the SBM cross

@@ -89,8 +89,8 @@ def sbm_edges(
     runs reproducible per (graph, seed) as DETERMINISM.md §7 claims.
 
     Scale note: candidate volume is n²/2 — fine to ~10⁵ nodes as a cross
-    join; beyond that, draw per-block-pair edge *counts* binomially and
-    sample pairs directly (reservoir per block pair) instead.
+    join; beyond that use :func:`sbm_edges_binomial` (identical edge
+    distribution, O(n_pairs·p) work instead of O(n_pairs)).
     """
     a = nodes.select(
         F.col("node_id").alias("a_node"), F.col("block").alias("a_block")
@@ -106,6 +106,186 @@ def sbm_edges(
     u = hash_bucket(pair_id, 1_000_000, salt=f"sbm:{seed}") / F.lit(1_000_000.0)
     return with_p.where(u < F.col("prob")).select(
         "a_node", "b_node", "a_block", "b_block"
+    )
+
+
+def block_ranges(scaled: dict[str, int]) -> dict[str, tuple[int, int]]:
+    """block -> (start_id, size) for the contiguous sorted-block node
+    layout that ``sample_nodes`` realizes. Shared so the binomial edge
+    sampler and the node table can never disagree about id ranges."""
+    out = {}
+    start = 0
+    for b in sorted(scaled):
+        out[b] = (start, scaled[b])
+        start += scaled[b]
+    return out
+
+
+def _rng_for(seed: int, a_block: str, b_block: str, chunk: int):
+    """Content-seeded, partition-layout-independent RNG per chunk."""
+    import hashlib
+
+    import numpy as np
+
+    key = f"sbm:{seed}:{a_block}:{b_block}:{chunk}".encode()
+    return np.random.default_rng(int.from_bytes(hashlib.md5(key).digest()[:8], "big"))
+
+
+def _distinct_uniform(rng, n: int, k: int):
+    """k distinct uniform draws from range(n). Rejection loop when k is
+    sparse (the SBM regime: k ≈ n·p with small p); partial permutation when
+    dense so p→1 cannot degenerate."""
+    import numpy as np
+
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    if k >= n:
+        return np.arange(n, dtype=np.int64)
+    if 3 * k > n:
+        return rng.permutation(n)[:k].astype(np.int64)
+    got = np.unique(rng.integers(0, n, size=int(k * 1.1) + 8))
+    while got.size < k:
+        extra = rng.integers(0, n, size=(k - got.size) * 2 + 8)
+        got = np.unique(np.concatenate([got, extra]))
+    # uniform subset of the distinct draws: drop the surplus at random
+    if got.size > k:
+        got = got[rng.permutation(got.size)[:k]]
+    return np.sort(got)
+
+
+def _decode_same_block(offs, n: int):
+    """Bijection idx -> (i, j), i<j<n, over the combinatorial ordering
+    (i ascending, then j): inverse of idx = i*n - i*(i+1)/2 + (j - i - 1).
+    Float sqrt initialization + exact integer fixup (pair counts stay
+    < 2^53 up to n ~ 10^8, so one or two fixup steps suffice)."""
+    import numpy as np
+
+    nn = float(n)
+    i = np.floor(nn - 0.5 - np.sqrt((nn - 0.5) ** 2 - 2.0 * offs)).astype(np.int64)
+    i = np.clip(i, 0, n - 2)
+    for _ in range(3):
+        s = i * n - i * (i + 1) // 2
+        i = np.where(s > offs, i - 1, i)
+        s_next = (i + 1) * n - (i + 1) * (i + 2) // 2
+        i = np.where(s_next <= offs, i + 1, i)
+    s = i * n - i * (i + 1) // 2
+    j = offs - s + i + 1
+    return i, j
+
+
+def sbm_edges_binomial(
+    scaled: dict[str, int],
+    probs: DataFrame | dict,
+    spark,
+    seed: int = 0,
+    chunk_pairs: int = 4_000_000,
+) -> DataFrame:
+    """SBM sampling without the n² candidate join (the scale path promised
+    at ``sbm_edges``' docstring): for every block pair the pair-index space
+    [0, n_a·n_b) (or n(n-1)/2 within a block) is cut into chunks of
+    ``chunk_pairs``; each chunk draws k ~ Binomial(chunk_size, p) from a
+    content-seeded RNG and materializes k distinct offsets. Conditional on
+    its count a Bernoulli process is a uniform subset, and binomials sum,
+    so the union over chunks is *exactly* the i.i.d. edge process of
+    nx.stochastic_block_model (NetworkBuilder.py:437) — same distribution
+    as ``sbm_edges``, O(n_pairs · p) work instead of O(n_pairs).
+
+    Cost: ~n_pairs/chunk_pairs chunk descriptor rows (JVM-exploded from one
+    row per block pair) and output-sized edge generation — a 10⁶-node,
+    10-block graph is ~3×10⁴ chunks regardless of edge density. Node ids
+    follow the ``sample_nodes`` contiguous sorted-block layout
+    (``block_ranges``), so a_node < b_node always pairs a_block ≤ b_block
+    (sorted). Deterministic per (graph, seed) at any parallelism: RNG seeds
+    derive from (seed, blocks, chunk), never from partition layout.
+    """
+    import pandas as pd
+
+    ranges = block_ranges(scaled)
+    if isinstance(probs, DataFrame):
+        p_map = {
+            (r["a_block"], r["b_block"]): float(r["prob"])
+            for r in probs.collect()  # n_blocks² rows: driver-sized by construction
+        }
+    else:
+        p_map = {k: float(v) for k, v in probs.items()}
+
+    pair_rows = []
+    blocks = sorted(ranges)
+    for ai, a_b in enumerate(blocks):
+        for b_b in blocks[ai:]:
+            p = p_map.get((a_b, b_b), p_map.get((b_b, a_b), 0.0))
+            if p <= 0.0:
+                continue
+            a_start, n_a = ranges[a_b]
+            b_start, n_b = ranges[b_b]
+            n_pairs = n_a * (n_a - 1) // 2 if a_b == b_b else n_a * n_b
+            if n_pairs > 0:
+                pair_rows.append(
+                    (a_b, b_b, a_start, n_a, b_start, n_b, n_pairs, min(p, 1.0))
+                )
+    if not pair_rows:
+        return spark.createDataFrame(
+            [], "a_node long, b_node long, a_block string, b_block string"
+        )
+
+    desc = spark.createDataFrame(
+        pair_rows,
+        "a_block string, b_block string, a_start long, n_a long, "
+        "b_start long, n_b long, n_pairs long, prob double",
+    )
+    chunks = (
+        desc.withColumn(
+            "chunk",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("n_pairs") - 1) / F.lit(chunk_pairs)).cast("long"),
+                )
+            ),
+        )
+        # one chunk per task slice: each chunk is an independent draw, so
+        # spreading them is the whole parallelism story
+        .repartition(spark.sparkContext.defaultParallelism, "a_block", "b_block", "chunk")
+    )
+
+    cp = chunk_pairs
+    sd = seed
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                lo = row.chunk * cp
+                size = int(min(cp, row.n_pairs - lo))
+                rng = _rng_for(sd, row.a_block, row.b_block, int(row.chunk))
+                k = int(rng.binomial(size, row.prob))
+                if k == 0:
+                    continue
+                offs = lo + _distinct_uniform(rng, size, k)
+                if row.a_block == row.b_block:
+                    i, j = _decode_same_block(offs, int(row.n_a))
+                    a_nodes = row.a_start + i
+                    b_nodes = row.a_start + j
+                else:
+                    a_nodes = row.a_start + offs // row.n_b
+                    b_nodes = row.b_start + offs % row.n_b
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_node": a_nodes.astype(np.int64),
+                            "b_node": b_nodes.astype(np.int64),
+                            "a_block": row.a_block,
+                            "b_block": row.b_block,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return chunks.mapInPandas(
+        gen, "a_node long, b_node long, a_block string, b_block string"
     )
 
 
