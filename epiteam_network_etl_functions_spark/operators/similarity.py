@@ -150,3 +150,49 @@ def ivf_probe_topk(
         assignments.join(q_centroid, "centroid_id").select(id_col), id_col
     )
     return cosine_topk(cluster, query, id_col, vec_col, k=k, digits=digits)
+
+
+def ivf_materialize(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """The 100 TB IVF layout: corpus rows written Hive-partitioned by their
+    coarse-centroid assignment (`centroid_id=<seed>/...`). One assignment
+    pass at index-build time; every probe afterwards is a partition-pruned
+    scan of 1/n_seeds of the files (see :func:`ivf_probe_pruned`)."""
+    from ..sources.io import write_partitioned
+
+    assignments = ivf_assign(corpus, seeds, id_col, vec_col)
+    labeled = corpus.join(assignments.select(id_col, "centroid_id"), id_col)
+    write_partitioned(labeled, path, ["centroid_id"])
+
+
+def ivf_probe_pruned(
+    spark,
+    path: str,
+    centroid_id,
+    query_vec: list[float],
+    id_col: str,
+    vec_col: str,
+    exclude_id=None,
+    k: int = 10,
+    digits: int = 6,
+    schema=None,
+) -> DataFrame:
+    """Probe a materialized IVF index: the centroid_id equality predicate is
+    a partition filter (explain() shows it under PartitionFilters; only the
+    matching `centroid_id=...` directory is listed/scanned), then
+    brute-force top-k inside the cluster via the literal-vector kernel.
+    Pass ``schema`` so the read never opens another partition's footers
+    (see read_partitioned)."""
+    from ..sources.io import read_partitioned
+
+    cluster = read_partitioned(spark, path, schema=schema).where(
+        F.col("centroid_id") == F.lit(centroid_id)
+    )
+    return cosine_topk_lit(
+        cluster, query_vec, id_col, vec_col, exclude_id=exclude_id, k=k, digits=digits
+    )

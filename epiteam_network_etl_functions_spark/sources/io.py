@@ -43,11 +43,19 @@ def write_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Partitioned dataset scan (S2). Partition-column predicates applied by
     the caller are pruned at planning time (check: explain() shows them
-    under PartitionFilters, and only matching directories are listed)."""
-    return spark.read.option("basePath", path).parquet(path)
+    under PartitionFilters, and only matching directories are listed).
+
+    Pass ``schema`` (DDL string or StructType) for a known layout: schema
+    inference opens parquet footers *before* partition pruning, so an
+    explicit schema is what makes a pruned read touch only its partition's
+    files — and skips a footer round-trip a 100 TB catalog never pays."""
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def read_days(
