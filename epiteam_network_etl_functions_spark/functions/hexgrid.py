@@ -25,7 +25,12 @@ try:  # pragma: no cover - h3 not in this container
 
     HAVE_H3 = True
 except Exception:
-    _h3 = None
+    # API-compatible pure-python hex lattice (see h3lite docstring): the
+    # _h3.* call sites below stay LIVE in every environment — with the
+    # real library they run true H3; without it they run h3lite, so a
+    # broken call can never hide behind the import gate again.
+    from . import h3lite as _h3
+
     HAVE_H3 = False
 
 # Fallback grid: cell width in degrees per "resolution" (coarse -> fine).
@@ -115,6 +120,77 @@ def _k_ring_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
                 ]
             )
     return pd.Series(out)
+
+
+# ---- hexagon-semantics UDF family ------------------------------------------
+# Same four operations routed through _h3 unconditionally (real h3 when
+# installed, h3lite otherwise): hex rings (1 + 3k(k+1) cells), hex
+# distance, hex centroids. The legacy family below keeps the square-grid
+# default when h3 is absent, because every registered oracle mirrors that
+# grid in SQL; new hex-grid pipelines should use these.
+
+
+@F.pandas_udf(T.StringType())
+def _hex_cell_of_udf(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if _is_bad(a, o, r) else _h3.latlng_to_cell(a, o, int(r))
+            for a, o, r in zip(lat, lon, res)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]))
+def _hex_centroid_udf(cell: pd.Series) -> pd.DataFrame:
+    pts = [
+        (None, None) if _is_bad(c) else _h3.cell_to_latlng(c) for c in cell
+    ]
+    return pd.DataFrame({"lat": [p[0] for p in pts], "lon": [p[1] for p in pts]})
+
+
+@F.pandas_udf(T.LongType())
+def _hex_distance_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if _is_bad(x, y) else int(_h3.grid_distance(x, y))
+            for x, y in zip(a, b)
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _hex_k_ring_udf(cell: pd.Series, k: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if _is_bad(c, kk) else list(_h3.grid_disk(c, int(kk)))
+            for c, kk in zip(cell, k)
+        ]
+    )
+
+
+def hex_cell_of(lat, lon, res: int):
+    """point -> hex cell id (F1 under hex semantics; h3 or h3lite)."""
+    return _hex_cell_of_udf(F.col(lat) if isinstance(lat, str) else lat,
+                            F.col(lon) if isinstance(lon, str) else lon,
+                            F.lit(res))
+
+
+def hex_cell_centroid(cell):
+    """hex cell -> struct(lat, lon) centroid (F2 under hex semantics)."""
+    return _hex_centroid_udf(F.col(cell) if isinstance(cell, str) else cell)
+
+
+def hex_grid_distance(a, b):
+    """hex grid hops between cells (F3 under hex semantics)."""
+    return _hex_distance_udf(F.col(a) if isinstance(a, str) else a,
+                             F.col(b) if isinstance(b, str) else b)
+
+
+def hex_k_ring(cell, k: int):
+    """hex cell -> 1+3k(k+1) cells within k hops (F4 under hex semantics)."""
+    return _hex_k_ring_udf(F.col(cell) if isinstance(cell, str) else cell, F.lit(k))
 
 
 def cell_of(lat, lon, res: int):

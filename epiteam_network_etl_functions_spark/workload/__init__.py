@@ -53,7 +53,8 @@ DEMOTED: tuple[str, ...] = (
     "split_balance",  # rollup of dataset_splits
     "ivf_assignments",  # subset of ivf_probe_knn
     "embedding_norms",  # normalization kernel via label_centroids
-    "doc_topic_scores",  # text family via doc_token_stats / doc_fingerprints
+    "doc_topic_scores",  # text family via doc_token_stats
+    "doc_fingerprints",  # md5-of-sorted-tokens; digest kernel via exact_dedup_groups
     "returns_rollup",  # rollup via supplier_balance_rollup
     "late_shipment_orders",  # order/top-k via top_unshipped_orders
     "priority_order_counts",  # count-agg via block_sizes / bucket_counts

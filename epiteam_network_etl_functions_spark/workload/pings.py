@@ -505,3 +505,125 @@ def pings_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(ah, "a_caid").join(bh, "b_caid").select(
         "a_caid", "a_home_ageb", "b_caid", "b_home_ageb"
     )
+
+
+# ---- hex-grid variant (h3lite semantics) ------------------------------------
+# The queries above run the square fallback grid because it predates the
+# hex lattice; this variant runs the SAME imputer kernel under true
+# hexagon semantics (hex disks of 1+3k(k+1) cells, hex distance — the
+# shape of the reference's real h3 usage, home_ageb_imputers.py:36-39).
+# The cell derivation is h3lite's shared SQL text, identical in Spark SQL
+# and DuckDB, so the differential gate covers the hex path end-to-end.
+
+from ..functions import h3lite as _h3lite  # noqa: E402
+
+_HEX_CELL = _h3lite.axial_sql_exprs("latitude", "longitude", RES)
+_MAX_HEX_K = 5
+
+
+def _hex_ring_fn(cell_col: str, k: int) -> Column:
+    """Hex k-disk as one parsed JVM array expression over the axial id."""
+    q = f"cast(split_part({cell_col}, ':', 2) as bigint)"
+    r = f"cast(split_part({cell_col}, ':', 3) as bigint)"
+    items = ", ".join(
+        f"concat('x{RES}:', cast({q} + {dq} as string), ':', cast({r} + {dr} as string))"
+        for dq, dr in _h3lite.disk_offsets(k)
+    )
+    return F.expr(f"array({items})")
+
+
+_HEX_DIM_CTE = f"""
+hcells AS MATERIALIZED (SELECT DISTINCT {_HEX_CELL} AS cell FROM pings),
+hdim AS MATERIALIZED (
+    SELECT cell,
+           concat('09',
+                  lpad(CAST({_hash_bucket_sql('cell', 900, 'mun')} AS VARCHAR), 3, '0'),
+                  lpad(CAST({_hash_bucket_sql('cell', 9000, 'loc')} AS VARCHAR), 4, '0'),
+                  lpad(CAST({_hash_bucket_sql('cell', 9000, 'blk')} AS VARCHAR), 4, '0'))
+               AS cve_geo
+    FROM hcells
+    WHERE {_hash_bucket_sql('cell', 10, 'geo')} < 7
+)
+"""
+
+_HEX_WINNERS_CTE = f"""
+hpc AS MATERIALIZED (SELECT caid, {_HEX_CELL} AS cell FROM pings),
+hallc AS (SELECT caid, cell, count(*) AS n FROM hpc GROUP BY caid, cell),
+hwinners AS MATERIALIZED (
+    SELECT caid, cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY caid ORDER BY n DESC, cell ASC
+        ) AS rn FROM hallc
+    ) WHERE rn = 1
+)
+"""
+
+_HEX_OFFS = ", ".join(
+    f"({dq}, {dr}, {(abs(dq) + abs(dr) + abs(dq + dr)) // 2})"
+    for dq, dr in _h3lite.disk_offsets(_MAX_HEX_K)
+)
+
+
+def _hex_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _pings(spark, sf_dir).selectExpr(f"{_HEX_CELL} AS cell").distinct()
+    return cells.where(F.expr(f"{_hb_spark('cell', 'geo', 10)} < 7")).selectExpr(
+        "cell",
+        "concat('09', "
+        f"lpad(cast({_hb_spark('cell', 'mun', 900)} as string), 3, '0'), "
+        f"lpad(cast({_hb_spark('cell', 'loc', 9000)} as string), 4, '0'), "
+        f"lpad(cast({_hb_spark('cell', 'blk', 9000)} as string), 4, '0')) AS cve_geo",
+    )
+
+
+@query(
+    "pings_impute_kring_hex",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    {_HEX_DIM_CTE.strip()},
+    {_HEX_WINNERS_CTE.strip()},
+    offs(di, dj, hexd) AS (VALUES {_HEX_OFFS}),
+    cand AS (
+        SELECT h.caid, h.home_cell, d.cve_geo, o.hexd
+        FROM (SELECT caid, cell AS home_cell FROM hwinners) h
+        CROSS JOIN offs o
+        JOIN hdim d ON d.cell = concat('x{RES}:',
+            CAST(CAST(split_part(h.home_cell, ':', 2) AS BIGINT) + o.di AS VARCHAR),
+            ':',
+            CAST(CAST(split_part(h.home_cell, ':', 3) AS BIGINT) + o.dj AS VARCHAR))
+    ),
+    pick AS (
+        SELECT caid, cve_geo FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY hexd ASC, cve_geo ASC
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT w.caid, w.cell AS home_cell, p.cve_geo
+    FROM hwinners w LEFT JOIN pick p USING (caid)
+    """,
+)
+def pings_impute_kring_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """impute_kring under hexagon semantics: unmapped winner cells take the
+    minimum region at the smallest non-empty hex disk k <= 5 — disks are
+    1+3k(k+1) cells and the oracle's closed form uses the hex metric
+    (|dq|+|dr|+|dq+dr|)/2, not Chebyshev. Same fixpoint argument as the
+    square variant: the first non-empty disk k hits exactly the cells at
+    hex distance k. Cells come from h3lite's shared SQL text (bit-exact in
+    both engines, tests/test_h3lite.py); the widening loop runs the same
+    plans/mobility.impute_kring kernel as production."""
+    p = with_cells(
+        _pings(spark, sf_dir), out_col="cell", cell_expr=F.expr(_HEX_CELL)
+    )
+    allc = p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
+    homes = (
+        top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")])
+        .select("caid", F.col("cell").alias("home_cell"))
+    )
+    out = impute_kring(
+        homes,
+        _hex_dim(spark, sf_dir),
+        cell_col="home_cell",
+        max_k=_MAX_HEX_K,
+        ring_fn=_hex_ring_fn,
+    )
+    return out.select("caid", "home_cell", "cve_geo")
