@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "label_centroids",
     "doc_token_stats",
+    # approx variant (no oracle: HLL is engine-specific) — measured to show
+    # the one-pass agg vs bucket_counts' exact two-phase distinct
+    "bucket_counts_approx",
 ]
 
 

@@ -61,6 +61,7 @@ DEMOTED: tuple[str, ...] = (
     "customer_order_distribution",  # distribution-agg via night_window_counts
     "top_return_customers",  # top-k join via top_unshipped_orders
     "except_day_users",  # set-op family via union_two_days / anti_join_quiet_users
+    "bucket_counts_approx",  # rows-only approx variant; exact bucket_counts is the oracle
 )
 
 

@@ -193,6 +193,21 @@ def bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bucket_counts_approx")  # no oracle: HLL sketches are engine-specific
+def bucket_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_counts with approx_count_distinct: kills the exact variant's
+    two-phase distinct expansion (partial-per-(group,user) shuffle) — HLL
+    partials combine map-side in ONE aggregation pass, the 100 TB shape
+    when ±2% on n_users is acceptable. Rows-only driver check by design;
+    the exact query stays the oracle form."""
+    e = _events(spark, sf_dir)
+    b = with_time_bucket(e, "ts", 600, origin_us=_bucket_origin_us(spark, sf_dir))
+    return b.groupBy("event_type", "tw").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    )
+
+
 @query(
     "colocation_pairs",
     oracle=f"""

@@ -73,13 +73,42 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector in long form (posexplode -> groupBy avg): the
-    distributed centroid computation underlying k-means / IVF training."""
+    distributed centroid computation underlying k-means / IVF training.
+    Measured against the folded one-wide-agg form
+    (:func:`label_centroids_wide`): explode wins at bench scale (0.158 s
+    vs 0.343 s at sf0.1 — per-execution re-optimization of a 64-agg plan
+    dominates a 2k-row corpus); both shuffle only n_labels-sized partials
+    because groupBy(label, pos) combines map-side, so the wide form's edge
+    is per-row CPU that only matters from ~10⁷ rows up (SCALING.md)."""
     e = _emb(spark, sf_dir)
     return (
         e.select("label", F.posexplode(as_double(F.col("embedding"))))
         .select("label", (F.col("pos") + 1).cast("bigint").alias("pos"), "col")
         .groupBy("label", "pos")
         .agg((F.round(F.avg("col"), 6) + F.lit(0.0)).alias("centroid"))
+    )
+
+
+def label_centroids_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded variant: 64 per-position avg aggregates in ONE wide
+    aggregation (no 64× row explosion), unpivoted after. Same result and
+    rounding as :func:`label_centroids`; the at-scale shape when per-row
+    hash-agg probes dominate (each exploded row is a separate (label, pos)
+    probe; here each input row feeds 64 accumulators of one group row)."""
+    e = _emb(spark, sf_dir)
+    dim = e.select(F.size("embedding")).head()[0]  # plan-build time, tiny job
+    wide = e.groupBy("label").agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+            for i in range(dim)
+        ]
+    )
+    return wide.select(
+        "label", F.posexplode(F.array(*[F.col(f"c{i}") for i in range(dim)]))
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        (F.round(F.col("col"), 6) + F.lit(0.0)).alias("centroid"),
     )
 
 
