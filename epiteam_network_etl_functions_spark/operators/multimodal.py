@@ -85,3 +85,119 @@ def decode_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("resizer", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize over binary payloads (1 row in -> 1 row out,
+    payload REPLACED — the write-amplification shape of a preprocessing
+    pipeline: output partitions carry new bytes, so repartition by size
+    *after* this stage, not before).
+
+    With PIL present a real `Image.resize` would run; the container has no
+    pixel libraries, so a deterministic fake produces a payload whose
+    bytes derive from (input digest, target dims) — size-faithful
+    (3 × w × h, capped at 1 MiB per row to bound Arrow batch memory the
+    same way a real RGB buffer would be row-group bounded)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                if _HAVE_PIL:  # pragma: no cover - PIL absent here
+                    # Real path: Image.open(BytesIO(raw)).resize((w, h))
+                    # then .tobytes(); the synthetic payloads are not real
+                    # encodings, so fall through to the fake even with PIL.
+                    pass
+                n = min(3 * target_w * target_h, 1 << 20)
+                seed = hashlib.md5(raw + f":{target_w}x{target_h}".encode()).digest()
+                body = (seed * (n // len(seed) + 1))[:n]
+                outs.append((int(did), body))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([o[0] for o in outs], dtype="int64"),
+                    "payload": pd.Series([o[1] for o in outs], dtype="object"),
+                    "width": pd.Series([target_w] * len(outs), dtype="int64"),
+                    "height": pd.Series([target_h] * len(outs), dtype="int64"),
+                    "resizer": pd.Series(["fake-md5"] * len(outs)),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sampler", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over video payloads: the 1 row in -> N rows out
+    mapInPandas shape (a decoder would emit one row per kept frame; output
+    cardinality is data-dependent, which is why this is mapInPandas and
+    not a scalar pandas UDF — the Arrow batch out need not align with the
+    batch in).
+
+    Without a video library, frames are deterministic fixed-width slices
+    of the payload (64-byte "frames", every ``every_n``-th kept) — the
+    fan-out, ordering column, and per-frame binary plumbing are exactly
+    the real pipeline's; only the codec is fake. Frame explosion is the
+    skew hazard at 100 TB (one long video -> thousands of rows in one
+    task): keep payloads row-group-sized upstream and repartition on
+    (doc_id, frame_idx) before any per-frame shuffle work."""
+    frame_bytes = 64
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, totals = [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                chunks = [
+                    raw[i : i + frame_bytes]
+                    for i in range(0, len(raw), frame_bytes)
+                ]
+                kept = chunks[::every_n]
+                for k, fr in enumerate(kept):
+                    ids.append(int(did))
+                    idxs.append(k * every_n)
+                    frames.append(fr)
+                    totals.append(len(chunks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                    "sampler": pd.Series(["fake-slice"] * len(ids)),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -108,3 +108,40 @@ def test_streaming_colocation_pairs_matches_batch(spark, stream_src):
     # be a subset and cover everything whose window closed under the watermark
     assert got <= expected
     assert len(got) >= len(expected) * 0.8
+
+
+def test_streaming_exact_dedup(spark, tmp_path_factory):
+    """Duplicated docs in a stream: exactly one survivor per digest within
+    the watermark horizon; payload columns pass through unchanged."""
+    from epiteam_network_etl_functions_spark.streaming import streaming_exact_dedup
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each landed 3x within minutes of each other
+        rows.append((i, base + dt.timedelta(seconds=13 * i), f"doc-{i % 10}"))
+    path = str(tmp_path_factory.mktemp("dedup_stream") / "docs")
+    spark.createDataFrame(rows, "row_id long, ts timestamp, text string").write.parquet(
+        path
+    )
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+
+    deduped = streaming_exact_dedup(src, text_col="text", ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    texts = [r["text"] for r in out]
+    assert sorted(set(texts)) == sorted(f"doc-{i}" for i in range(10))
+    assert len(texts) == 10  # one survivor per digest
+    assert set(spark.sql("SELECT * FROM dedup_out").columns) == {
+        "row_id", "ts", "text"
+    }  # helper digest column dropped
