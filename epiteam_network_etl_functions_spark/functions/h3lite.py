@@ -115,6 +115,36 @@ def disk_offsets(k: int) -> list[tuple[int, int]]:
     ]
 
 
+def axial_sql_steps(lat: str, lon: str, res: int, out: str = "cell") -> list[tuple[str, str]]:
+    """The :func:`axial_sql_exprs` computation as an ordered list of
+    (column_name, sql_expr) steps, each referencing earlier names. Same
+    IEEE754 ops in the same order — but staged into small projections, so
+    Spark's whole-stage codegen keeps the pipeline compiled where the
+    single self-expanding expression (every term re-inlines qf/rf) blows
+    the janino method limit and drops the stage to interpreted mode.
+    Apply on Spark with sequential selectExpr("*", f"{expr} AS {name}")
+    and on DuckDB with the same exprs in nested SELECTs."""
+    s = f"cast({_RES_SIZE[res]!r} as double)"
+    return [
+        ("__qf", f"((sqrt(cast(3.0 as double)) / cast(3.0 as double) * {lon}"
+                 f" - {lat} / cast(3.0 as double)) / {s})"),
+        ("__rf", f"((cast(2.0 as double) / cast(3.0 as double) * {lat}) / {s})"),
+        ("__yf", "(- __qf - __rf)"),
+        ("__rx", "cast(floor(__qf + cast(0.5 as double)) as double)"),
+        ("__ry", "cast(floor(__yf + cast(0.5 as double)) as double)"),
+        ("__rz", "cast(floor(__rf + cast(0.5 as double)) as double)"),
+        ("__dx", "abs(__rx - __qf)"),
+        ("__dy", "abs(__ry - __yf)"),
+        ("__dz", "abs(__rz - __rf)"),
+        ("__hq", "(CASE WHEN __dx > __dy AND __dx > __dz"
+                 " THEN - __ry - __rz ELSE __rx END)"),
+        ("__hr", "(CASE WHEN NOT (__dx > __dy AND __dx > __dz) AND NOT (__dy > __dz)"
+                 " THEN - __rx - __ry ELSE __rz END)"),
+        (out, f"concat('x{res}:', cast(cast(__hq as bigint) as string), ':', "
+              f"cast(cast(__hr as bigint) as string))"),
+    ]
+
+
 def axial_sql_exprs(lat: str, lon: str, res: int) -> str:
     """SQL text computing this module's cell id from (lat, lon) columns —
     parses identically in Spark SQL and DuckDB, and reproduces

@@ -517,8 +517,30 @@ def pings_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..functions import h3lite as _h3lite  # noqa: E402
 
-_HEX_CELL = _h3lite.axial_sql_exprs("latitude", "longitude", RES)
+_HEX_STEPS = _h3lite.axial_sql_steps("latitude", "longitude", RES)
 _MAX_HEX_K = 5
+
+
+def _with_hex_cell(df: DataFrame) -> DataFrame:
+    """Attach the h3lite cell via the staged-steps form: one small
+    projection per intermediate keeps whole-stage codegen alive (the
+    single self-expanding expression drops the stage to interpreted mode —
+    measured 2.8 s -> see SCALING.md round 4 addendum)."""
+    for name, expr in _HEX_STEPS:
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df.drop(*[n for n, _ in _HEX_STEPS[:-1]])
+
+
+def _hex_cell_sql_select(src: str, cols: list[str]) -> str:
+    """Nested-SELECT DuckDB mirror of :func:`_with_hex_cell` over ``src``
+    (which must expose latitude/longitude): identical step exprs, so the
+    arithmetic is bit-equal on both engines."""
+    keep = ", ".join(cols + ["latitude", "longitude"]) if cols else "latitude, longitude"
+    inner = f"SELECT {keep} FROM {src}"
+    for name, expr in _HEX_STEPS:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    out_cols = ", ".join(cols + ["cell"]) if cols else "cell"
+    return f"SELECT {out_cols} FROM ({inner})"
 
 
 def _hex_ring_fn(cell_col: str, k: int) -> Column:
@@ -533,7 +555,7 @@ def _hex_ring_fn(cell_col: str, k: int) -> Column:
 
 
 _HEX_DIM_CTE = f"""
-hcells AS MATERIALIZED (SELECT DISTINCT {_HEX_CELL} AS cell FROM pings),
+hcells AS MATERIALIZED (SELECT DISTINCT cell FROM ({_hex_cell_sql_select('pings', [])})),
 hdim AS MATERIALIZED (
     SELECT cell,
            concat('09',
@@ -547,7 +569,7 @@ hdim AS MATERIALIZED (
 """
 
 _HEX_WINNERS_CTE = f"""
-hpc AS MATERIALIZED (SELECT caid, {_HEX_CELL} AS cell FROM pings),
+hpc AS MATERIALIZED ({_hex_cell_sql_select('pings', ['caid'])}),
 hallc AS (SELECT caid, cell, count(*) AS n FROM hpc GROUP BY caid, cell),
 hwinners AS MATERIALIZED (
     SELECT caid, cell FROM (
@@ -564,8 +586,11 @@ _HEX_OFFS = ", ".join(
 )
 
 
-def _hex_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _pings(spark, sf_dir).selectExpr(f"{_HEX_CELL} AS cell").distinct()
+def _hex_dim(celled: DataFrame) -> DataFrame:
+    """(cell -> cve_geo) over an already hex-celled pings frame — takes the
+    frame (not sf_dir) so callers share ONE celled subtree between the
+    dim and the winners derivation."""
+    cells = celled.select("cell").distinct()
     return cells.where(F.expr(f"{_hb_spark('cell', 'geo', 10)} < 7")).selectExpr(
         "cell",
         "concat('09', "
@@ -611,9 +636,10 @@ def pings_impute_kring_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex distance k. Cells come from h3lite's shared SQL text (bit-exact in
     both engines, tests/test_h3lite.py); the widening loop runs the same
     plans/mobility.impute_kring kernel as production."""
-    p = with_cells(
-        _pings(spark, sf_dir), out_col="cell", cell_expr=F.expr(_HEX_CELL)
-    )
+    # ONE celled subtree (12 staged projections over the md5-derived
+    # pings) feeds both the dim and the winners; cached because the
+    # imputer loop's resolved-union lineage references it per round.
+    p = _with_hex_cell(_pings(spark, sf_dir)).select("caid", "cell").cache()
     allc = p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
     homes = (
         top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")])
@@ -621,7 +647,7 @@ def pings_impute_kring_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = impute_kring(
         homes,
-        _hex_dim(spark, sf_dir),
+        _hex_dim(p),
         cell_col="home_cell",
         max_k=_MAX_HEX_K,
         ring_fn=_hex_ring_fn,
