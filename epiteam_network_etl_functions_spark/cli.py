@@ -185,15 +185,27 @@ def build_network(spark, args, tables: dict | None, probs: DataFrame | None):
     # join must run once, not once per consumer (side_results semantics).
     edges = spark.read.parquet(_out(args, "network_edges.parquet"))
     nodes = spark.read.parquet(_out(args, "network_nodes.parquet"))
-    stats = write_graphml(
-        _out(args, "network.graphml"),
-        edges,
-        nodes=nodes,
-        id_col="node_id",
-        attr_cols=["block"],
-    )
-    print(f"# build-network: {stats['nodes']} nodes / {stats['edges']} edges",
-          file=sys.stderr)
+    n_edges = edges.count()
+    if n_edges <= args.graphml_max_edges:
+        stats = write_graphml(
+            _out(args, "network.graphml"),
+            edges,
+            nodes=nodes,
+            id_col="node_id",
+            attr_cols=["block"],
+        )
+        print(f"# build-network: {stats['nodes']} nodes / {stats['edges']} edges",
+              file=sys.stderr)
+    else:
+        # GraphML is one driver-streamed XML document; at tens of millions
+        # of edges that is GBs of text and minutes of wall. The parquet IR
+        # above is the scale artifact — consumers join it directly.
+        print(
+            f"# build-network: {nodes.count()} nodes / {n_edges} edges — "
+            f"skipping GraphML (> --graphml-max-edges="
+            f"{args.graphml_max_edges}); network_edges.parquet is the IR",
+            file=sys.stderr,
+        )
     return nodes, edges
 
 
@@ -289,6 +301,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-seconds", type=int, default=600)
     p.add_argument("--impute-rounds", type=int, default=6)
     p.add_argument("--scale", type=int, default=1000, help="network node count")
+    p.add_argument(
+        "--graphml-max-edges", type=int, default=5_000_000,
+        help="skip the driver-streamed GraphML sink above this edge count "
+        "(the parquet IR is always written)",
+    )
     p.add_argument("--seed", type=int, default=3696)
     p.add_argument("--seeds", type=int, default=10, help="SEIR seed-sweep width")
     p.add_argument("--beta", type=float, default=0.3, help="S->E transmission rate")
