@@ -213,33 +213,69 @@ def seir_sweep(spark, args, nodes: DataFrame | None, edges: DataFrame | None):
     """Stage 4 (SimulationManager seed sweep): one continuous-time Gillespie
     run per seed, fanned out with parallelize; CSV trajectories + per-t
     stats + pickled results, matching seir_utils.py:84-140 /
-    SimulationManager.py:239-240 output shapes."""
+    SimulationManager.py:239-240 output shapes.
+
+    Above --seir-max-collect-edges the edge list no longer fits a driver
+    collect (the reference's own regime never exceeds ~10⁴ nodes); the
+    sweep switches to the distributed discrete-time kernel
+    (plans/seir_distributed), one cluster-parallel run per seed, with
+    rates converted to per-step probabilities p = 1 - exp(-rate)
+    (divergence quantified in DETERMINISM.md §8)."""
     if nodes is None:
         nodes = spark.read.parquet(_out(args, "network_nodes.parquet"))
         edges = spark.read.parquet(_out(args, "network_edges.parquet"))
     n_nodes = nodes.count()
-    edge_list = [
-        (r["a_node"], r["b_node"]) for r in edges.select("a_node", "b_node").collect()
-    ]
-    traj = run_gillespie_sweep(
-        spark,
-        n_nodes,
-        edge_list,
-        seeds=list(range(args.seeds)),
-        weighted=True,
-        beta=args.beta,
-        sigma=args.sigma,
-        gamma=args.gamma,
-        t_max=args.t_max,
-        initial_infected=args.initial_infected,
-    ).cache()
+    n_edges = edges.count()
+    if n_edges > args.seir_max_collect_edges:
+        import math
+        from functools import reduce
+
+        from .plans.seir_distributed import distributed_seir
+
+        bp = 1.0 - math.exp(-args.beta)
+        sp = 1.0 - math.exp(-args.sigma)
+        gp = 1.0 - math.exp(-args.gamma)
+        runs = [
+            distributed_seir(
+                spark, nodes, edges,
+                beta=bp, sigma=sp, gamma=gp, seed=s,
+                t_max=int(args.t_max),
+                initial_infected=args.initial_infected,
+            ).select(
+                F.lit(s).alias("seed"),
+                F.col("t").cast("double").alias("t"),
+                "S", "E", "I", "R",
+            )
+            for s in range(args.seeds)
+        ]
+        traj = reduce(lambda a, b: a.unionByName(b), runs).cache()
+        print(f"# seir: distributed discrete-time kernel ({n_edges} edges "
+              f"> --seir-max-collect-edges={args.seir_max_collect_edges})",
+              file=sys.stderr)
+    else:
+        edge_list = [
+            (r["a_node"], r["b_node"])
+            for r in edges.select("a_node", "b_node").collect()
+        ]
+        traj = run_gillespie_sweep(
+            spark,
+            n_nodes,
+            edge_list,
+            seeds=list(range(args.seeds)),
+            weighted=True,
+            beta=args.beta,
+            sigma=args.sigma,
+            gamma=args.gamma,
+            t_max=args.t_max,
+            initial_infected=args.initial_infected,
+        ).cache()
     traj.toPandas().to_csv(_out(args, "seir_trajectories.csv"), index=False)
     trajectory_stats(traj).toPandas().to_csv(
         _out(args, "seir_stats.csv"), index=False
     )
     write_pickle(
         _out(args, "seir_results.pickle"),
-        {"n_nodes": n_nodes, "n_edges": len(edge_list), "seeds": args.seeds},
+        {"n_nodes": n_nodes, "n_edges": n_edges, "seeds": args.seeds},
     )
     print(f"# seir: {args.seeds} seeds over {n_nodes} nodes", file=sys.stderr)
 
@@ -305,6 +341,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--graphml-max-edges", type=int, default=5_000_000,
         help="skip the driver-streamed GraphML sink above this edge count "
         "(the parquet IR is always written)",
+    )
+    p.add_argument(
+        "--seir-max-collect-edges", type=int, default=2_000_000,
+        help="above this edge count the SEIR sweep switches from the "
+        "driver-collected Gillespie fan-out to the distributed "
+        "discrete-time kernel (p = 1 - exp(-rate))",
     )
     p.add_argument("--seed", type=int, default=3696)
     p.add_argument("--seeds", type=int, default=10, help="SEIR seed-sweep width")

@@ -67,6 +67,30 @@ def test_cli_stages_end_to_end(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "seir_results.pickle"))
 
 
+def test_cli_seir_distributed_switch(spark, tmp_path):
+    """Forcing --seir-max-collect-edges below the demo network's edge
+    count routes the sweep through the distributed discrete-time kernel;
+    output artifacts keep the same shape (seed column, per-t stats)."""
+    import csv
+
+    out = str(tmp_path / "run_dist")
+    os.makedirs(out)
+    args = _args(out, ["--seir-max-collect-edges", "1"])
+    tables = cli.gen_tables(spark, args)
+    probs = cli.prob_matrix(spark, args, tables)
+    nodes, edges = cli.build_network(spark, args, tables, probs)
+    cli.seir_sweep(spark, args, nodes, edges)
+    with open(os.path.join(out, "seir_trajectories.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert {r["seed"] for r in rows} == {"0", "1"}
+    # discrete kernel: integer-valued t, conservation per row
+    for r in rows:
+        assert float(r["t"]) == int(float(r["t"]))
+        assert int(r["S"]) + int(r["E"]) + int(r["I"]) + int(r["R"]) == 120
+    with open(os.path.join(out, "seir_stats.csv")) as f:
+        assert f.readline().strip() == "t,avg_I,std_I,n_runs"
+
+
 def test_cli_stage_restart_reads_prior_ir(spark, tmp_path):
     """A later stage in a fresh invocation reuses the parquet IR."""
     out = str(tmp_path / "run2")
