@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .constants import SENTINEL_AGEB_13
 from .operators.colocation import colocation_edges, colocation_pairs
-from .operators.components import components_as_arrays, connected_components_star
+from .operators.components import connected_components_star
 from .operators.contacts import group_sizes
 from .operators.graphs import (
     sample_nodes,
@@ -50,7 +50,7 @@ from .plans.mobility import (
     attach_home,
     daily_home_winners,
     extract_day,
-    impute_neighbour_frequency,
+    impute_neighbour_frequency_labels,
     locate_pings,
     night_presence_scores,
     with_cells,
@@ -117,8 +117,10 @@ def gen_tables(spark, args) -> dict[str, DataFrame]:
     )
     if args.impute_rounds > 0:
         comp = connected_components_star(interactions, a_col="a_caid", b_col="b_caid")
-        homes = impute_neighbour_frequency(
-            homes, components_as_arrays(comp), rounds=args.impute_rounds
+        # long-label form: no component has to fit in a row (the arrays
+        # form is kept for the reference-parity workload query)
+        homes = impute_neighbour_frequency_labels(
+            homes, comp, rounds=args.impute_rounds
         )
     homes.write.mode("overwrite").parquet(_out(args, "homes.parquet"))
     interactions.write.mode("overwrite").parquet(_out(args, "interactions.parquet"))

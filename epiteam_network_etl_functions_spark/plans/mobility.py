@@ -262,7 +262,11 @@ def impute_neighbour_frequency(
     """Neighbour-frequency imputation (home_ageb_imputers.py:120-206):
     devices with sentinel homes inherit the most frequent home among their
     component neighbours. The reference's ARRAY_CONTAINS theta join (J8)
-    becomes explode + equi-join — hash join instead of nested-loop."""
+    becomes explode + equi-join — hash join instead of nested-loop.
+
+    Takes the reference's array component form — each component must fit
+    in a row; :func:`impute_neighbour_frequency_labels` is the unbounded
+    variant over long (node, component) labels."""
     # Stable component ids: hash of the sorted member list (a monotonic id
     # would be nondeterministic across retries).
     member = components.select(
@@ -271,6 +275,40 @@ def impute_neighbour_frequency(
         ),
         F.explode(F.col(comp_col)).alias(id_col),
     )
+    return _impute_by_member(homes, member, id_col, home_col, sentinel, rounds)
+
+
+def impute_neighbour_frequency_labels(
+    homes: DataFrame,
+    labels: DataFrame,
+    id_col: str = "caid",
+    home_col: str = "home_ageb",
+    node_col: str = "node_id",
+    comp_col: str = "component_id",
+    sentinel: str = SENTINEL_AGEB_13,
+    rounds: int = 6,
+) -> DataFrame:
+    """The 100 TB form of neighbour-frequency imputation: consumes
+    connected_components_star's long (node_id, component_id) labels
+    directly — no component ever has to fit in a row, so the
+    components_as_arrays ceiling is off the product path entirely. The
+    component id (the component's min node id) is deterministic, and it is
+    only a grouping key: the fill choice per component is (count DESC,
+    home ASC), so arrays and labels entry points yield identical output."""
+    member = labels.select(
+        F.col(comp_col).alias("__comp_id"), F.col(node_col).alias(id_col)
+    )
+    return _impute_by_member(homes, member, id_col, home_col, sentinel, rounds)
+
+
+def _impute_by_member(
+    homes: DataFrame,
+    member: DataFrame,
+    id_col: str,
+    home_col: str,
+    sentinel: str,
+    rounds: int,
+) -> DataFrame:
     cur = homes
     prev_cached = None
     for _ in range(rounds):

@@ -146,6 +146,52 @@ def test_neighbour_frequency_impute(spark):
     assert got["A"] == "0901200010010"
 
 
+def test_neighbour_frequency_labels_matches_arrays(spark):
+    """The long-label entry point (no component-fits-in-a-row ceiling)
+    fills identically to the reference-shaped arrays form — including
+    multi-round propagation through a chained component structure."""
+    from epiteam_network_etl_functions_spark.operators.components import (
+        components_as_arrays,
+        connected_components_star,
+    )
+    from epiteam_network_etl_functions_spark.plans.mobility import (
+        impute_neighbour_frequency_labels,
+    )
+
+    homes = spark.createDataFrame(
+        [
+            Row(caid="A", home_ageb="0901200010010"),
+            Row(caid="B", home_ageb="0901200010010"),
+            Row(caid="C", home_ageb="1501200010020"),
+            Row(caid="D", home_ageb=SENTINEL_AGEB_13),
+            Row(caid="E", home_ageb=SENTINEL_AGEB_13),  # isolated
+            Row(caid="F", home_ageb="1501200010020"),
+            Row(caid="G", home_ageb=SENTINEL_AGEB_13),
+        ]
+    )
+    edges = spark.createDataFrame(
+        [
+            Row(a_id="A", b_id="B"), Row(a_id="B", b_id="C"),
+            Row(a_id="C", b_id="D"), Row(a_id="F", b_id="G"),
+        ]
+    )
+    labels = connected_components_star(edges)
+    via_labels = {
+        r["caid"]: r["home_ageb"]
+        for r in impute_neighbour_frequency_labels(homes, labels, rounds=3).collect()
+    }
+    via_arrays = {
+        r["caid"]: r["home_ageb"]
+        for r in impute_neighbour_frequency(
+            homes, components_as_arrays(labels), rounds=3
+        ).collect()
+    }
+    assert via_labels == via_arrays
+    assert via_labels["D"] == "0901200010010"
+    assert via_labels["G"] == "1501200010020"
+    assert via_labels["E"] == SENTINEL_AGEB_13
+
+
 def test_locate_pings_broadcast_join(spark):
     dim = cells_to_regions_dim(
         spark.createDataFrame([Row(cells=["g12:x:y"], cve_geo="R9")])
