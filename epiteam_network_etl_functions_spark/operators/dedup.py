@@ -130,14 +130,19 @@ def jaccard_verify(
         # the union term and deflate Jaccard.
         .agg(F.collect_set(shingle_col).alias("__set"))
     )
+    # shuffle_hash pinned: the planner sees sets' ROW count (small) but
+    # each row carries a shingle ARRAY — broadcasting it OOMs the driver
+    # once the candidate population grows (observed at 50k docs / 10-way
+    # replica clusters). Same size-misestimate defense as the co-location
+    # kernel's self-join.
     sa = sets.select(F.col(id_col).alias("a_id"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("b_id"), F.col("__set").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     union = F.size("__sa") + F.size("__sb") - inter
     jac = F.round(inter.cast("double") / union, 6)
     return (
-        candidates.join(sa, "a_id")
-        .join(sb, "b_id")
+        candidates.join(sa.hint("shuffle_hash"), "a_id")
+        .join(sb.hint("shuffle_hash"), "b_id")
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
