@@ -68,6 +68,40 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str],
+    min_tokens: int = 5,
+    max_stop_ratio: float = 0.5,
+    min_uniq_ratio: float = 0.2,
+) -> DataFrame:
+    """Per-document quality gate (the pre-training filter shape: Gopher/
+    C4-style length + stopword + repetition heuristics): stopword ratio,
+    uniqueness ratio, token count, and the combined keep flag. Pure
+    per-row array arithmetic — zero shuffles, fully pushdown-friendly."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    uniq_ratio = F.round(n_distinct / n_tokens, 6)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        (
+            (n_tokens >= F.lit(min_tokens))
+            & (stop_ratio <= F.lit(max_stop_ratio))
+            & (uniq_ratio >= F.lit(min_uniq_ratio))
+        ).alias("keep"),
+    )
+
+
 def lexicon_hits(toks: Column, lexicon: Sequence[str]) -> Column:
     """Occurrences of lexicon words in the token array (with multiplicity)."""
     arr = F.array(*[F.lit(w) for w in lexicon])

@@ -62,6 +62,7 @@ DEMOTED: tuple[str, ...] = (
     "top_return_customers",  # top-k join via top_unshipped_orders
     "except_day_users",  # set-op family via union_two_days / anti_join_quiet_users
     "bucket_counts_approx",  # rows-only approx variant; exact bucket_counts is the oracle
+    "doc_quality",  # per-row ratio kernel via doc_token_stats
 )
 
 

@@ -22,6 +22,7 @@ from ..operators.text import (
     doc_stats,
     explode_shingles,
     fingerprint,
+    quality_scores,
 )
 from ..session import prep
 from . import query
@@ -152,6 +153,35 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive bag-of-words fingerprint (md5 of sorted distinct
     tokens) — content-based grouping key."""
     return fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+STOPWORDS = ("a", "the")
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> list_contains(['a', 'the'], x)))
+               AS n_stopwords,
+           round(len(list_filter(toks, x -> list_contains(['a', 'the'], x)))
+                 * 1.0 / len(toks), 6) AS stop_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS uniq_ratio,
+           (len(toks) >= 5
+            AND round(len(list_filter(toks, x -> list_contains(['a', 'the'], x)))
+                      * 1.0 / len(toks), 6) <= 0.5
+            AND round(len(list_distinct(toks)) * 1.0 / len(toks), 6) >= 0.2)
+               AS keep
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate (stopword ratio + uniqueness + length — the Gopher/C4
+    pre-training filter shape) over the documents table; per-row array
+    arithmetic, zero shuffles."""
+    return quality_scores(_docs(spark, sf_dir), "doc_id", "text", STOPWORDS)
 
 
 @query(
