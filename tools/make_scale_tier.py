@@ -50,8 +50,20 @@ def main() -> None:
         ) TO '{out}/documents.parquet' (FORMAT parquet)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+            SELECT e.vec_id + 1000000 * r.rep AS vec_id,
+                   list_transform(e.embedding,
+                       x -> CAST(x + 0.001 * r.rep AS FLOAT)) AS embedding,
+                   e.label
+            FROM read_parquet('{src}/embeddings.parquet') e
+            CROSS JOIN (SELECT unnest(range({n})) AS rep) r
+        ) TO '{out}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "embeddings"):
+              "lineitem"):
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"COPY (SELECT * FROM read_parquet('{p}')) TO '{out}/{t}.parquet' (FORMAT parquet)")
