@@ -63,6 +63,7 @@ DEMOTED: tuple[str, ...] = (
     "except_day_users",  # set-op family via union_two_days / anti_join_quiet_users
     "bucket_counts_approx",  # rows-only approx variant; exact bucket_counts is the oracle
     "doc_quality",  # per-row ratio kernel via doc_token_stats
+    "interval_join_events",  # tail by choice: the 50-prefix stays pinned to the reference product stages
 )
 
 

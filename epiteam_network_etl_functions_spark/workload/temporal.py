@@ -277,3 +277,46 @@ def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_gap_secs"
         ),
     )
+
+
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT p.event_id, s.sig_event_id
+    FROM events p
+    JOIN (
+        SELECT user_id, ts AS start_ts,
+               ts + INTERVAL 48 HOUR AS end_ts,
+               event_id AS sig_event_id
+        FROM events WHERE event_type = 'signup'
+    ) s
+    ON p.user_id = s.user_id
+       AND p.ts >= s.start_ts AND p.ts < s.end_ts
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join at scale: every event matched to each of the
+    user's 48-hour post-signup windows via the bucketed interval join
+    (operators/rangejoin.py — hash join on (user, time-bucket), never a
+    BroadcastNestedLoop). The DuckDB oracle is the bare theta join, so the
+    differential proves the bucketed decomposition IS the containment
+    semantics."""
+    from ..operators.rangejoin import interval_join
+
+    e = _events(spark, sf_dir)
+    points = e.select("user_id", "ts", "event_id")
+    intervals = (
+        e.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("end_ts"),
+            F.col("event_id").alias("sig_event_id"),
+        )
+    )
+    out = interval_join(
+        points, intervals,
+        ts_col="ts", start_col="start_ts", end_col="end_ts",
+        keys=["user_id"], bucket_seconds=48 * 3600,
+    )
+    return out.select("event_id", "sig_event_id")
