@@ -67,6 +67,20 @@ def test_cli_stages_end_to_end(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "seir_results.pickle"))
 
 
+def test_cli_graphml_cap_skips_sink(spark, tmp_path):
+    """--graphml-max-edges 0 skips the driver-streamed XML sink but still
+    writes the parquet IR (the scale artifact)."""
+    out = str(tmp_path / "run_cap")
+    os.makedirs(out)
+    args = _args(out, ["--graphml-max-edges", "0"])
+    tables = cli.gen_tables(spark, args)
+    probs = cli.prob_matrix(spark, args, tables)
+    nodes, edges = cli.build_network(spark, args, tables, probs)
+    assert not os.path.exists(os.path.join(out, "network.graphml"))
+    assert os.path.exists(os.path.join(out, "network_edges.parquet"))
+    assert nodes.count() == 120
+
+
 def test_cli_seir_distributed_switch(spark, tmp_path):
     """Forcing --seir-max-collect-edges below the demo network's edge
     count routes the sweep through the distributed discrete-time kernel;
