@@ -38,6 +38,7 @@ from .operators.components import connected_components_star
 from .operators.contacts import group_sizes
 from .operators.graphs import (
     sample_nodes,
+    sample_nodes_distributed,
     sbm_edges,
     sbm_edges_binomial,
     scale_sizes,
@@ -171,15 +172,17 @@ def build_network(spark, args, tables: dict | None, probs: DataFrame | None):
         for r in group_sizes(homes, block_col="home_ageb", id_col="caid").collect()
     }
     scaled = scale_sizes(sizes, max(args.scale, len(sizes)))
-    nodes = sample_nodes(scaled, spark)
     prob_table = probs.selectExpr(
         "a_home_ageb AS a_block", "b_home_ageb AS b_block", "prob"
     )
     if sum(scaled.values()) > 50_000:
-        # beyond the n² candidate-join regime: binomial per-chunk counts,
-        # identical edge distribution, output-sized work
+        # beyond the n² candidate-join regime: distributed node table +
+        # binomial per-chunk counts — identical layout and edge
+        # distribution, output-sized work, O(n_blocks) driver state
+        nodes = sample_nodes_distributed(scaled, spark)
         edges = sbm_edges_binomial(scaled, prob_table, spark, seed=args.seed)
     else:
+        nodes = sample_nodes(scaled, spark)
         edges = sbm_edges(nodes, prob_table, seed=args.seed)
     edges.write.mode("overwrite").parquet(_out(args, "network_edges.parquet"))
     nodes.write.mode("overwrite").parquet(_out(args, "network_nodes.parquet"))

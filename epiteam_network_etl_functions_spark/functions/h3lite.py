@@ -97,13 +97,10 @@ def grid_distance(a: str, b: str) -> int:
 
 def grid_disk(cell: str, k: int) -> list[str]:
     """All cells within k hops, origin included — 1 + 3k(k+1) cells
-    (h3.grid_disk API shape)."""
+    (h3.grid_disk API shape). Shares :func:`disk_offsets` so the Python
+    disk and the SQL-side ring expansion can never desynchronize."""
     res, q, r = _parse(cell)
-    out = []
-    for dq in range(-k, k + 1):
-        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
-            out.append(f"x{res}:{q + dq}:{r + dr}")
-    return out
+    return [f"x{res}:{q + dq}:{r + dr}" for dq, dr in disk_offsets(k)]
 
 
 def disk_offsets(k: int) -> list[tuple[int, int]]:

@@ -109,6 +109,29 @@ def sbm_edges(
     )
 
 
+def sample_nodes_distributed(scaled: dict[str, int], spark) -> DataFrame:
+    """The same contiguous sorted-block node table as ``sample_nodes``,
+    generated WITHOUT the driver-side Python list: spark.range(total)
+    joined to the broadcast block-boundary table on containment. At
+    10⁷+ nodes the list-based builder spends minutes of single-threaded
+    driver time and GBs of heap; this is O(n_blocks) driver work."""
+    ranges = block_ranges(scaled)
+    total = sum(scaled.values())
+    bounds = spark.createDataFrame(
+        [(b, lo, lo + n) for b, (lo, n) in ranges.items()],
+        "block string, __lo long, __hi long",
+    )
+    return (
+        spark.range(total)
+        .withColumnRenamed("id", "node_id")
+        .join(
+            F.broadcast(bounds),
+            (F.col("node_id") >= F.col("__lo")) & (F.col("node_id") < F.col("__hi")),
+        )
+        .select("node_id", "block")
+    )
+
+
 def block_ranges(scaled: dict[str, int]) -> dict[str, tuple[int, int]]:
     """block -> (start_id, size) for the contiguous sorted-block node
     layout that ``sample_nodes`` realizes. Shared so the binomial edge
@@ -219,6 +242,15 @@ def sbm_edges_binomial(
             a_start, n_a = ranges[a_b]
             b_start, n_b = ranges[b_b]
             n_pairs = n_a * (n_a - 1) // 2 if a_b == b_b else n_a * n_b
+            if n_pairs >= 2**53:
+                # _decode_same_block's sqrt initialization loses exactness
+                # past float53; fail loudly instead of silently corrupting
+                # the pair decode (duplicate/missing edges).
+                raise ValueError(
+                    f"block pair ({a_b}, {b_b}) has {n_pairs} candidate pairs"
+                    " >= 2^53 — beyond the exact float decode range; shard"
+                    " the block or extend the decoder to integer bisection"
+                )
             if n_pairs > 0:
                 pair_rows.append(
                     (a_b, b_b, a_start, n_a, b_start, n_b, n_pairs, min(p, 1.0))

@@ -173,6 +173,8 @@ def sample_frames(
     skew hazard at 100 TB (one long video -> thousands of rows in one
     task): keep payloads row-group-sized upstream and repartition on
     (doc_id, frame_idx) before any per-frame shuffle work."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     frame_bytes = 64
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

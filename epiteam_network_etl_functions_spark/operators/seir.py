@@ -158,14 +158,19 @@ def seir_gillespie(
         t += rng.exponential(1.0 / total)
         if t > t_max:
             break
-        node = int(np.searchsorted(np.cumsum(rate), rng.random() * total, side="right"))
-        if node >= n_nodes or rate[node] <= 0.0:
-            # Float edge: cumsum's sequential accumulation can disagree with
-            # rate.sum()'s pairwise sum, landing the draw past the last
-            # positive-rate slot. Re-draw (exponential waits are memoryless)
-            # rather than clamping into a zero-rate node's transition branch,
-            # which would re-run I->R on a recovered node and double-decrement
-            # neighbour pressure.
+        # Float edge: cumsum's sequential accumulation can disagree with
+        # rate.sum()'s pairwise sum, landing the draw past the last
+        # positive-rate slot. Re-draw only the NODE (not the waiting time —
+        # t already advanced; adding a second Exp(total) would overshoot)
+        # rather than clamping into a zero-rate node's transition branch,
+        # which would re-run I->R on a recovered node and double-decrement
+        # neighbour pressure.
+        cum = np.cumsum(rate)
+        for _ in range(100):
+            node = int(np.searchsorted(cum, rng.random() * total, side="right"))
+            if node < n_nodes and rate[node] > 0.0:
+                break
+        else:  # pragma: no cover - total inconsistent with every draw
             total = float(rate.sum())
             continue
         s = state[node]

@@ -30,9 +30,18 @@ def streaming_exact_dedup(
     through (state for their digest has been evicted) — the standard
     streaming-dedup contract; a periodic batch `exact_dedup_groups` pass
     sweeps those.
+
+    NULL text is NOT deduplicated: md5(NULL) is NULL and the stateful
+    dedup treats null keys as equal, which would silently collapse every
+    decode-failure row into one survivor — each null row gets a unique
+    surrogate digest and passes through instead.
     """
     digested = stream.withColumn(
-        "__digest", F.md5(F.col(text_col).cast("binary"))
+        "__digest",
+        F.coalesce(
+            F.md5(F.col(text_col).cast("binary")),
+            F.concat(F.lit("∅:"), F.expr("uuid()")),
+        ),
     )
     return (
         digested.withWatermark(ts_col, watermark)

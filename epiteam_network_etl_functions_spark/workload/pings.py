@@ -637,9 +637,12 @@ def pings_impute_kring_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, tests/test_h3lite.py); the widening loop runs the same
     plans/mobility.impute_kring kernel as production."""
     # ONE celled subtree (12 staged projections over the md5-derived
-    # pings) feeds both the dim and the winners; cached because the
-    # imputer loop's resolved-union lineage references it per round.
-    p = _with_hex_cell(_pings(spark, sf_dir)).select("caid", "cell").cache()
+    # pings) feeds both the dim and the winners; localCheckpoint (eager),
+    # not cache(): the imputer loop's resolved-union lineage references it
+    # per round, and checkpoint blocks are freed with the RDD when the
+    # returned frame is dropped — a cache() here would pin executor
+    # storage for the rest of the session (one leak per invocation).
+    p = _with_hex_cell(_pings(spark, sf_dir)).select("caid", "cell").localCheckpoint()
     allc = p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
     homes = (
         top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")])

@@ -96,7 +96,10 @@ def label_centroids_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg probes dominate (each exploded row is a separate (label, pos)
     probe; here each input row feeds 64 accumulators of one group row)."""
     e = _emb(spark, sf_dir)
-    dim = e.select(F.size("embedding")).head()[0]  # plan-build time, tiny job
+    dim_row = e.select(F.size("embedding")).head()  # plan-build time, tiny job
+    if dim_row is None:
+        raise ValueError(f"embeddings table at {sf_dir} is empty")
+    dim = dim_row[0]
     wide = e.groupBy("label").agg(
         *[
             F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")

@@ -89,6 +89,30 @@ def test_sql_text_matches_python_in_spark(spark):
         assert r["cell"] == h3lite.latlng_to_cell(r["lat"], r["lon"], RES)
 
 
+def test_sql_steps_match_python_both_engines(spark):
+    """The STAGED form (axial_sql_steps — what the production hex query
+    and its DuckDB oracle actually run) pins to latlng_to_cell on both
+    engines, so a drift in any step text cannot pass the gates."""
+    steps = h3lite.axial_sql_steps("lat", "lon", RES)
+    # Spark: sequential projections
+    df = spark.createDataFrame([Row(lat=float(a), lon=float(o)) for a, o in POINTS])
+    for name, expr in steps:
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    for r in df.collect():
+        assert r["cell"] == h3lite.latlng_to_cell(r["lat"], r["lon"], RES)
+    # DuckDB: nested SELECTs over the same step exprs
+    con = duckdb.connect()
+    vals = ", ".join(f"({lat!r}, {lon!r})" for lat, lon in POINTS)
+    inner = (
+        f"SELECT CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon"
+        f" FROM (VALUES {vals}) AS t(lat, lon)"
+    )
+    for name, expr in steps:
+        inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
+    for lat, lon, *rest in con.execute(inner).fetchall():
+        assert rest[-1] == h3lite.latlng_to_cell(float(lat), float(lon), RES)
+
+
 @pytest.mark.skipif(HAVE_H3, reason="hex UDFs route to real h3 when installed")
 def test_hex_udfs_execute_h3lite_through_spark(spark):
     """The _h3.* call sites (latlng_to_cell / cell_to_latlng /
