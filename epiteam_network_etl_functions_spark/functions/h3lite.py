@@ -143,31 +143,16 @@ def axial_sql_steps(lat: str, lon: str, res: int, out: str = "cell") -> list[tup
 
 
 def axial_sql_exprs(lat: str, lon: str, res: int) -> str:
-    """SQL text computing this module's cell id from (lat, lon) columns —
-    parses identically in Spark SQL and DuckDB, and reproduces
-    :func:`latlng_to_cell` bit-for-bit (floor-based rounding, explicit
-    double casts so no engine falls into DECIMAL arithmetic). Emitted as a
-    single expression so callers can drop it into any SELECT."""
-    s = f"cast({_RES_SIZE[res]!r} as double)"
-    qf = f"((sqrt(cast(3.0 as double)) / cast(3.0 as double) * {lon}" \
-         f" - {lat} / cast(3.0 as double)) / {s})"
-    rf = f"((cast(2.0 as double) / cast(3.0 as double) * {lat}) / {s})"
-    yf = f"(- {qf} - {rf})"
-    rx = f"cast(floor({qf} + cast(0.5 as double)) as double)"
-    ry = f"cast(floor({yf} + cast(0.5 as double)) as double)"
-    rz = f"cast(floor({rf} + cast(0.5 as double)) as double)"
-    dx = f"abs({rx} - {qf})"
-    dy = f"abs({ry} - {yf})"
-    dz = f"abs({rz} - {rf})"
-    q = (
-        f"(CASE WHEN {dx} > {dy} AND {dx} > {dz}"
-        f" THEN - {ry} - {rz} ELSE {rx} END)"
-    )
-    r = (
-        f"(CASE WHEN NOT ({dx} > {dy} AND {dx} > {dz}) AND NOT ({dy} > {dz})"
-        f" THEN - {rx} - {ry} ELSE {rz} END)"
-    )
-    return (
-        f"concat('x{res}:', cast(cast({q} as bigint) as string), ':', "
-        f"cast(cast({r} as bigint) as string))"
-    )
+    """The :func:`axial_sql_steps` computation folded into ONE SQL
+    expression (each step name textually substituted by its definition) —
+    for contexts that can't stage intermediate columns. Derived from the
+    steps list, so the two SQL forms share a single source of truth and
+    cannot drift. Prefer the staged form in hot paths: the inline
+    expression re-expands qf/rf per term, which blows whole-stage
+    codegen's method limit (see axial_sql_steps)."""
+    env: dict[str, str] = {}
+    for name, expr in axial_sql_steps(lat, lon, res):
+        for prior, definition in env.items():
+            expr = expr.replace(prior, definition)
+        env[name] = f"({expr})"
+    return env["cell"]

@@ -236,7 +236,12 @@ def sbm_edges_binomial(
     blocks = sorted(ranges)
     for ai, a_b in enumerate(blocks):
         for b_b in blocks[ai:]:
-            p = p_map.get((a_b, b_b), p_map.get((b_b, a_b), 0.0))
+            # sorted orientation ONLY — sbm_edges joins probs on the
+            # (a_block, b_block) of the a_node < b_node pair, which is the
+            # sorted orientation under the contiguous layout, and treats a
+            # missing row as p=0. A reversed-entry fallback here would make
+            # the two samplers disagree on asymmetric prob tables.
+            p = p_map.get((a_b, b_b), 0.0)
             if p <= 0.0:
                 continue
             a_start, n_a = ranges[a_b]
@@ -260,21 +265,33 @@ def sbm_edges_binomial(
             [], "a_node long, b_node long, a_block string, b_block string"
         )
 
-    desc = spark.createDataFrame(
-        pair_rows,
+    # Chunk descriptors via a global spark.range over cumulative chunk
+    # offsets (the sample_nodes_distributed pattern) — NOT explode(
+    # sequence(...)): a single 10⁷-node block is ~12.5M chunks, and a
+    # sequence() array of that length is one ~100 MB row (OOM / sequence
+    # cap) while a range join is O(1) memory per row.
+    bounds_rows = []
+    base = 0
+    for a_b, b_b, a_start, n_a, b_start, n_b, n_pairs, p in pair_rows:
+        n_chunks = (n_pairs + chunk_pairs - 1) // chunk_pairs
+        bounds_rows.append(
+            (a_b, b_b, a_start, n_a, b_start, n_b, n_pairs, p, base, base + n_chunks)
+        )
+        base += n_chunks
+    bounds = spark.createDataFrame(
+        bounds_rows,
         "a_block string, b_block string, a_start long, n_a long, "
-        "b_start long, n_b long, n_pairs long, prob double",
+        "b_start long, n_b long, n_pairs long, prob double, "
+        "__base long, __hi long",
     )
     chunks = (
-        desc.withColumn(
-            "chunk",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    ((F.col("n_pairs") - 1) / F.lit(chunk_pairs)).cast("long"),
-                )
-            ),
+        spark.range(base)
+        .join(
+            F.broadcast(bounds),
+            (F.col("id") >= F.col("__base")) & (F.col("id") < F.col("__hi")),
         )
+        .withColumn("chunk", F.col("id") - F.col("__base"))
+        .drop("id", "__base", "__hi")
         # one chunk per task slice: each chunk is an independent draw, so
         # spreading them is the whole parallelism story
         .repartition(spark.sparkContext.defaultParallelism, "a_block", "b_block", "chunk")

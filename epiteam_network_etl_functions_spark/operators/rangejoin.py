@@ -36,6 +36,14 @@ def interval_join(
     (half-open: start <= ts < end), optionally also matching on ``keys``.
     Output carries all columns of both inputs (interval's start/end
     included); empty or inverted intervals match nothing."""
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        # a shared non-key column would survive the join twice and make any
+        # later reference AMBIGUOUS (or silently bind the wrong side)
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(overlap)}; "
+            "rename one side before joining"
+        )
     b_us = bucket_seconds * 1_000_000
     p = points.withColumn("__bucket", F.expr(f"unix_micros({ts_col}) div {b_us}"))
     i = (

@@ -81,6 +81,11 @@ def load_all() -> None:
     from . import pings  # noqa: F401
     from . import cdc  # noqa: F401
 
+    unknown = set(DEMOTED) - REGISTRY.keys()
+    if unknown:
+        # a typo'd/renamed DEMOTED entry would otherwise silently leave a
+        # proxy in the driver-certified 50-prefix and push a product stage out
+        raise RuntimeError(f"DEMOTED names not in REGISTRY: {sorted(unknown)}")
     ordered = [n for n in REGISTRY if n not in DEMOTED]
     ordered += [n for n in DEMOTED if n in REGISTRY]
     if list(REGISTRY) != ordered:

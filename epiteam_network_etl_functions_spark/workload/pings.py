@@ -94,10 +94,10 @@ def _pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cell -> 13-char cve_geo) for ~70% of realized cells; the unmapped 30%
-    exercise the sentinel and imputation paths."""
-    cells = _pings(spark, sf_dir).selectExpr(f"{_cell_sql()} AS cell").distinct()
+def _dim_from_cells(cells: DataFrame) -> DataFrame:
+    """(cell -> 13-char cve_geo) for ~70% of the given cells — ONE copy of
+    the region-code derivation, shared by the square and hex dims (the
+    DuckDB mirrors live in _DIM_CTE / _HEX_DIM_CTE)."""
     return cells.where(F.expr(f"{_hb_spark('cell', 'geo', 10)} < 7")).selectExpr(
         "cell",
         "concat('09', "
@@ -105,6 +105,13 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"lpad(cast({_hb_spark('cell', 'loc', 9000)} as string), 4, '0'), "
         f"lpad(cast({_hb_spark('cell', 'blk', 9000)} as string), 4, '0')) AS cve_geo",
     )
+
+
+def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell -> 13-char cve_geo) for ~70% of realized cells; the unmapped 30%
+    exercise the sentinel and imputation paths."""
+    cells = _pings(spark, sf_dir).selectExpr(f"{_cell_sql()} AS cell").distinct()
+    return _dim_from_cells(cells)
 
 
 # ---- shared DuckDB CTEs -----------------------------------------------------
@@ -590,14 +597,7 @@ def _hex_dim(celled: DataFrame) -> DataFrame:
     """(cell -> cve_geo) over an already hex-celled pings frame — takes the
     frame (not sf_dir) so callers share ONE celled subtree between the
     dim and the winners derivation."""
-    cells = celled.select("cell").distinct()
-    return cells.where(F.expr(f"{_hb_spark('cell', 'geo', 10)} < 7")).selectExpr(
-        "cell",
-        "concat('09', "
-        f"lpad(cast({_hb_spark('cell', 'mun', 900)} as string), 3, '0'), "
-        f"lpad(cast({_hb_spark('cell', 'loc', 9000)} as string), 4, '0'), "
-        f"lpad(cast({_hb_spark('cell', 'blk', 9000)} as string), 4, '0')) AS cve_geo",
-    )
+    return _dim_from_cells(celled.select("cell").distinct())
 
 
 @query(

@@ -217,6 +217,26 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(bands, "doc_id")
 
 
+def _near_dup_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
+    """(verified near-dup pairs, the cached frames backing them). Callers
+    that materialize downstream state (dedup_keepers' checkpointed labels)
+    should unpersist the returned caches when done."""
+    # The distinct-shingle table feeds four branches (signatures, both
+    # sides of the intersection join, sizes): cache it in memory. (Eager
+    # localCheckpoint was measured slower — serialization up front and it
+    # hides stats from the joins.)
+    sh = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
+    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    # cache the candidate pairs too: jaccard_verify references them three
+    # times (a-ids, b-ids, final join) and without materialization each
+    # reference re-runs the whole shingle->sig->band->join subtree.
+    cands = lsh_candidate_pairs(bands, "doc_id").cache()
+    return jaccard_verify(cands, sh, "doc_id", threshold=JACCARD_THRESHOLD), (sh, cands)
+
+
 @query(
     "near_dup_pairs",
     oracle=f"""
@@ -238,18 +258,8 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> band -> candidate join
     -> exact Jaccard verification at threshold 0.3."""
-    # The distinct-shingle table feeds four branches (signatures, both
-    # sides of the intersection join, sizes): cache it in memory. (Eager
-    # localCheckpoint was measured slower — serialization up front and it
-    # hides stats from the joins.)
-    sh = _shingled(spark, sf_dir).cache()
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
-    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    # cache the candidate pairs too: jaccard_verify references them three
-    # times (a-ids, b-ids, final join) and without materialization each
-    # reference re-runs the whole shingle->sig->band->join subtree.
-    cands = lsh_candidate_pairs(bands, "doc_id").cache()
-    return jaccard_verify(cands, sh, "doc_id", threshold=JACCARD_THRESHOLD)
+    pairs, _ = _near_dup_pipeline(spark, sf_dir)
+    return pairs
 
 
 @query(
@@ -292,8 +302,12 @@ def dedup_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the clustering semantics, not the implementation."""
     from ..operators.components import connected_components_star
 
-    pairs = near_dup_pairs_q(spark, sf_dir)
+    pairs, cached = _near_dup_pipeline(spark, sf_dir)
     labels = connected_components_star(pairs, a_col="a_id", b_col="b_id")
+    # labels are localCheckpointed by the component kernel — the upstream
+    # caches would otherwise leak one copy per invocation
+    for frame in cached:
+        frame.unpersist()
     return labels.select(
         F.col("node_id").alias("doc_id"),
         F.col("component_id").alias("keeper_id"),
