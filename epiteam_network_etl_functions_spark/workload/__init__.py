@@ -68,6 +68,7 @@ DEMOTED: tuple[str, ...] = (
     "semi_join_day_error_users",  # J2 semi join, driver-green r1-r3
     "approx_device_stats",  # HLL family also via bucket_counts_approx; driver-green r1-r3
     "salted_hot_key_counts",  # skew-salting kernel, driver-green r1-r3
+    "documents_profile",  # round-4 addition: keeps the prefix pinned to the 20 never-certified queries
 )
 
 

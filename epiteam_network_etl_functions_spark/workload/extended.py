@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import catalog
+from ..operators.profile import profile_oracle_sql
 from ..operators.similarity import as_double, cosine
 from ..operators.timebucket import bucket_sql
 from ..session import prep
@@ -387,3 +388,22 @@ def split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "documents_profile",
+    oracle=profile_oracle_sql("documents", _PROFILE_COLS),
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quality profile of the documents table (nulls, distincts,
+    min/max) in one aggregation pass — the report a curation pipeline logs
+    before/after every transform (the reference's analog is its per-stage
+    sanity counts, NetworkBuilder.py:83-84)."""
+    prep(spark)
+    from ..operators.profile import table_profile
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    return table_profile(docs, list(_PROFILE_COLS))
