@@ -1,0 +1,98 @@
+"""Bucketed co-location: the exchange-free flagship path.
+
+`colocation.py` pays one co-partitioned exchange per run (ReuseExchange
+feeds dedup and both self-join sides from a single shuffle). When the
+same presence table drives *many* downstream runs — daily interactions,
+contact matrices, empiric networks, all of §3.1/§3.2 — the 100 TB play
+is to pay that shuffle ONCE at write time: persist presence bucketed by
+the join keys, and every subsequent self-join planner-proves
+co-partitioning from the bucket spec and runs with NO exchange and NO
+sort before the join (bucket + sortBy metadata satisfy both).
+
+This mirrors the reference's own staging discipline (every stage
+materializes to parquet and is re-read by later stages,
+NetworkBuilder.py:120,151,209,260) — same materialization point, but the
+layout carries the partitioning proof, so re-reads skip the shuffle the
+reference re-pays inside DuckDB per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_presence_bucketed(
+    pings: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    id_col: str = "caid",
+    cell_col: str = "h3index_15",
+    tw_col: str = "tw",
+) -> None:
+    """Dedup (id, cell, tw) presence and persist it bucketed+sorted by the
+    co-location join keys. The distinct's shuffle doubles as the bucketing
+    shuffle (repartition by bucket keys first, same subset rule as the
+    in-flight kernel). n_buckets is a layout-time choice: at 100 TB size it
+    so each bucket's presence slice fits an executor (buckets are the unit
+    of join parallelism — too few caps cores, too many makes small files)."""
+    (
+        pings.select(id_col, cell_col, tw_col)
+        .repartition(F.col(cell_col), F.col(tw_col))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, cell_col, tw_col)
+        .sortBy(cell_col, tw_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def colocation_pairs_bucketed(
+    spark: SparkSession,
+    table: str,
+    id_col: str = "caid",
+    cell_col: str = "h3index_15",
+    tw_col: str = "tw",
+) -> DataFrame:
+    """Distinct ordered pairs from a bucketed presence table — identical
+    output to colocation_pairs, but the self-join reads both sides from the
+    bucket layout: zero exchanges and zero sorts before the join (the only
+    remaining shuffle is the output-sized pair distinct, which no layout
+    can remove). Verified by plan assertion in tests."""
+    p = spark.table(table)
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, on=[cell_col, tw_col])
+        .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"a_{id_col}"),
+            F.col(f"b.{id_col}").alias(f"b_{id_col}"),
+        )
+        .distinct()
+    )
+
+
+def colocation_edges_bucketed(
+    spark: SparkSession,
+    table: str,
+    id_col: str = "caid",
+    cell_col: str = "h3index_15",
+    tw_col: str = "tw",
+    weight_col: str = "n_windows",
+) -> DataFrame:
+    """Undirected weighted edges from a bucketed presence table (the
+    colocation_edges kernel minus its input exchange)."""
+    p = spark.table(table)
+    a, b = p.alias("a"), p.alias("b")
+    ai, bi = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    return (
+        a.join(b, on=[cell_col, tw_col])
+        .where(ai != bi)
+        .select(
+            F.least(ai, bi).alias(f"a_{id_col}"),
+            F.greatest(ai, bi).alias(f"b_{id_col}"),
+            F.col(tw_col),
+        )
+        .groupBy(f"a_{id_col}", f"b_{id_col}")
+        .agg(F.countDistinct(tw_col).alias(weight_col))
+    )
