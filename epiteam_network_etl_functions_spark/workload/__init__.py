@@ -69,6 +69,8 @@ DEMOTED: tuple[str, ...] = (
     "approx_device_stats",  # HLL family also via bucket_counts_approx; driver-green r1-r3
     "salted_hot_key_counts",  # skew-salting kernel, driver-green r1-r3
     "documents_profile",  # round-4 addition: keeps the prefix pinned to the 20 never-certified queries
+    "asof_next_error",  # round-4 addition, same reason
+    "asof_nearest_error",  # round-4 addition, same reason
 )
 
 

@@ -320,3 +320,104 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"], bucket_seconds=48 * 3600,
     )
     return out.select("event_id", "sig_event_id")
+
+
+_ERR_DEDUP_CTE = """
+    err AS (
+        SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC
+            ) AS rn
+            FROM events WHERE event_type = 'error'
+        ) WHERE rn = 1
+    )
+"""
+
+
+def _err_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-(user, ts) canonical 'error' rows (max event_id), mirroring
+    _ERR_DEDUP_CTE — SQL ASOF JOIN's pick among exact-ts duplicates is
+    engine-defined, so the differential needs a canonical right side."""
+    from ..operators.winners import top1_per_key
+
+    e = _events(spark, sf_dir)
+    return top1_per_key(
+        e.where(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("event_id").alias("err_event_id")
+        ),
+        ["user_id", "ts"],
+        [F.desc("err_event_id")],
+    )
+
+
+@query(
+    "asof_next_error",
+    oracle=f"""
+    WITH {_ERR_DEDUP_CTE}
+    SELECT e.event_id, e.user_id,
+           r.event_id AS next_error_id,
+           CASE WHEN r.event_id IS NULL THEN NULL
+                ELSE (epoch_us(r.ts) - epoch_us(e.ts)) // 1000000
+           END AS secs_until_error
+    FROM events e
+    ASOF LEFT JOIN err r ON e.user_id = r.user_id AND e.ts <= r.ts
+    """,
+)
+def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every event paired with the user's next 'error'
+    event at or after it (DuckDB's forward ASOF JOIN as the oracle — a
+    native cross-engine semantics check for the reversed-scan kernel)."""
+    from ..operators.asof import asof_join_forward
+
+    e = _events(spark, sf_dir)
+    left = e.select(F.col("event_id").alias("l_event_id"), "user_id", "ts")
+    right = _err_right(spark, sf_dir).withColumn("err_ts_us", F.unix_micros("ts"))
+    joined = asof_join_forward(
+        left, right,
+        key_cols=["user_id"], ts_col="ts",
+        payload_cols=["err_event_id", "err_ts_us"],
+    )
+    return joined.select(
+        F.col("l_event_id").alias("event_id"),
+        "user_id",
+        F.col("asof_err_event_id").alias("next_error_id"),
+        F.expr("(asof_err_ts_us - unix_micros(ts)) div 1000000").alias(
+            "secs_until_error"
+        ),
+    )
+
+
+@query(
+    "asof_nearest_error",
+    oracle=f"""
+    WITH {_ERR_DEDUP_CTE}
+    SELECT e.event_id, e.user_id,
+           CASE WHEN b.event_id IS NULL THEN f.event_id
+                WHEN f.event_id IS NULL THEN b.event_id
+                WHEN (epoch_us(f.ts) - epoch_us(e.ts))
+                     < (epoch_us(e.ts) - epoch_us(b.ts)) THEN f.event_id
+                ELSE b.event_id
+           END AS nearest_error_id
+    FROM events e
+    ASOF LEFT JOIN err b ON e.user_id = b.user_id AND e.ts >= b.ts
+    ASOF LEFT JOIN err f ON e.user_id = f.user_id AND e.ts <= f.ts
+    """,
+)
+def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (|Δts| minimizer, ties backward — the pandas
+    merge_asof 'nearest' contract). Oracle: both DuckDB ASOF directions +
+    the same closer-of-two CASE, so the tie rule is checked cross-engine."""
+    from ..operators.asof import asof_join_nearest
+
+    e = _events(spark, sf_dir)
+    left = e.select(F.col("event_id").alias("l_event_id"), "user_id", "ts")
+    joined = asof_join_nearest(
+        left, _err_right(spark, sf_dir),
+        key_cols=["user_id"], ts_col="ts",
+        payload_cols=["err_event_id"],
+    )
+    return joined.select(
+        F.col("l_event_id").alias("event_id"),
+        "user_id",
+        F.col("asof_err_event_id").alias("nearest_error_id"),
+    )
