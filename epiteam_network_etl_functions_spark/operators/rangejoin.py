@@ -63,3 +63,63 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open: overlap iff
+    l_start < r_end AND r_start < l_end), optionally keyed — the second
+    range-join shape (session-vs-session, outage-vs-campaign) Spark would
+    otherwise plan as a BroadcastNestedLoopJoin.
+
+    Same bucketed decomposition as :func:`interval_join`, except BOTH
+    sides explode to their covered buckets, so an overlapping pair can
+    meet in every shared bucket. Exactly-once is restored structurally
+    (no post-join dedup): a pair is emitted only in the bucket containing
+    ``max(l_start, r_start)`` — for an overlapping pair that bucket is
+    covered by both sides (max_start lies inside both intervals), and
+    there is exactly one such bucket. Cost: shuffle(each side ×
+    avg_buckets_per_interval); pick bucket_seconds near the typical
+    interval length, and AQE skew handling covers hot buckets.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"left and right share non-key columns {sorted(overlap)}; "
+            "rename one side before joining"
+        )
+    b_us = bucket_seconds * 1_000_000
+
+    def _explode(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.where(F.col(end) > F.col(start)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start}) div {b_us}"),
+                    F.expr(f"(unix_micros({end}) - 1) div {b_us}"),
+                )
+            ),
+        )
+
+    l = _explode(left, l_start, l_end)
+    r = _explode(right, r_start, r_end)
+    canonical = F.expr(
+        f"greatest(unix_micros({l_start}), unix_micros({r_start})) div {b_us}"
+    )
+    joined = (
+        l.join(r, ["__bucket", *keys], "inner")
+        .where(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bucket") == canonical)
+        )
+    )
+    return joined.drop("__bucket")

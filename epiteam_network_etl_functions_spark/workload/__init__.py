@@ -71,6 +71,7 @@ DEMOTED: tuple[str, ...] = (
     "documents_profile",  # round-4 addition: keeps the prefix pinned to the 20 never-certified queries
     "asof_next_error",  # round-4 addition, same reason
     "asof_nearest_error",  # round-4 addition, same reason
+    "overlap_windows_events",  # round-4 addition, same reason
 )
 
 

@@ -421,3 +421,50 @@ def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_err_event_id").alias("nearest_error_id"),
     )
+
+
+@query(
+    "overlap_windows_events",
+    oracle="""
+    SELECT s.sig_event_id, r.err_event_id
+    FROM (
+        SELECT user_id, ts AS s_start, ts + INTERVAL 48 HOUR AS s_end,
+               event_id AS sig_event_id
+        FROM events WHERE event_type = 'signup'
+    ) s
+    JOIN (
+        SELECT user_id AS r_user_id, ts AS r_start,
+               ts + INTERVAL 24 HOUR AS r_end, event_id AS err_event_id
+        FROM events WHERE event_type = 'error'
+    ) r
+    ON s.user_id = r.r_user_id
+       AND s.s_start < r.r_end AND r.r_start < s.s_end
+    """,
+)
+def overlap_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join at scale: each user's 48-hour
+    post-signup window matched to their overlapping 24-hour post-error
+    windows via the bucketed overlap decomposition (exactly-once at the
+    max-start bucket, no dedup). Oracle: the bare theta join."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    e = _events(spark, sf_dir)
+    sig = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 48 HOURS")).alias("s_end"),
+        F.col("event_id").alias("sig_event_id"),
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 24 HOURS")).alias("r_end"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    out = interval_overlap_join(
+        sig, err.withColumnRenamed("r_user_id", "user_id"),
+        l_start="s_start", l_end="s_end",
+        r_start="r_start", r_end="r_end",
+        keys=["user_id"], bucket_seconds=24 * 3600,
+    )
+    return out.select("sig_event_id", "err_event_id")
