@@ -72,6 +72,7 @@ DEMOTED: tuple[str, ...] = (
     "asof_next_error",  # round-4 addition, same reason
     "asof_nearest_error",  # round-4 addition, same reason
     "overlap_windows_events",  # round-4 addition, same reason
+    "events_quality_report",  # round-4 addition, same reason
 )
 
 

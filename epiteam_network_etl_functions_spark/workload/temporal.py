@@ -468,3 +468,54 @@ def overlap_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"], bucket_seconds=24 * 3600,
     )
     return out.select("sig_event_id", "err_event_id")
+
+
+@query(
+    "events_quality_report",
+    oracle="""
+    SELECT 'not_null' AS rule, 'user_id' AS target,
+           count(*) FILTER (WHERE user_id IS NULL) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'unique', 'event_id', count(*) - count(DISTINCT event_id)
+    FROM events
+    UNION ALL
+    SELECT 'unique', 'user_id,ts', count(*) - count(DISTINCT (user_id, ts))
+    FROM events
+    UNION ALL
+    SELECT 'in_range', 'value',
+           count(*) FILTER (WHERE value IS NOT NULL
+                            AND (value < 0 OR value > 250))
+    FROM events
+    UNION ALL
+    SELECT 'in_set', 'event_type',
+           count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+                            NOT IN ('click', 'view', 'purchase'))
+    FROM events
+    UNION ALL
+    SELECT 'matches', 'props',
+           count(*) FILTER (WHERE props IS NOT NULL
+                            AND NOT regexp_matches(props, '^\\{'))
+    FROM events
+    """,
+)
+def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over events (the reference's inline
+    asserts generalized, SURVEY.md §5) — all rules in one aggregation pass;
+    mix of passing and violated rules so the counts are non-degenerate."""
+    from ..operators.quality import (
+        check_rules, in_range, in_set, matches, not_null, unique,
+    )
+
+    e = _events(spark, sf_dir)
+    return check_rules(
+        e,
+        [
+            not_null("user_id"),
+            unique("event_id"),
+            unique("user_id", "ts"),
+            in_range("value", 0, 250),
+            in_set("event_type", ("click", "view", "purchase")),
+            matches("props", "^\\{"),
+        ],
+    )
