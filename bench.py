@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     # temporal
     "user_sessions",
     "asof_last_signup",
+    "asof_next_error",
+    "overlap_windows_events",
+    "events_quality_report",
     # the reference's §3.2 home-location product over derived pings
     # (imputer stages excluded: their iterative rounds cache internally,
     # so a timed re-count would not re-execute the real work)
