@@ -84,6 +84,27 @@ def main() -> None:
     final.write.mode("overwrite").partitionBy("split").parquet(
         os.path.join(out, "curated.parquet")
     )
+
+    # 5. ship gate + profile: declarative invariants on the shipped set
+    #    (one aggregation pass each; assert_rules raises on violation)
+    from epiteam_network_etl_functions_spark.operators.profile import table_profile
+    from epiteam_network_etl_functions_spark.operators.quality import (
+        assert_rules,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    assert_rules(
+        final,
+        [
+            unique("doc_id"),
+            not_null("text"),
+            in_set("split", ("train", "val", "test")),
+        ],
+    )
+    profile = table_profile(final, ["doc_id", "lang", "source", "split"])
+
     by_split = {r["split"]: r["n"] for r in final.groupBy("split").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     print(f"docs in: {n0}")
@@ -91,6 +112,13 @@ def main() -> None:
     print(f"after near-dup keepers: {curated.count()}")
     print(f"after quality gate: {kept.count()}")
     print(f"splits: {by_split}")
+    print("ship gate: unique/not_null/split-domain rules all pass")
+    for r in profile.collect():
+        print(
+            f"profile {r['column_name']}: nulls="
+            f"{r['n_rows'] - r['n_nonnull']} distinct={r['n_distinct']} "
+            f"range=[{r['min_val']}, {r['max_val']}]"
+        )
     print(f"curated parquet: {out}/curated.parquet")
     spark.stop()
 
