@@ -123,6 +123,16 @@ def gen_tables(spark, args) -> dict[str, DataFrame]:
         homes = impute_neighbour_frequency_labels(
             homes, comp, rounds=args.impute_rounds
         )
+    if args.quality_gate:
+        # Declarative stage gate (the reference's logged sanity counts,
+        # SURVEY.md §5, as enforced invariants): one agg pass per table.
+        from .operators.quality import assert_rules, matches, not_null, unique
+
+        assert_rules(homes, [unique("caid"), not_null("home_ageb"),
+                             matches("home_ageb", "^[0-9]{13}$")])
+        assert_rules(interactions, [not_null("a_caid"), not_null("b_caid")])
+        print("# gen-tables: quality gate passed (homes unique/13-char, "
+              "interactions non-null)", file=sys.stderr)
     homes.write.mode("overwrite").parquet(_out(args, "homes.parquet"))
     interactions.write.mode("overwrite").parquet(_out(args, "interactions.parquet"))
     located.write.mode("overwrite").parquet(_out(args, "located.parquet"))
@@ -339,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--rg", action="store_true",
                     help="radius-of-gyration + municipal rollup stage")
     p.add_argument("--min-accuracy", type=float, default=100.0)
+    p.add_argument("--quality-gate", action="store_true",
+                   help="enforce stage invariants (operators/quality) "
+                        "before writing gen-tables IR")
     p.add_argument("--bucket-seconds", type=int, default=600)
     p.add_argument("--impute-rounds", type=int, default=6)
     p.add_argument("--scale", type=int, default=1000, help="network node count")
