@@ -196,3 +196,80 @@ def ivf_probe_pruned(
     return cosine_topk_lit(
         cluster, query_vec, id_col, vec_col, exclude_id=exclude_id, k=k, digits=digits
     )
+
+
+def random_planes(dim: int, n_planes: int, seed: int = 3696) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-bit LSH (rounded to 6
+    decimals so the literals inlined into Spark and SQL oracles are
+    identical text). Seeded numpy — same convention as the reference's
+    fixed seeds (size_scalers.py:378)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def rp_bucket_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string: one bit per hyperplane, '1' iff
+    round(dot(vec, plane), 6) >= 0. The rounding pins the sign across
+    engines (sequential-fold vs pairwise summation can differ in the
+    last ulps; a bit only flips if |dot| < 5e-7, which the rounding
+    makes deterministic on both sides)."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(v) for v in p])
+        d = F.round(dot(as_double(vec_col), plane), 6)
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _hamming_probes(bucket_bits: str, radius: int) -> list[str]:
+    """All bucket strings within Hamming distance <= radius (driver-side;
+    1 + n + n(n-1)/2 ... buckets — radius stays small by design)."""
+    out = {bucket_bits}
+    frontier = {bucket_bits}
+    for _ in range(radius):
+        nxt = set()
+        for b in frontier:
+            for i in range(len(b)):
+                nxt.add(b[:i] + ("0" if b[i] == "1" else "1") + b[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return sorted(out)
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    probe_radius: int = 1,
+    exclude_id=None,
+    digits: int = 6,
+) -> DataFrame:
+    """ANN top-k via random-projection LSH: scan only corpus rows whose
+    sign-bit bucket is within ``probe_radius`` bit-flips of the query's
+    bucket, then exact cosine on the candidates (same rounded-score +
+    id tie-break total order as the brute force). The bucket column is a
+    pure projection, so the probe is one filtered corpus pass — at scale
+    the bucket becomes a partition/bucketBy column and the probe prunes
+    I/O exactly like the IVF path (1/2^n_planes per bucket, times the
+    probe count)."""
+    qb = "".join(
+        "1" if round(sum(float(a) * float(b) for a, b in zip(query_vec, p)), 6) >= 0
+        else "0"
+        for p in planes
+    )
+    probes = _hamming_probes(qb, probe_radius)
+    cand = corpus.withColumn("__bucket", rp_bucket_col(F.col(vec_col), planes))
+    cand = cand.where(F.col("__bucket").isin(probes))
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != F.lit(exclude_id))
+    return cosine_topk_lit(
+        cand.drop("__bucket"), query_vec, id_col, vec_col, k=k, digits=digits
+    )

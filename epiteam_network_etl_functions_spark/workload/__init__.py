@@ -73,6 +73,7 @@ DEMOTED: tuple[str, ...] = (
     "asof_nearest_error",  # round-4 addition, same reason
     "overlap_windows_events",  # round-4 addition, same reason
     "events_quality_report",  # round-4 addition, same reason
+    "rp_lsh_vec_buckets",  # round-4 addition, same reason
 )
 
 

@@ -230,3 +230,39 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     seeds = e.where(F.col("vec_id") < N_SEEDS)
     return ivf_assign(e, seeds, "vec_id", "embedding")
+
+
+from ..operators.similarity import random_planes
+
+RP_PLANES = random_planes(64, 8, seed=3696)
+
+
+def _rp_bucket_sql() -> str:
+    bits = []
+    for p in RP_PLANES:
+        lit = "list_value(" + ", ".join(repr(v) for v in p) + ")"
+        d = _DOT.format(a="embedding", b=lit)
+        bits.append(f"CASE WHEN round({d}, 6) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@query(
+    "rp_lsh_vec_buckets",
+    oracle=f"""
+    SELECT vec_id, {_rp_bucket_sql()} AS bucket
+    FROM embeddings
+    """,
+)
+def rp_lsh_vec_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection (sign-bit) LSH buckets — the hyperplane ANN path
+    beside IVF: 8 seeded deterministic planes, bucket = 8-bit sign string.
+    A pure projection (no shuffle); at scale the bucket is the partition /
+    bucketBy column and probes prune to bucket + Hamming-1 neighbours
+    (operators/similarity.rp_lsh_topk). Oracle inlines the identical plane
+    literals, so the sign arithmetic is checked cross-engine."""
+    from ..operators.similarity import rp_bucket_col
+
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id", rp_bucket_col(F.col("embedding"), RP_PLANES).alias("bucket")
+    )
