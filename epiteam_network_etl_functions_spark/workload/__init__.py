@@ -74,6 +74,7 @@ DEMOTED: tuple[str, ...] = (
     "overlap_windows_events",  # round-4 addition, same reason
     "events_quality_report",  # round-4 addition, same reason
     "rp_lsh_vec_buckets",  # round-4 addition, same reason
+    "session_window_counts",  # round-4 addition, same reason
 )
 
 

@@ -519,3 +519,56 @@ def events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             matches("props", "^\\{"),
         ],
     )
+
+
+@query(
+    "session_window_counts",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+               ) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) > {SESSION_GAP_S * 1_000_000}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + {SESSION_GAP_S * 1_000_000} AS end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the engine-internal
+    merging-session state machine) checked against a from-first-principles
+    lag/cumsum oracle. Boundary semantics: sessions MERGE when the next
+    event is at or before last_ts + gap (closed boundary — probed
+    empirically, pinned in tests/test_session_window.py), so the oracle's
+    new-session rule is strictly `> gap`, identical to the hand-built
+    sessionize."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
