@@ -75,6 +75,8 @@ DEMOTED: tuple[str, ...] = (
     "events_quality_report",  # round-4 addition, same reason
     "rp_lsh_vec_buckets",  # round-4 addition, same reason
     "session_window_counts",  # round-4 addition, same reason
+    "device_degrees",  # round-4 addition, same reason
+    "colocation_triangles",  # round-4 addition, same reason
 )
 
 

@@ -477,3 +477,64 @@ def union_two_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d1.unionByName(d2).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+_EDGES_CTE = f"""
+{_PRESENCE_CTE.strip()},
+edges AS (
+    SELECT DISTINCT least(a.user_id, b.user_id) AS a_user_id,
+           greatest(a.user_id, b.user_id) AS b_user_id
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id <> b.user_id
+)
+"""
+
+
+def _colocation_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _bucketed_presence(spark, sf_dir)
+    return colocation_edges(
+        p, id_col="user_id", cell_col="event_type", tw_col="tw"
+    ).select("a_user_id", "b_user_id")
+
+
+@query(
+    "device_degrees",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()}
+    SELECT node_id, count(*) AS degree FROM (
+        SELECT a_user_id AS node_id FROM edges
+        UNION ALL
+        SELECT b_user_id FROM edges
+    ) GROUP BY node_id
+    """,
+)
+def device_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-location network — the networkx-side
+    stat the reference logs on collected graphs, as a distributed plan
+    over the full edge list (operators/graphstats.degrees)."""
+    from ..operators.graphstats import degrees
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    return degrees(edges, "a_user_id", "b_user_id")
+
+
+@query(
+    "colocation_triangles",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()}
+    SELECT count(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.b_user_id = e2.a_user_id
+    JOIN edges e3 ON e3.a_user_id = e1.a_user_id
+                 AND e3.b_user_id = e2.b_user_id
+    """,
+)
+def colocation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique triangle count of the co-location network via the ordered
+    wedge join (m^1.5 algorithm, operators/graphstats.triangle_count) —
+    each triangle counted once under the a<b orientation; the oracle is
+    the same ordered 3-way join spelled as SQL."""
+    from ..operators.graphstats import triangle_count
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    return triangle_count(edges, "a_user_id", "b_user_id")

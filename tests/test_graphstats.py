@@ -1,0 +1,62 @@
+"""degrees / triangle_count on known graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark.operators.graphstats import (
+    degrees,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a_id long, b_id long"
+    )
+
+
+def test_degrees_triangle_on_k4(spark):
+    """K4: every node degree 3, C(4,3)=4 triangles."""
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    d = {r["node_id"]: r["degree"] for r in degrees(k4).collect()}
+    assert d == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert triangle_count(k4).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_free_graph(spark):
+    """C4 (square) has zero triangles; star has zero."""
+    c4 = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert triangle_count(c4).collect()[0]["n_triangles"] == 0
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+def test_triangles_exactly_once(spark):
+    """One triangle + pendant edges: counted once despite extra wedges."""
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 5)])
+    assert triangle_count(g).collect()[0]["n_triangles"] == 1
+
+
+def test_matches_random_reference(spark):
+    """Erdos-Renyi-ish random graph vs a pure-python triangle counter."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    pairs = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    eset = set(pairs)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    got = triangle_count(_edges(spark, pairs)).collect()[0]["n_triangles"]
+    assert got == want
+    dsum = sum(
+        r["degree"] for r in degrees(_edges(spark, pairs)).collect()
+    )
+    assert dsum == 2 * len(pairs)
