@@ -77,6 +77,7 @@ DEMOTED: tuple[str, ...] = (
     "session_window_counts",  # round-4 addition, same reason
     "device_degrees",  # round-4 addition, same reason
     "colocation_triangles",  # round-4 addition, same reason
+    "weighted_doc_sample",  # round-4 addition, same reason
 )
 
 

@@ -407,3 +407,44 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog.load(spark, sf_dir, "documents")
     return table_profile(docs, list(_PROFILE_COLS))
+
+
+def _hash_int_sql(id_expr: str, salt: str) -> str:
+    """The raw 48-bit md5 integer (hash_bucket without the mod)."""
+    digits = []
+    for i in range(12):
+        digits.append(
+            f"(strpos('0123456789abcdef', substr(md5('{salt}:' || "
+            f"CAST({id_expr} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        )
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"({acc} * 16 + {d})"
+    return acc
+
+
+@query(
+    "weighted_doc_sample",
+    oracle=f"""
+    SELECT doc_id, sample_key FROM (
+        SELECT doc_id,
+               round(pow(
+                   (CAST({_hash_int_sql('doc_id', 'wsample')} AS DOUBLE) + 0.5)
+                       / 281474976710656.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY sample_key DESC, doc_id DESC
+    LIMIT 50
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling (A-Res top-n with hash uniforms) —
+    the reference's np.random.choice(p=probs) scaling draw as a
+    corpus-side TakeOrdered; 50 docs weighted by n_chars. The oracle
+    replays the identical key arithmetic."""
+    from ..operators.sampling import weighted_sample_topn
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    out = weighted_sample_topn(docs, "doc_id", "n_chars", n=50)
+    return out.select("doc_id", "sample_key")
