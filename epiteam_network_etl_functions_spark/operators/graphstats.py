@@ -47,3 +47,40 @@ def triangle_count(
     closing = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("c"))
     closed = wedges.join(closing, ["a", "c"], "left_semi")
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def node_triangles(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """(node_id, n_triangles): per-node triangle membership. Each closed
+    wedge (a<b<c) contributes one triangle to each of its three nodes —
+    materialize the closed wedges once, explode the three roles, count."""
+    e1 = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e2 = edges.select(F.col(a_col).alias("b"), F.col(b_col).alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("c"))
+    closed = wedges.join(closing, ["a", "c"], "left_semi")
+    members = closed.selectExpr("explode(array(a, b, c)) AS node_id")
+    return members.groupBy("node_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficients(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id", digits: int = 6
+) -> DataFrame:
+    """(node_id, degree, n_triangles, clustering): local clustering
+    coefficient triangles / C(degree, 2); degree-1 nodes score 0.0.
+    Degrees and triangle memberships are two aggregations joined on the
+    node — both output-sized."""
+    d = degrees(edges, a_col, b_col)
+    t = node_triangles(edges, a_col, b_col)
+    joined = d.join(t, "node_id", "left").select(
+        "node_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    possible = (F.col("degree") * (F.col("degree") - 1) / 2.0)
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.round(F.col("n_triangles") / possible, digits),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("clustering", cc)

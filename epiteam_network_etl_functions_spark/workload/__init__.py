@@ -78,6 +78,7 @@ DEMOTED: tuple[str, ...] = (
     "device_degrees",  # round-4 addition, same reason
     "colocation_triangles",  # round-4 addition, same reason
     "weighted_doc_sample",  # round-4 addition, same reason
+    "colocation_clustering",  # round-4 addition, same reason
 )
 
 

@@ -538,3 +538,43 @@ def colocation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _colocation_edge_list(spark, sf_dir)
     return triangle_count(edges, "a_user_id", "b_user_id")
+
+
+@query(
+    "colocation_clustering",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    deg AS (
+        SELECT node_id, count(*) AS degree FROM (
+            SELECT a_user_id AS node_id FROM edges
+            UNION ALL
+            SELECT b_user_id FROM edges
+        ) GROUP BY node_id
+    ),
+    tri AS (
+        SELECT node_id, count(*) AS n_triangles FROM (
+            SELECT unnest([e1.a_user_id, e1.b_user_id, e2.b_user_id]) AS node_id
+            FROM edges e1
+            JOIN edges e2 ON e1.b_user_id = e2.a_user_id
+            JOIN edges e3 ON e3.a_user_id = e1.a_user_id
+                         AND e3.b_user_id = e2.b_user_id
+        ) GROUP BY node_id
+    )
+    SELECT d.node_id, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1) / 2.0), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN tri t USING (node_id)
+    """,
+)
+def colocation_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients of the co-location network
+    (triangles / C(degree,2) per node) — closed wedges materialized once,
+    exploded to their three member roles, joined to degrees. The oracle
+    replays the ordered 3-way join + unnest in SQL."""
+    from ..operators.graphstats import clustering_coefficients
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    return clustering_coefficients(edges, "a_user_id", "b_user_id")

@@ -60,3 +60,45 @@ def test_matches_random_reference(spark):
         r["degree"] for r in degrees(_edges(spark, pairs)).collect()
     )
     assert dsum == 2 * len(pairs)
+
+
+def test_clustering_coefficients(spark):
+    """Triangle with a pendant: triangle nodes cc depend on degree; the
+    pendant node (degree 1) scores 0."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        clustering_coefficients,
+    )
+
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    cc = {r["node_id"]: r for r in clustering_coefficients(g).collect()}
+    assert cc[1]["clustering"] == 1.0  # degree 2, 1 triangle / 1 possible
+    assert cc[2]["clustering"] == 1.0
+    assert cc[3]["degree"] == 3 and abs(cc[3]["clustering"] - 1 / 3) < 1e-6
+    assert cc[4]["degree"] == 1 and cc[4]["clustering"] == 0.0
+
+
+def test_node_triangles_match_networkx_free_reference(spark):
+    """Random graph: per-node triangle counts vs pure-python counting."""
+    import itertools
+    import random
+
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        node_triangles,
+    )
+
+    rng = random.Random(29)
+    nodes = list(range(25))
+    pairs = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.25
+    ]
+    eset = set(pairs)
+    want: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    got = {
+        r["node_id"]: r["n_triangles"]
+        for r in node_triangles(_edges(spark, pairs)).collect()
+    }
+    assert got == want
