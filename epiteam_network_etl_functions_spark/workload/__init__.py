@@ -79,6 +79,7 @@ DEMOTED: tuple[str, ...] = (
     "colocation_triangles",  # round-4 addition, same reason
     "weighted_doc_sample",  # round-4 addition, same reason
     "colocation_clustering",  # round-4 addition, same reason
+    "hopping_window_counts",  # round-4 addition, same reason
 )
 
 

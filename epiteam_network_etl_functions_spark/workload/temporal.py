@@ -572,3 +572,37 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    SELECT window_start_us, event_type, count(*) AS n_events FROM (
+        SELECT unnest([
+                   (epoch_us(ts) // 300000000) * 300000000 - 300000000,
+                   (epoch_us(ts) // 300000000) * 300000000
+               ]) AS window_start_us,
+               epoch_us(ts) AS us, event_type
+        FROM events
+    )
+    WHERE us >= window_start_us AND us < window_start_us + 600000000
+    GROUP BY window_start_us, event_type
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 10-minute windows every 5 minutes —
+    Spark's native overlapping `window(ts, '600 seconds', '300 seconds')`
+    (each event lands in exactly 2 windows, epoch-anchored) against an
+    explicit unnest-the-candidate-starts oracle."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "600 seconds", "300 seconds").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
