@@ -80,6 +80,7 @@ DEMOTED: tuple[str, ...] = (
     "weighted_doc_sample",  # round-4 addition, same reason
     "colocation_clustering",  # round-4 addition, same reason
     "hopping_window_counts",  # round-4 addition, same reason
+    "hourly_rollup_cascade",  # round-4 addition, same reason
 )
 
 

@@ -606,3 +606,38 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "hourly_rollup_cascade",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup with partial reuse: hourly counts computed
+    by RE-AGGREGATING epoch-anchored 10-minute window partials (the
+    continuous-aggregate / materialized-rollup pattern — at 100 TB the
+    10-minute table is materialized once and every coarser granularity
+    sums it instead of rescanning the facts). Exact because 600 s divides
+    3600 s and both grids are epoch-anchored; the origin-anchored tw
+    buckets (W5) canNOT nest this way — their grid is shifted by a
+    data-dependent origin, so a tw bucket can straddle an hour boundary.
+    Oracle: the direct hourly aggregation over the raw events."""
+    e = _events(spark, sf_dir)
+    tenmin = e.groupBy(
+        F.window("ts", "600 seconds").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tenmin.select(
+            F.expr(
+                "(unix_micros(w.start) div 3600000000) * 3600000000"
+            ).alias("hour_start_us"),
+            "event_type",
+            "n",
+        )
+        .groupBy("hour_start_us", "event_type")
+        .agg(F.sum("n").alias("n_events"))
+    )
