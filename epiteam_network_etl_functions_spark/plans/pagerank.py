@@ -79,3 +79,66 @@ def pagerank(
         if delta < tol:
             break
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every node
+    adopts the most frequent label among its neighbours each round (ties
+    break to the smallest label, making rounds deterministic — the
+    classic async/random variant is not reproducible, which disqualifies
+    it here). Returns (node_id, label); nodes sharing a label at
+    convergence form a community.
+
+    Same scale shape as :func:`pagerank`: cached bidirectional arcs, one
+    neighbour-join + two aggregations per round (count labels per
+    (node, label), then argmax per node via max_by), lineage checkpoints,
+    driver sees only the changed-node count. Deterministic synchronous
+    updates can oscillate on bipartite-ish structures, so the loop also
+    stops when the change count stops decreasing — standard practice."""
+    arcs = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        arcs.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+        .localCheckpoint()
+    )
+    prev_changed = None
+    for it in range(max_iter):
+        neigh = (
+            arcs.join(labels, arcs["dst"] == labels["node_id"])
+            .select("src", "label")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent neighbour label; ties -> smallest label
+        new_labels = (
+            neigh.groupBy("src")
+            .agg(F.expr("max_by(label, struct(n, -label))").alias("label"))
+            .select(F.col("src").alias("node_id"), "label")
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0 or (prev_changed is not None and changed >= prev_changed):
+            break
+        prev_changed = changed
+    return labels

@@ -65,3 +65,43 @@ def test_matches_numpy_power_iteration(spark, seed):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge: each clique converges to
+    its own label; communities = 2."""
+    from epiteam_network_etl_functions_spark.plans.pagerank import (
+        label_propagation,
+    )
+
+    c1 = list(itertools.combinations(range(0, 5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    bridge = [(4, 10)]
+    labels = {
+        r["node_id"]: r["label"]
+        for r in label_propagation(_edges(spark, c1 + c2 + bridge)).collect()
+    }
+    left = {labels[i] for i in range(0, 5)}
+    right = {labels[i] for i in range(10, 15)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_label_propagation_deterministic(spark):
+    from epiteam_network_etl_functions_spark.plans.pagerank import (
+        label_propagation,
+    )
+
+    rng = random.Random(41)
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(30), 2)
+        if rng.random() < 0.15
+    ]
+    df = _edges(spark, pairs)
+    a = {(r["node_id"], r["label"]) for r in label_propagation(df).collect()}
+    b = {
+        (r["node_id"], r["label"])
+        for r in label_propagation(df.repartition(7)).collect()
+    }
+    assert a == b
