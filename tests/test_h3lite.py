@@ -102,11 +102,14 @@ def test_sql_steps_match_python_both_engines(spark):
         assert r["cell"] == h3lite.latlng_to_cell(r["lat"], r["lon"], RES)
     # DuckDB: nested SELECTs over the same step exprs
     con = duckdb.connect()
-    vals = ", ".join(f"({lat!r}, {lon!r})" for lat, lon in POINTS)
-    inner = (
-        f"SELECT CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon"
-        f" FROM (VALUES {vals}) AS t(lat, lon)"
+    # string->double casts: bare literals parse as DECIMAL, whose
+    # DOUBLE conversion can differ from python's float by ulps (see
+    # test_h3lite_properties.test_sql_differential_random_points)
+    vals = ", ".join(
+        f"(CAST('{lat!r}' AS DOUBLE), CAST('{lon!r}' AS DOUBLE))"
+        for lat, lon in POINTS
     )
+    inner = f"SELECT lat, lon FROM (VALUES {vals}) AS t(lat, lon)"
     for name, expr in steps:
         inner = f"SELECT *, {expr} AS {name} FROM ({inner})"
     for lat, lon, *rest in con.execute(inner).fetchall():

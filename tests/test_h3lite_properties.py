@@ -58,9 +58,20 @@ def test_greedy_descent_realizes_distance(lat, lon, lat2, lon2):
 @given(points=st.lists(st.tuples(lat_s, lon_s), min_size=1, max_size=30))
 @settings(max_examples=25, deadline=None)
 def test_sql_differential_random_points(points):
+    # Inject via string->double casts: a bare numeric literal in VALUES is
+    # parsed as DECIMAL(17,15), and DuckDB's DECIMAL->DOUBLE conversion can
+    # land up to 2 ulp away from python's float() of the same string —
+    # the engines would receive DIFFERENT inputs, which is a harness bug,
+    # not an arithmetic divergence (found by hypothesis at
+    # lat=25.979074252547278: a cube-rounding tie flipped). String->double
+    # is IEEE-nearest in both engines, and the real gates feed parquet
+    # doubles, where no parse is involved at all.
     con = duckdb.connect()
     expr = h3lite.axial_sql_exprs("lat", "lon", RES)
-    vals = ", ".join(f"({lat!r}, {lon!r})" for lat, lon in points)
+    vals = ", ".join(
+        f"(CAST('{lat!r}' AS DOUBLE), CAST('{lon!r}' AS DOUBLE))"
+        for lat, lon in points
+    )
     rows = con.execute(
         f"SELECT {expr} FROM (VALUES {vals}) AS t(lat, lon)"
     ).fetchall()
