@@ -81,6 +81,7 @@ DEMOTED: tuple[str, ...] = (
     "colocation_clustering",  # round-4 addition, same reason
     "hopping_window_counts",  # round-4 addition, same reason
     "hourly_rollup_cascade",  # round-4 addition, same reason
+    "top_events_per_user",  # round-4 addition, same reason
 )
 
 

@@ -578,3 +578,36 @@ def colocation_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _colocation_edge_list(spark, sf_dir)
     return clustering_coefficients(edges, "a_user_id", "b_user_id")
+
+
+@query(
+    "top_events_per_user",
+    oracle="""
+    SELECT user_id, event_id, rnk FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id DESC
+               ) AS rnk
+        FROM events WHERE value IS NOT NULL
+    ) WHERE rnk <= 3
+    """,
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (k=3 by value) — the generalization of the W4
+    winner kernel. Spark 4 plans the rank<=k filter as WindowGroupLimit
+    Partial -> Exchange -> Final: each partition keeps only its local
+    top-3 per key BEFORE the shuffle, so the exchange carries O(k·groups)
+    rows, not the fact table — the property that makes per-key top-k
+    viable at 100 TB. Unique (value, event_id) tie-break keeps the cut
+    total on both engines."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
+    return (
+        e.where(F.col("value").isNotNull())
+        .select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
