@@ -82,6 +82,7 @@ DEMOTED: tuple[str, ...] = (
     "hopping_window_counts",  # round-4 addition, same reason
     "hourly_rollup_cascade",  # round-4 addition, same reason
     "top_events_per_user",  # round-4 addition, same reason
+    "event_cube_stats",  # round-4 addition, same reason
 )
 
 

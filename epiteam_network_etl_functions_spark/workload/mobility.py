@@ -611,3 +611,42 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "event_cube_stats",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
+)
+def event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping combinations in one pass —
+    Spark plans it as one Expand + single aggregate, not four scans);
+    completes the grouping-set family beside returns_rollup's ROLLUP.
+    NULL group keys are disambiguated to '(all)' on both engines, and
+    the money sum accumulates in exact integer cents."""
+    e = _events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select(
+            F.col("event_type"), day.alias("day"), cents.alias("__cents")
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cents").alias("value_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n_events",
+            "value_cents",
+        )
+    )
