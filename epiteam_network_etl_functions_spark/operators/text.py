@@ -138,6 +138,92 @@ def classify_by_lexicons(
     return scored.withColumn(out_col, pred)
 
 
+def occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring — pure string
+    arithmetic ((len - len_without) / len(needle)), identical in Spark and
+    ANSI SQL, no regex engine involved."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def language_id_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: Mapping[str, Sequence[str]],
+    pred_col: str = "pred_lang",
+) -> DataFrame:
+    """Character-n-gram language identification: score each language by the
+    total occurrence count of its marker n-grams (classic trigram-profile
+    heuristic), pick the argmax with declaration-order tie-break.
+
+    All work is per-row string arithmetic — no shuffle, no UDF — so at
+    100 TB this is a map-only pass that pipelines with the scan."""
+    text = F.col(text_col)
+    scored = df.select(
+        F.col(id_col),
+        *[
+            sum(
+                (occurrences(text, g) for g in grams[1:]),
+                occurrences(text, grams[0]),
+            ).alias(f"s_{name}")
+            for name, grams in profiles.items()
+        ],
+    )
+    names = list(profiles)
+    pred: Column = F.lit(names[-1])
+    for name in reversed(names[:-1]):
+        later = [f"s_{n}" for n in names[names.index(name) + 1 :]]
+        cond = None
+        for other in later:
+            c = F.col(f"s_{name}") >= F.col(other)
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(name)).otherwise(pred)
+    return scored.withColumn(pred_col, pred)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_docs: int,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
+    the standard sklearn formulation).
+
+    Plan shape: one shuffle for per-(doc, term) counts, one map-side-combined
+    shuffle for document frequency (vocabulary-sized output — broadcast back
+    onto the term counts), then a per-document window over at most
+    |vocab(doc)| rows. ``n_docs`` is injected as a literal (origin-scalar
+    idiom) so the plan stays a single declarative tree. Ranking orders by the
+    ROUNDED score so cross-engine float ulp drift cannot flip ranks; ties
+    resolve on the term itself."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))) + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df_docs", "score", "rnk")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive bag-of-words fingerprint: md5 of the sorted distinct
     token list (document fingerprinting for content-based grouping)."""

@@ -83,6 +83,8 @@ DEMOTED: tuple[str, ...] = (
     "hourly_rollup_cascade",  # round-4 addition, same reason
     "top_events_per_user",  # round-4 addition, same reason
     "event_cube_stats",  # round-4 addition, same reason
+    "doc_language_id",  # round-4 addition, same reason
+    "tfidf_top_terms",  # round-4 addition, same reason
 )
 
 

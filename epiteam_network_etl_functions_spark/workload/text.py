@@ -313,3 +313,104 @@ def dedup_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("keeper_id"),
         (F.col("node_id") == F.col("component_id")).alias("keep"),
     )
+
+
+# Character-trigram marker profiles for language ID (classic n-gram-profile
+# heuristic: function-word trigrams for latin scripts, pinyin markers for
+# zh). Declaration order is the argmax tie-break order.
+LANG_PROFILES = {
+    "en": (" th", "the", "he ", " an", "nd "),
+    "es": (" de", "de ", " la", "la ", " el"),
+    "fr": (" le", "le ", " et", "et ", " qu"),
+    "de": ("der", "er ", " un", "und", "ich"),
+    "zh": ("shi", "zhi", "ang", "eng", " wo"),
+}
+
+
+def _lang_score_sql(grams: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"CAST((length(text) - length(replace(text, '{g}', ''))) // {len(g)} AS BIGINT)"
+        for g in grams
+    )
+
+
+_LANG_SCORES_SQL = ",\n           ".join(
+    f"{_lang_score_sql(grams)} AS s_{name}" for name, grams in LANG_PROFILES.items()
+)
+
+
+def _lang_case_sql() -> str:
+    names = list(LANG_PROFILES)
+    whens = []
+    for i, name in enumerate(names[:-1]):
+        cond = " AND ".join(f"s_{name} >= s_{other}" for other in names[i + 1 :])
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+           {_LANG_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+           {_lang_case_sql()} AS pred_lang
+    FROM s
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID over `documents`, scored against the
+    table's labelled `lang` column. Map-only string arithmetic (no UDF, no
+    shuffle) — at 100 TB this pipelines with the scan. The synthetic corpus
+    shares one vocabulary across langs, so predictions aren't accurate here;
+    the differential locks the scoring + argmax kernel exactly."""
+    from ..operators.text import language_id_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = language_id_scores(
+        docs.select("doc_id", "lang", "text"), "doc_id", "text", LANG_PROFILES
+    )
+    return docs.select("doc_id", "lang").join(scored, "doc_id").select(
+        "doc_id", "lang", "s_en", "s_es", "s_fr", "s_de", "s_zh", "pred_lang"
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df_docs + 1.0)) + 1.0),
+                     6) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT scored.*, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df_docs, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed sklearn idf). Two shuffles
+    (term counts; vocabulary-sized document frequency broadcast back) plus a
+    per-document window. Ranks on the ROUNDED score so cross-engine float
+    ulp drift can't flip ranks (ties resolve on the term)."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    return tfidf_top_terms(docs, "doc_id", "text", n_docs=n_docs, k=3)

@@ -1,0 +1,61 @@
+"""Unit locks for the text kernels that parity alone under-constrains:
+argmax tie-break order (language ID) and TF-IDF rank determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark.operators.text import (
+    language_id_scores,
+    occurrences,
+    tfidf_top_terms,
+)
+
+
+def test_occurrences_non_overlapping(spark):
+    df = spark.createDataFrame([("aaaa",), ("xyx",), ("",)], ["t"])
+    got = [
+        r[0]
+        for r in df.select(occurrences(F.col("t"), "aa")).collect()
+    ]
+    # 'aaaa' -> 2 non-overlapping 'aa'; others 0
+    assert got == [2, 0, 0]
+
+
+def test_language_id_tie_breaks_in_declaration_order(spark):
+    profiles = {"en": ("zz",), "es": ("zz",), "fr": ("qq",)}
+    df = spark.createDataFrame([(1, "zz qq")], ["id", "text"])
+    row = language_id_scores(df, "id", "text", profiles).collect()[0]
+    # en and es tie at 1; declaration order means en wins
+    assert row["s_en"] == row["s_es"] == 1
+    assert row["pred_lang"] == "en"
+
+
+def test_language_id_argmax(spark):
+    profiles = {"en": ("aa",), "es": ("bb",)}
+    df = spark.createDataFrame([(1, "bb bb aa")], ["id", "text"])
+    row = language_id_scores(df, "id", "text", profiles).collect()[0]
+    assert row["pred_lang"] == "es"
+
+
+def test_tfidf_scores_and_ranks(spark):
+    # doc1: 'a a b' ; doc2: 'b c'.  N=2.
+    # df: a->1, b->2, c->1.
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    out = tfidf_top_terms(df, "doc_id", "text", n_docs=2, k=3).collect()
+    by_key = {(r["doc_id"], r["term"]): r for r in out}
+
+    def expected(tf, dfd, n=2):
+        return round(tf * (math.log((n + 1) / (dfd + 1)) + 1), 6)
+
+    assert by_key[(1, "a")]["score"] == expected(2, 1)
+    assert by_key[(1, "b")]["score"] == expected(1, 2)
+    assert by_key[(2, "c")]["score"] == expected(1, 1)
+    # within doc 1, 'a' (tf=2, rare) outranks 'b' (tf=1, common)
+    assert by_key[(1, "a")]["rnk"] == 1
+    assert by_key[(1, "b")]["rnk"] == 2
+    # equal rounded scores tie-break on the term: doc2 'b' vs 'c' differ, c rarer
+    assert by_key[(2, "c")]["rnk"] == 1
+    assert by_key[(2, "b")]["rnk"] == 2
