@@ -84,3 +84,44 @@ def clustering_coefficients(
         F.round(F.col("n_triangles") / possible, digits),
     ).otherwise(F.lit(0.0))
     return joined.withColumn("clustering", cc)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """k-core decomposition by iterative peeling: repeatedly delete nodes
+    with degree < k (and their edges) until a fixpoint. Returns
+    ``(core_degrees, rounds)`` where core_degrees is (node_id, core_degree)
+    for the surviving subgraph.
+
+    Each round is two semi-joins + one aggregation over the shrinking edge
+    list; lineage is truncated per round with localCheckpoint (the
+    components-kernel idiom) so the plan doesn't grow with iterations.
+    Convergence is detected by edge count, which strictly decreases until
+    the fixpoint — on a 100 TB edge list every round is shuffle-bounded by
+    the surviving edges, and the round count is bounded by the graph's
+    degeneracy ordering depth (small for real co-location graphs; the
+    returned ``rounds`` lets callers assert it)."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        deg = degrees(e, "a", "b").where(F.col("degree") >= k)
+        keep = deg.select("node_id")
+        e2 = (
+            e.join(keep.withColumnRenamed("node_id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node_id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+        rounds += 1
+    return degrees(e, "a", "b"), rounds

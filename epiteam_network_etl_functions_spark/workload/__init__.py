@@ -85,6 +85,7 @@ DEMOTED: tuple[str, ...] = (
     "event_cube_stats",  # round-4 addition, same reason
     "doc_language_id",  # round-4 addition, same reason
     "tfidf_top_terms",  # round-4 addition, same reason
+    "colocation_kcore",  # round-4 addition, same reason
 )
 
 

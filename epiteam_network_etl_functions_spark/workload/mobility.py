@@ -650,3 +650,51 @@ def event_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+KCORE_K = 18  # proper core at the driver's sf0.01 (145/150 nodes, 2 peel
+# rounds measured); below every sf0.001 degree so the small-sf gate sees
+# the empty-core path. Oracle unrolled to depth 8 >= any measured depth.
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = ["e0 AS MATERIALIZED (SELECT a_user_id AS a, b_user_id AS b FROM edges)"]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT node_id FROM (
+            SELECT a AS node_id FROM e{i} UNION ALL SELECT b FROM e{i}
+        ) GROUP BY node_id HAVING count(*) >= {k}
+    )"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+        SELECT * FROM e{i}
+        WHERE a IN (SELECT node_id FROM d{i})
+          AND b IN (SELECT node_id FROM d{i})
+    )"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {_EDGES_CTE.strip()},
+    {chain}
+    SELECT node_id, count(*) AS core_degree FROM (
+        SELECT a AS node_id FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    ) GROUP BY node_id
+    """
+
+
+@query("colocation_kcore", oracle=_kcore_oracle(KCORE_K, _KCORE_ROUNDS))
+def colocation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-location network (iterative peeling,
+    operators/graphstats.kcore): the standard graph-degeneracy screen for
+    dense contact clusters. Spark peels to the exact fixpoint; the oracle
+    unrolls the monotone peeling to a fixed depth that strictly dominates
+    the measured convergence (2 rounds at sf0.01), after which further
+    rounds are no-ops — so both sides compute the same core."""
+    from ..operators.graphstats import kcore
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    core_deg, _rounds = kcore(edges, KCORE_K, "a_user_id", "b_user_id")
+    return core_deg.select("node_id", F.col("degree").alias("core_degree"))

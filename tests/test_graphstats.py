@@ -102,3 +102,45 @@ def test_node_triangles_match_networkx_free_reference(spark):
         for r in node_triangles(_edges(spark, pairs)).collect()
     }
     assert got == want
+
+
+def _peel(edges, k):
+    from collections import defaultdict
+
+    E = set(edges)
+    while True:
+        deg = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            return E
+        E = E2
+
+def test_kcore_matches_bruteforce(spark):
+    from epiteam_network_etl_functions_spark.operators.graphstats import kcore
+
+    # triangle {1,2,3} + pendant chain 3-4-5: 2-core is exactly the triangle
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    core, rounds = kcore(df, 2)
+    got = {(r["node_id"], r["degree"]) for r in core.collect()}
+    expected_edges = _peel(edges, 2)
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for a, b in expected_edges:
+        deg[a] += 1
+        deg[b] += 1
+    assert got == set(deg.items())
+    assert rounds == 2  # 5 drops (deg 1), then 4 drops, then stable
+
+
+def test_kcore_empty_when_k_exceeds_degrees(spark):
+    from epiteam_network_etl_functions_spark.operators.graphstats import kcore
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
+    core, rounds = kcore(df, 3)
+    assert core.count() == 0
