@@ -131,3 +131,30 @@ def checkpoint(df: DataFrame, path: str) -> DataFrame:
     lineage and gives the optimizer fresh, accurate stats for what follows."""
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet sink: repartitionByRange + sortWithinPartitions
+    on ``order_cols`` before writing, so each output file covers a narrow,
+    disjoint range of the clustering key and parquet footer min/max stats
+    make point/range predicates skip whole files and row groups.
+
+    This is the layout lever Hive partitioning can't provide for
+    high-cardinality keys (timestamps, ids): partitioning by such a key
+    explodes into millions of directories, while range-clustering keeps
+    file count fixed and still gives the scan-pruning effect — the standard
+    data-layout discipline for a 100 TB time-series table. Row-group
+    pruning needs no engine cooperation beyond parquet stats, so DuckDB,
+    Trino, and Spark all benefit from the same files."""
+    parted = (
+        df.repartitionByRange(n_files, *order_cols)
+        if n_files
+        else df.repartitionByRange(*order_cols)
+    )
+    parted.sortWithinPartitions(*order_cols).write.mode(mode).parquet(path)

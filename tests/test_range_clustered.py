@@ -1,0 +1,71 @@
+"""write_range_clustered: files must cover disjoint key ranges (proven from
+parquet footers with pyarrow — engine-independent), and a point predicate
+must be satisfiable by at most one file's [min, max] span, which is what
+lets any stats-aware scanner (Spark, DuckDB, Trino) skip the rest."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark.sources.io import write_range_clustered
+
+
+def _file_spans(path: str, col: str):
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        lo = min(
+            meta.row_group(g).column(idx).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        hi = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        spans.append((lo, hi))
+    return spans
+
+
+def test_range_clustered_files_are_disjoint(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).select(
+        (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_range_clustered(df, path, ["k"], n_files=8)
+
+    spans = _file_spans(path, "k")
+    assert len(spans) == 8
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file ranges overlap — clustering broken"
+
+    # a point lookup is satisfiable by exactly one file's span
+    probe = spans[3][0]
+    covering = [s for s in spans if s[0] <= probe <= s[1]]
+    assert len(covering) == 1
+
+    # the data round-trips completely
+    assert spark.read.parquet(path).count() == 100_000
+
+
+def test_range_clustered_rowgroups_sorted_within_file(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 50_000).select(
+        (F.col("id") * 48271 % 99_991).alias("k")
+    )
+    write_range_clustered(df, path, ["k"], n_files=4)
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        # consecutive row groups must be non-overlapping and ascending,
+        # i.e. sortWithinPartitions actually ordered the rows
+        prev_max = None
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(0).statistics
+            if prev_max is not None:
+                assert st.min >= prev_max
+            prev_max = st.max
