@@ -86,6 +86,7 @@ DEMOTED: tuple[str, ...] = (
     "doc_language_id",  # round-4 addition, same reason
     "tfidf_top_terms",  # round-4 addition, same reason
     "colocation_kcore",  # round-4 addition, same reason
+    "volume_shipping",  # round-4 addition, same reason
 )
 
 

@@ -392,3 +392,70 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "lost_revenue", "n_items")
     )
+
+
+_VS_A = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+_VS_B = ("NATION_5", "NATION_6", "NATION_7", "NATION_8")
+
+
+def _sql_in(names: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{n}'" for n in names) + ")"
+
+
+@query(
+    "volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_REVENUE_SQL} AS revenue, count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer cu ON o.o_custkey = cu.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name IN {_sql_in(_VS_A)} AND n2.n_name IN {_sql_in(_VS_B)})
+        OR (n1.n_name IN {_sql_in(_VS_B)} AND n2.n_name IN {_sql_in(_VS_A)}))
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joined in TWO roles (supplier
+    side and customer side) with a disjunctive cross-dimension predicate —
+    the join-order stress the single-role star queries don't exercise.
+    Both nation roles broadcast; the disjunction stays a post-join filter
+    over two broadcast attaches (Catalyst can't split it into per-side
+    pushdowns without losing the cross-side coupling), so the only
+    exchanges at 100 TB remain lineitem⋈orders and ⋈customer. The
+    ship-date range IS pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = list(_VS_A), list(_VS_B)
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (F.col("supp_nation").isin(a) & F.col("cust_nation").isin(b))
+            | (F.col("supp_nation").isin(b) & F.col("cust_nation").isin(a))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
