@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     # approx variant (no oracle: HLL is engine-specific) — measured to show
     # the one-pass agg vs bucket_counts' exact two-phase distinct
     "bucket_counts_approx",
+    # round-4 additions: map-only language ID, two-shuffle TF-IDF + window
+    # limit, dual-role dimension join
+    "doc_language_id",
+    "tfidf_top_terms",
+    "volume_shipping",
 ]
 
 
