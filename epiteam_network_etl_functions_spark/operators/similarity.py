@@ -273,3 +273,60 @@ def rp_lsh_topk(
     return cosine_topk_lit(
         cand.drop("__bucket"), query_vec, id_col, vec_col, k=k, digits=digits
     )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    digits: int = 6,
+) -> DataFrame:
+    """Upper-triangular Gram / second-moment matrix of an embedding column:
+    (i, j, n_vecs, m_ij) with m_ij = round(mean(x_i * x_j), digits) for
+    i <= j — the building block for covariance/PCA over a distributed
+    corpus.
+
+    Scale shape: mapInPandas computes one d×d float64 partial per
+    PARTITION (numpy outer-product accumulation over Arrow batches), so
+    the shuffle carries `partitions × d(d+1)/2` rows — output-sized —
+    instead of the `n × d²` explosion a naive explode-self-join would
+    shuffle. The final groupBy sums partials; at 100 TB this is the only
+    exchange and its width is independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def partial(batches):
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(mat):
+                acc += mat.T @ mat
+                n += len(mat)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "s": acc[iu],
+                    "n": n,
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial, schema="i int, j int, s double, n long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n_vecs"))
+        .select(
+            "i",
+            "j",
+            "n_vecs",
+            F.round(F.col("s") / F.col("n_vecs"), digits).alias("m_ij"),
+        )
+    )

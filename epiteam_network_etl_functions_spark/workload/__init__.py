@@ -87,6 +87,7 @@ DEMOTED: tuple[str, ...] = (
     "tfidf_top_terms",  # round-4 addition, same reason
     "colocation_kcore",  # round-4 addition, same reason
     "volume_shipping",  # round-4 addition, same reason
+    "embedding_gram",  # round-4 addition, same reason
 )
 
 

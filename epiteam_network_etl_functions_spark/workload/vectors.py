@@ -266,3 +266,34 @@ def rp_lsh_vec_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", rp_bucket_col(F.col("embedding"), RP_PLANES).alias("bucket")
     )
+
+
+EMB_DIM = 64
+
+
+@query(
+    "embedding_gram",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j, count(*) AS n_vecs,
+           round(sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) / count(*),
+                 6) AS m_ij
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular second-moment (Gram) matrix of the embedding corpus
+    — the covariance/PCA building block (operators/similarity.gram_matrix).
+    Spark computes one d×d numpy partial per partition (mapInPandas) and
+    ships partitions×d² rows, never the n×d² explode the oracle's
+    self-join materializes — the differential proves the partial-sum
+    algebra against a structurally different evaluation."""
+    from ..operators.similarity import gram_matrix
+
+    return gram_matrix(_emb(spark, sf_dir), "embedding", EMB_DIM)

@@ -59,3 +59,25 @@ def test_tfidf_scores_and_ranks(spark):
     # equal rounded scores tie-break on the term: doc2 'b' vs 'c' differ, c rarer
     assert by_key[(2, "c")]["rnk"] == 1
     assert by_key[(2, "b")]["rnk"] == 2
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    out = gram_matrix(df, "embedding", 5)
+    got = {(r["i"], r["j"]): (r["n_vecs"], r["m_ij"]) for r in out.collect()}
+    expected = mat.astype(np.float64).T @ mat.astype(np.float64) / len(mat)
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), (n, m) in got.items():
+        assert n == 40 and i <= j
+        assert abs(m - round(expected[i - 1, j - 1], 6)) < 2e-6
