@@ -279,12 +279,13 @@ def gram_matrix(
     df: DataFrame,
     vec_col: str,
     dim: int,
-    digits: int = 6,
+    digits: int | None = 6,
 ) -> DataFrame:
     """Upper-triangular Gram / second-moment matrix of an embedding column:
     (i, j, n_vecs, m_ij) with m_ij = round(mean(x_i * x_j), digits) for
     i <= j — the building block for covariance/PCA over a distributed
-    corpus.
+    corpus. ``digits=None`` keeps the raw mean (for downstream operators
+    like :func:`correlation_matrix` that must not round intermediates).
 
     Scale shape: mapInPandas computes one d×d float64 partial per
     PARTITION (numpy outer-product accumulation over Arrow batches), so
@@ -320,6 +321,7 @@ def gram_matrix(
     partials = df.select(vec_col).mapInPandas(
         partial, schema="i int, j int, s double, n long"
     )
+    mean = F.col("s") / F.col("n_vecs")
     return (
         partials.groupBy("i", "j")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n_vecs"))
@@ -327,6 +329,48 @@ def gram_matrix(
             "i",
             "j",
             "n_vecs",
-            F.round(F.col("s") / F.col("n_vecs"), digits).alias("m_ij"),
+            (F.round(mean, digits) if digits is not None else mean).alias("m_ij"),
         )
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    digits: int = 5,
+) -> DataFrame:
+    """Upper-triangular Pearson correlation matrix of an embedding column:
+    corr_ij = (m_ij - mu_i mu_j) / sqrt((m_ii - mu_i²)(m_jj - mu_j²)),
+    built entirely from first/second moments so one formula serves both
+    engines (no stddev-function semantics to reconcile).
+
+    Plan: the second moments come from :func:`gram_matrix` (output-sized
+    mapInPandas partials); the first moments from posexplode + groupBy,
+    whose map-side partial aggregation also ships only partitions×d rows.
+    Both moment frames are d- or d²-sized, so every join here broadcasts."""
+    g = gram_matrix(df, vec_col, dim, digits=None)
+    mu = (
+        df.select(F.posexplode(as_double(F.col(vec_col))).alias("i", "v"))
+        .withColumn("i", F.col("i") + 1)
+        .groupBy("i")
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("mu"))
+    )
+    diag = g.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d_i"), F.col("m_ij").alias("m_d")
+    )
+    mu_i = mu.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
+    mu_j = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    d_i = diag.select(F.col("d_i").alias("i"), F.col("m_d").alias("m_ii"))
+    d_j = diag.select(F.col("d_i").alias("j"), F.col("m_d").alias("m_jj"))
+    corr = (F.col("m_ij") - F.col("mu_i") * F.col("mu_j")) / F.sqrt(
+        (F.col("m_ii") - F.col("mu_i") * F.col("mu_i"))
+        * (F.col("m_jj") - F.col("mu_j") * F.col("mu_j"))
+    )
+    return (
+        g.join(F.broadcast(mu_i), "i")
+        .join(F.broadcast(mu_j), "j")
+        .join(F.broadcast(d_i), "i")
+        .join(F.broadcast(d_j), "j")
+        .select("i", "j", "n_vecs", F.round(corr, digits).alias("corr"))
     )

@@ -88,6 +88,7 @@ DEMOTED: tuple[str, ...] = (
     "colocation_kcore",  # round-4 addition, same reason
     "volume_shipping",  # round-4 addition, same reason
     "embedding_gram",  # round-4 addition, same reason
+    "embedding_correlation",  # round-4 addition, same reason
 )
 
 

@@ -297,3 +297,44 @@ def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gram_matrix
 
     return gram_matrix(_emb(spark, sf_dir), "embedding", EMB_DIM)
+
+
+@query(
+    "embedding_correlation",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT i, sum(CAST(v AS DOUBLE)) / count(*) AS mu FROM ex GROUP BY i
+    ),
+    g AS (
+        SELECT a.i AS i, b.i AS j, count(*) AS n_vecs,
+               sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) / count(*) AS m
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT g.i, g.j, g.n_vecs,
+           round((g.m - m1.mu * m2.mu)
+                 / sqrt((d1.m - m1.mu * m1.mu) * (d2.m - m2.mu * m2.mu)),
+                 5) AS corr
+    FROM g
+    JOIN mu m1 ON m1.i = g.i
+    JOIN mu m2 ON m2.i = g.j
+    JOIN g d1 ON d1.i = g.i AND d1.j = g.i
+    JOIN g d2 ON d2.i = g.j AND d2.j = g.j
+    """,
+)
+def embedding_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the embedding dimensions — the
+    feature-redundancy screen a training pipeline runs before projecting.
+    Same moment formula on both engines (no stddev-builtin semantics to
+    reconcile); margins to the 5-decimal rounding boundary were measured
+    at >=1000x the cross-engine accumulation error before pinning the
+    round (operators/similarity.correlation_matrix)."""
+    from ..operators.similarity import correlation_matrix
+
+    return correlation_matrix(_emb(spark, sf_dir), "embedding", EMB_DIM)
