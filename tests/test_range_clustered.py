@@ -69,3 +69,65 @@ def test_range_clustered_rowgroups_sorted_within_file(spark, tmp_path):
             if prev_max is not None:
                 assert st.min >= prev_max
             prev_max = st.max
+
+
+def test_zorder_files_are_2d_tiles(spark, tmp_path):
+    from epiteam_network_etl_functions_spark.sources.io import (
+        write_zorder_clustered,
+    )
+
+    path = str(tmp_path / "zorder")
+    # uniform 2-D grid via two independent hashes of id
+    df = spark.range(0, 120_000).select(
+        (F.col("id") * 2654435761 % 65_536).alias("x"),
+        (F.col("id") * 40_503 % 65_536).alias("y"),
+        F.col("id").alias("v"),
+    )
+    write_zorder_clustered(df, path, "x", "y", n_files=16, bits=8)
+
+    def spans(col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.names.index(col)
+            lo = min(
+                meta.row_group(g).column(idx).statistics.min
+                for g in range(meta.num_row_groups)
+            )
+            hi = max(
+                meta.row_group(g).column(idx).statistics.max
+                for g in range(meta.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    sx, sy = spans("x"), spans("y")
+    assert len(sx) == 16
+    # z-range files over a uniform grid are compact 2-D tiles except the
+    # few whose equal-count z interval crosses a high-order Morton bit
+    # (those stretch along ONE axis — inherent to z-order with size-
+    # balanced files). Robust claims:
+    total = 65_535
+    # (1) most files are tiles in BOTH dimensions (1-D range clustering
+    #     would make EVERY file span ~100% of the non-clustered axis)
+    compact = [
+        1
+        for (xl, xh), (yl, yh) in zip(sx, sy)
+        if (xh - xl) <= 0.55 * total and (yh - yl) <= 0.55 * total
+    ]
+    assert sum(compact) >= 11
+    # (2) mean fractional area is far below 1 (full-scan layout)
+    areas = [
+        ((xh - xl) / total) * ((yh - yl) / total)
+        for (xl, xh), (yl, yh) in zip(sx, sy)
+    ]
+    assert sum(areas) / len(areas) <= 0.2
+    # (3) a 2-D point predicate is satisfiable by a small minority of files
+    box = [
+        1
+        for (xl, xh), (yl, yh) in zip(sx, sy)
+        if xl <= 1000 <= xh and yl <= 1000 <= yh
+    ]
+    assert sum(box) <= 4
+
+    assert spark.read.parquet(path).count() == 120_000
