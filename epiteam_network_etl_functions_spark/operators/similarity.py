@@ -374,3 +374,83 @@ def correlation_matrix(
         .join(F.broadcast(d_j), "j")
         .select("i", "j", "n_vecs", F.round(corr, digits).alias("corr"))
     )
+
+
+def _covariance_numpy(df: DataFrame, vec_col: str, dim: int):
+    """Driver-side (d×d) covariance assembled from the DISTRIBUTED moments:
+    gram_matrix partials + posexplode means. Only d² scalars ever reach the
+    driver — corpus size never does."""
+    import numpy as np
+
+    g = gram_matrix(df, vec_col, dim, digits=None)
+    mu_rows = (
+        df.select(F.posexplode(as_double(F.col(vec_col))).alias("i", "v"))
+        .groupBy("i")
+        .agg((F.sum("v") / F.count(F.lit(1))).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in mu_rows:
+        mu[r["i"]] = r["mu"]
+    m = np.zeros((dim, dim))
+    n_vecs = 0
+    for r in g.collect():
+        m[r["i"] - 1, r["j"] - 1] = r["m_ij"]
+        m[r["j"] - 1, r["i"] - 1] = r["m_ij"]
+        n_vecs = r["n_vecs"]
+    return m - np.outer(mu, mu), mu, n_vecs
+
+
+def pca_components(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Top-k principal components of an embedding column. Returns
+    (components [k×d], eigenvalues [k], mu [d], n_vecs). The eigensolve is
+    driver-side on the d×d covariance (d is model width, never data-sized);
+    signs are fixed so each component's largest-|coefficient| entry is
+    positive — the standard determinism convention, since eigenvectors are
+    only defined up to sign."""
+    import numpy as np
+
+    cov, mu, n_vecs = _covariance_numpy(df, vec_col, dim)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k×d
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    return comps, vals[order], mu, n_vecs
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    digits: int = 6,
+) -> DataFrame:
+    """Project every vector onto the top-k principal components:
+    pc_i = (x - mu) · comp_i, computed as JVM-side sequential-fold dot
+    products against literal component arrays (one map-only pass over the
+    corpus; the only driver traffic is the d×d moment assembly)."""
+    comps, _vals, mu, _n = pca_components(df, vec_col, dim, k)
+    centered = F.zip_with(
+        as_double(F.col(vec_col)),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            digits,
+        ).alias(f"pc{i + 1}")
+        for i, comp in enumerate(comps)
+    ]
+    return df.select(F.col(id_col), *cols)

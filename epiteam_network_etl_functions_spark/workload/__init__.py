@@ -89,6 +89,7 @@ DEMOTED: tuple[str, ...] = (
     "volume_shipping",  # round-4 addition, same reason
     "embedding_gram",  # round-4 addition, same reason
     "embedding_correlation",  # round-4 addition, same reason
+    "pca_explained_variance",  # round-4 addition, same reason
 )
 
 

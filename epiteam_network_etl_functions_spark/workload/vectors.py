@@ -338,3 +338,24 @@ def embedding_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import correlation_matrix
 
     return correlation_matrix(_emb(spark, sf_dir), "embedding", EMB_DIM)
+
+
+@query("pca_explained_variance")  # rows-only: an eigensolve has no SQL form
+def pca_explained_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance spectrum of the top-8 principal components of the
+    embedding corpus (operators/similarity.pca_components: distributed
+    moments -> driver-side d×d eigensolve — the iterative-algorithm class
+    the driver records as rows-only, like the HLL variant). Deterministic:
+    moments are exact up to float addition order, eigenvalues are sorted,
+    ratios rounded."""
+    from ..operators.similarity import pca_components
+
+    comps, vals, _mu, n = pca_components(_emb(spark, sf_dir), "embedding", EMB_DIM, k=8)
+    total = sum(float(v) for v in vals)
+    rows = [
+        (i + 1, round(float(v), 6), round(float(v) / total, 6))
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue_r double, explained_of_top8 double"
+    )

@@ -81,3 +81,41 @@ def test_gram_matrix_matches_numpy(spark):
     for (i, j), (n, m) in got.items():
         assert n == 40 and i <= j
         assert abs(m - round(expected[i - 1, j - 1], 6)) < 2e-6
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud so the spectrum is distinct
+    base = rng.normal(size=(60, 4)) * np.array([5.0, 2.0, 0.5, 0.1])
+    mat = (base @ np.linalg.qr(rng.normal(size=(4, 4)))[0]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+
+    comps, vals, mu, n = pca_components(df, "embedding", 4, k=2)
+    x = mat.astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    assert n == 60
+    assert np.allclose(vals, evals[order], atol=1e-6)
+    for got, exp in zip(comps, evecs[:, order].T):
+        if exp[np.argmax(np.abs(exp))] < 0:
+            exp = -exp
+        assert np.allclose(got, exp, atol=1e-5)
+
+    proj = pca_project(df, "vec_id", "embedding", 4, k=2)
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in proj.collect()}
+    centered = x - x.mean(axis=0)
+    expected = centered @ comps.T
+    for i in range(60):
+        assert abs(got[i][0] - expected[i, 0]) < 1e-4
+        assert abs(got[i][1] - expected[i, 1]) < 1e-4
