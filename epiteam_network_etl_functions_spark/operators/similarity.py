@@ -454,3 +454,84 @@ def pca_project(
         for i, comp in enumerate(comps)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_iter: int = 3,
+    q_digits: int = 3,
+    c_digits: int = 6,
+):
+    """Deterministic Lloyd k-means over an embedding column. Returns the
+    final centroids as a driver-side list of (cluster_id, [w_1..w_dim]).
+
+    Engine-portable by construction (the same recipe an unrolled SQL
+    oracle replays exactly):
+    - inputs quantized to the 10^-q_digits grid, so squared distances are
+      exact grid multiples and rounding them to c_digits snaps identically
+      in any IEEE engine — no argmin boundary flips;
+    - init = the k vectors with the smallest md5(vec_id) (portable hash
+      order), clusters numbered 1..k in that order;
+    - assignment = argmin(rounded distance, then cluster id);
+    - centroids re-estimated per dimension and rounded to c_digits each
+      iteration (k×d model-sized rows to the driver, re-broadcast as
+      literals — corpus size never reaches the driver);
+    - empty clusters drop out, exactly as a GROUP BY loses their rows.
+
+    Scale shape per iteration: one map-only assignment pass (centroid
+    literals inlined, argmin via array_min over structs) + one
+    posexplode/groupBy whose map-side partial aggregation ships
+    partitions×k×d rows."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), q_digits)).alias(
+            "__v"
+        ),
+    )
+    init = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)  # TakeOrdered — per-partition top-k + driver merge, no
+        .select("__v")  # single-partition global sort at any scale
+        .collect()
+    )
+    centroids = [(c + 1, list(r["__v"])) for c, r in enumerate(init)]
+
+    for _ in range(n_iter):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__v"),
+                                F.array(*[F.lit(x) for x in wvec]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        c_digits,
+                    ).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, wvec in centroids
+            ]
+        )
+        assigned = base.select(
+            F.array_min(cands).getField("c").alias("__c"), "__v"
+        )
+        rows = (
+            assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.round(F.sum("__x") / F.count(F.lit(1)), c_digits).alias("__w"))
+            .collect()
+        )
+        by_c: dict[int, list[float]] = {}
+        for r in rows:
+            by_c.setdefault(r["__c"], [0.0] * dim)[r["__i"]] = r["__w"]
+        centroids = sorted(by_c.items())
+    return centroids

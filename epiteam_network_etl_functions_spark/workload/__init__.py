@@ -90,6 +90,7 @@ DEMOTED: tuple[str, ...] = (
     "embedding_gram",  # round-4 addition, same reason
     "embedding_correlation",  # round-4 addition, same reason
     "pca_explained_variance",  # round-4 addition, same reason
+    "kmeans_centroids",  # round-4 addition, same reason
 )
 
 

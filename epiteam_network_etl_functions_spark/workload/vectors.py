@@ -359,3 +359,79 @@ def pca_explained_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue_r double, explained_of_top8 double"
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    parts = [
+        """ex AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               round(CAST(unnest(embedding) AS DOUBLE), 3) AS v
+        FROM embeddings
+    )""",
+        f"""init AS MATERIALIZED (
+        SELECT vec_id, rn AS c FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= {k}
+    )""",
+        """c0 AS MATERIALIZED (
+        SELECT init.c, e.i, e.v AS w FROM init JOIN ex e USING (vec_id)
+    )""",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""dist{t} AS MATERIALIZED (
+        SELECT e.vec_id, c.c,
+               round(sum((e.v - c.w) * (e.v - c.w)), 6) AS d
+        FROM ex e JOIN c{t} c ON c.i = e.i
+        GROUP BY e.vec_id, c.c
+    )"""
+        )
+        parts.append(
+            f"""assign{t} AS MATERIALIZED (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+            FROM dist{t}
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{t + 1} AS MATERIALIZED (
+        SELECT a.c, e.i, round(sum(e.v) / count(*), 6) AS w
+        FROM assign{t} a JOIN ex e USING (vec_id)
+        GROUP BY a.c, e.i
+    )"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT c AS cluster, i AS dim_i, w AS w_r FROM c{n_iter}
+    """
+
+
+@query("kmeans_centroids", oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS))
+def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 3 iterations) over the embedding corpus — the
+    proper trainer for the IVF coarse quantizer. The Spark kernel
+    (operators/similarity.kmeans_fit) re-broadcasts rounded centroid
+    literals per iteration; the oracle unrolls the identical exact-grid
+    recipe (3-decimal input quantization, 6-decimal centroid/distance
+    rounding, md5 init order, cluster-id tie-break) as chained
+    MATERIALIZED CTEs — same fixpoint from two entirely different
+    executions."""
+    from ..operators.similarity import kmeans_fit
+
+    cents = kmeans_fit(
+        _emb(spark, sf_dir), "vec_id", "embedding", EMB_DIM, KMEANS_K, KMEANS_ITERS
+    )
+    rows = [
+        (cid, i + 1, float(w)) for cid, ws in cents for i, w in enumerate(ws)
+    ]
+    return spark.createDataFrame(rows, "cluster int, dim_i int, w_r double")

@@ -119,3 +119,46 @@ def test_pca_matches_numpy(spark):
     for i in range(60):
         assert abs(got[i][0] - expected[i, 0]) < 1e-4
         assert abs(got[i][1] - expected[i, 1]) < 1e-4
+
+
+def test_kmeans_matches_pure_python_lloyd(spark):
+    import hashlib
+
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # three well-separated blobs in 3-D
+    mat = np.concatenate(
+        [rng.normal(c, 0.1, size=(20, 3)) for c in (0.0, 5.0, 10.0)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+
+    got = kmeans_fit(df, "vec_id", "embedding", 3, k=3, n_iter=3)
+
+    # pure-python replay of the exact-grid recipe
+    x = {i: [round(float(v), 3) for v in row] for i, row in enumerate(mat)}
+    order = sorted(x, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = {c + 1: x[order[c]] for c in range(3)}
+    for _ in range(3):
+        members = {}
+        for i, v in x.items():
+            best = min(
+                (round(sum((a - b) ** 2 for a, b in zip(v, w)), 6), c)
+                for c, w in cents.items()
+            )[1]
+            members.setdefault(best, []).append(v)
+        cents = {
+            c: [round(sum(col) / len(col), 6) for col in zip(*vs)]
+            for c, vs in sorted(members.items())
+        }
+    assert dict(got) == cents
+    # sanity: the three blobs were actually separated
+    means = sorted(w[0] for w in cents.values())
+    assert means[0] < 1 and 4 < means[1] < 6 and means[2] > 9
