@@ -91,6 +91,7 @@ DEMOTED: tuple[str, ...] = (
     "embedding_correlation",  # round-4 addition, same reason
     "pca_explained_variance",  # round-4 addition, same reason
     "kmeans_centroids",  # round-4 addition, same reason
+    "kmeans_cluster_sizes",  # round-4 addition, same reason
 )
 
 

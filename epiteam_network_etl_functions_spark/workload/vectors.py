@@ -435,3 +435,62 @@ def kmeans_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cid, i + 1, float(w)) for cid, ws in cents for i, w in enumerate(ws)
     ]
     return spark.createDataFrame(rows, "cluster int, dim_i int, w_r double")
+
+
+@query(
+    "kmeans_cluster_sizes",
+    oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS).replace(
+        f"SELECT c AS cluster, i AS dim_i, w AS w_r FROM c{KMEANS_ITERS}",
+        f"""SELECT c AS cluster, count(*) AS size FROM (
+        SELECT vec_id, c FROM (
+            SELECT d.vec_id, d.c, row_number() OVER (
+                PARTITION BY d.vec_id ORDER BY d.d ASC, d.c ASC) AS rn
+            FROM (
+                SELECT e.vec_id, c.c,
+                       round(sum((e.v - c.w) * (e.v - c.w)), 6) AS d
+                FROM ex e JOIN c{KMEANS_ITERS} c ON c.i = e.i
+                GROUP BY e.vec_id, c.c
+            ) d
+        ) WHERE rn = 1
+    ) GROUP BY c""",
+    ),
+)
+def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster occupancy under the trained k-means centroids — the
+    IVF list-size balance check (a skewed list ruins probe pruning). One
+    extra map-only assignment pass with the fitted centroids as literals;
+    the oracle extends the unrolled-CTE chain with the same assignment."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, "vec_id", "embedding", EMB_DIM, KMEANS_K, KMEANS_ITERS)
+    base = emb.select(
+        F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 3)).alias(
+            "__v"
+        )
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__v"),
+                            F.array(*[F.lit(x) for x in wvec]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, wvec in cents
+        ]
+    )
+    return (
+        base.select(F.array_min(cands).getField("c").alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
