@@ -218,3 +218,37 @@ def write_zorder_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Idempotent backfill sink: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched (dynamic partition
+    overwrite — the daily-rerun primitive; static overwrite mode would
+    truncate the whole table). The conf is set per-write and restored, so
+    the session default stays untouched for other writers."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.repartition(*[df[c] for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file footer
+    (mergeSchema) so a table whose late partitions gained columns reads as
+    one frame with NULLs for the missing early columns. Costs a footer
+    round-trip per file — at 100 TB, resolve the schema once, persist it,
+    and use read_partitioned(schema=...) for steady-state reads."""
+    return spark.read.option("mergeSchema", True).parquet(path)

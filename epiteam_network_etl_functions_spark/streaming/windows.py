@@ -115,3 +115,41 @@ def streaming_colocation_candidates(
             "n_pings",
         )
     )
+
+
+def streaming_colocation_left(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    cell_col: str = "event_type",
+    id_col: str = "user_id",
+    width: str = "600 seconds",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream self-join: every presence row
+    emits its co-located partners (directed: partner != self), and devices
+    ALONE in their (cell, window) emit one row with a NULL partner once the
+    watermark passes — the online "isolated device" feed the inner join
+    can't produce. Outer results are held in watermark-bounded join state
+    and released exactly when the window can no longer receive a partner,
+    so state stays bounded at any stream length."""
+    pres = (
+        stream.withWatermark(ts_col, watermark)
+        .select(id_col, cell_col, F.window(ts_col, width).alias("w"))
+        .dropDuplicatesWithinWatermark([id_col, cell_col, "w"])
+    )
+    a, b = pres.alias("a"), pres.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            "left_outer",
+        )
+        .select(
+            F.col(f"a.{cell_col}").alias(cell_col),
+            F.col("a.w.start").alias("window_start"),
+            F.col(f"a.{id_col}").alias(f"a_{id_col}"),
+            F.col(f"b.{id_col}").alias(f"partner_{id_col}"),
+        )
+    )

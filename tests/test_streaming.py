@@ -145,3 +145,41 @@ def test_streaming_exact_dedup(spark, tmp_path_factory):
     assert set(spark.sql("SELECT * FROM dedup_out").columns) == {
         "row_id", "ts", "text"
     }  # helper digest column dropped
+
+
+def test_streaming_colocation_left_outer(spark, stream_src):
+    from epiteam_network_etl_functions_spark.streaming import (
+        streaming_colocation_left,
+    )
+
+    out = streaming_colocation_left(stream_src)
+    _run(out, "left_out")
+    rows = spark.sql("SELECT * FROM left_out").collect()
+    assert len(rows) > 0
+
+    # batch truth: per (cell, window) device sets
+    batch = (
+        catalog.load(spark, PARITY_SF_DIR, "events")
+        .select(
+            "user_id", "event_type", F.window("ts", "600 seconds").alias("w")
+        )
+        .distinct()
+        .select(F.col("w.start").alias("window_start"), "event_type", "user_id")
+        .collect()
+    )
+    members: dict = {}
+    for r in batch:
+        members.setdefault((r.window_start, r.event_type), set()).add(r.user_id)
+
+    for r in rows:
+        group = members[(r.window_start, r.event_type)]
+        assert r.a_user_id in group
+        if r.partner_user_id is None:
+            # outer-null rows must be genuinely isolated presences
+            assert group == {r.a_user_id}
+        else:
+            assert r.partner_user_id in group and r.partner_user_id != r.a_user_id
+
+    # matched pairs are directed and complete for emitted groups
+    nulls = [r for r in rows if r.partner_user_id is None]
+    assert len(nulls) > 0, "no isolated-device rows emitted"
