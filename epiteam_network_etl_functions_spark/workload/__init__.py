@@ -92,6 +92,8 @@ DEMOTED: tuple[str, ...] = (
     "pca_explained_variance",  # round-4 addition, same reason
     "kmeans_centroids",  # round-4 addition, same reason
     "kmeans_cluster_sizes",  # round-4 addition, same reason
+    "moving_value_avg",  # round-4 addition, same reason
+    "value_deciles_by_type",  # round-4 addition, same reason
 )
 
 

@@ -641,3 +641,73 @@ def hourly_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start_us", "event_type")
         .agg(F.sum("n").alias("n_events"))
     )
+
+
+@query(
+    "moving_value_avg",
+    oracle="""
+    SELECT event_id, user_id, mv_n,
+           CASE WHEN mv_n > 0
+                THEN round(mv_sum_c / (100.0 * mv_n), 6) END AS mv_avg
+    FROM (
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS mv_sum_c,
+               count(value) OVER w AS mv_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def moving_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    moving average — the frame variant running_value_totals doesn't cover.
+    Cent-quantized sum + explicit non-null count so the average is exact
+    on both engines; NULL-value rows contribute nothing (count(value)
+    skips NULLs identically in Spark and SQL)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    mv_sum = F.sum(vc).over(w)
+    mv_n = F.count("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        mv_n.alias("mv_n"),
+        F.when(mv_n > 0, F.round(mv_sum / (100.0 * mv_n), 6)).alias("mv_avg"),
+    )
+
+
+@query(
+    "value_deciles_by_type",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(10) OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id DESC
+           ) AS decile
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height decile assignment per event type (ntile) — the
+    bucketing window the quantile queries don't exercise. Partitioned by
+    the type key so the sort is per-group (never a global single-partition
+    window); the unique (value, event_id) order makes bucket boundaries
+    engine-stable."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
+    return (
+        e.where(F.col("value").isNotNull())
+        .select("event_id", "event_type", F.ntile(10).over(w).alias("decile"))
+    )
