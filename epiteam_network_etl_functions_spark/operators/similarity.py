@@ -482,10 +482,15 @@ def kmeans_fit(
       literals — corpus size never reaches the driver);
     - empty clusters drop out, exactly as a GROUP BY loses their rows.
 
-    Scale shape per iteration: one map-only assignment pass (centroid
-    literals inlined, argmin via array_min over structs) + one
-    posexplode/groupBy whose map-side partial aggregation ships
-    partitions×k×d rows."""
+    Scale shape per iteration: ONE fused mapInPandas pass that assigns a
+    partition's vectors (vectorized numpy distance matrix, half-up rounding
+    to match SQL round()) AND accumulates its per-cluster partial sums —
+    emitting partitions×k×(d+1) rows — then a model-sized groupBy finishes
+    the means. The corpus is scanned once per iteration and nothing
+    data-sized is shuffled or collected."""
+    import numpy as np
+    import pandas as pd
+
     base = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), q_digits)).alias(
@@ -499,39 +504,51 @@ def kmeans_fit(
         .collect()
     )
     centroids = [(c + 1, list(r["__v"])) for c, r in enumerate(init)]
+    scale = 10.0**c_digits
 
     for _ in range(n_iter):
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("__v"),
-                                F.array(*[F.lit(x) for x in wvec]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                        c_digits,
-                    ).alias("d"),
-                    F.lit(cid).alias("c"),
+        cids = np.array([cid for cid, _ in centroids])
+        cmat = np.array([w for _, w in centroids], dtype=np.float64)
+
+        def assign_update(batches, cids=cids, cmat=cmat):
+            n_c = len(cids)
+            sums = np.zeros((n_c, dim), dtype=np.float64)
+            counts = np.zeros(n_c, dtype=np.int64)
+            for pdf in batches:
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
                 )
-                for cid, wvec in centroids
-            ]
-        )
-        assigned = base.select(
-            F.array_min(cands).getField("c").alias("__c"), "__v"
-        )
+                if not len(x):
+                    continue
+                d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+                # half-up at c_digits (SQL round semantics; see grid note)
+                d2 = np.floor(d2 * scale + 0.5) / scale
+                best = d2.argmin(axis=1)  # first min = lowest cluster id
+                for ci in range(n_c):
+                    mask = best == ci
+                    if mask.any():
+                        sums[ci] += x[mask].sum(axis=0)
+                        counts[ci] += int(mask.sum())
+            live = counts > 0
+            if live.any():
+                yield pd.DataFrame(
+                    {
+                        "c": np.repeat(cids[live], dim),
+                        "i": np.tile(np.arange(dim), int(live.sum())),
+                        "s": sums[live].ravel(),
+                        "n": np.repeat(counts[live], dim),
+                    }
+                )
+
         rows = (
-            assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
-            .groupBy("__c", "__i")
-            .agg(F.round(F.sum("__x") / F.count(F.lit(1)), c_digits).alias("__w"))
+            base.select("__v")
+            .mapInPandas(assign_update, schema="c int, i int, s double, n long")
+            .groupBy("c", "i")
+            .agg(F.round(F.sum("s") / F.sum("n"), c_digits).alias("w"))
             .collect()
         )
         by_c: dict[int, list[float]] = {}
         for r in rows:
-            by_c.setdefault(r["__c"], [0.0] * dim)[r["__i"]] = r["__w"]
+            by_c.setdefault(r["c"], [0.0] * dim)[r["i"]] = r["w"]
         centroids = sorted(by_c.items())
     return centroids
