@@ -146,3 +146,44 @@ def jaccard_verify(
         .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_candidates(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT set-similarity candidate generation by prefix filtering
+    (PPJoin family): order each document's shingles globally by rarity
+    (document frequency asc, shingle asc) and keep only the first
+    |d| - ceil(t·|d|) + 1 — two sets with Jaccard >= t MUST share a
+    token inside these prefixes, so joining on prefix tokens yields a
+    candidate set with ZERO false negatives (the guarantee MinHash-LSH
+    trades away). Candidate volume is bounded by prefix-token co-occurrence
+    — rare-first ordering makes prefixes the least-shared tokens, the
+    standard trick that keeps this join far from quadratic at corpus
+    scale. The rarity ranking is a vocabulary-sized broadcast; the window
+    is per-document (never global)."""
+    from pyspark.sql import Window
+
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nd"))
+    dfreq = shingled.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc(shingle_col))
+    ranked = (
+        shingled.join(F.broadcast(dfreq), shingle_col)  # vocabulary-sized
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)  # corpus-keyed: co-partitioned with the window
+    )
+    prefix = ranked.where(
+        F.col("__rn")
+        <= F.col("__nd") - F.ceil(F.lit(threshold) * F.col("__nd")) + 1
+    ).select(id_col, shingle_col)
+    a = prefix.select(F.col(id_col).alias("a_id"), F.col(shingle_col).alias("__s"))
+    b = prefix.select(F.col(id_col).alias("b_id"), F.col(shingle_col).alias("__s"))
+    return (
+        a.join(b, "__s")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )

@@ -94,6 +94,7 @@ DEMOTED: tuple[str, ...] = (
     "kmeans_cluster_sizes",  # round-4 addition, same reason
     "moving_value_avg",  # round-4 addition, same reason
     "value_deciles_by_type",  # round-4 addition, same reason
+    "exact_near_dup_pairs",  # round-4 addition, same reason
 )
 
 

@@ -19,3 +19,44 @@ def test_jaccard_verify_ignores_duplicate_shingle_rows(spark):
     out = jaccard_verify(cands, shingled, "doc_id", threshold=0.0).collect()
     assert len(out) == 1
     assert abs(out[0]["jaccard"] - 2 / 3) < 1e-6
+
+
+def test_prefix_filter_has_zero_false_negatives(spark):
+    """Every pair with true Jaccard >= t must appear in the prefix-filter
+    candidates (the PPJoin guarantee), checked against brute-force
+    all-pairs on a small corpus."""
+    from itertools import combinations
+
+    from epiteam_network_etl_functions_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    docs = {
+        1: "a b c d e",
+        2: "a b c d x",
+        3: "a b c y z",
+        4: "p q r s t",
+        5: "p q r s a",
+        6: "m n o u v",
+    }
+    sets = {
+        i: {
+            "_".join(t.split()[j : j + 3])
+            for j in range(len(t.split()) - 2)
+        }
+        for i, t in docs.items()
+    }
+    t = 0.3
+    truth = {
+        (a, b)
+        for a, b in combinations(sorted(docs), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+    }
+    rows = [(i, s) for i, ss in sets.items() for s in ss]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in prefix_filter_candidates(df, "doc_id", threshold=t).collect()
+    }
+    assert truth, "degenerate fixture"
+    assert truth <= cands, f"missed true pairs: {truth - cands}"
