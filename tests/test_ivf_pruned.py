@@ -120,3 +120,59 @@ def test_probe_never_opens_other_partitions(spark, ivf_path):
         spark.read.option("basePath", ivf_path).parquet(ivf_path).select(
             "vec_id"
         ).collect()
+
+
+def test_kmeans_trained_centroids_drive_the_index(spark, tmp_path):
+    """Close the ANN loop: fit the coarse quantizer with k-means (instead
+    of arbitrary seed rows), materialize the index partitioned by the
+    TRAINED centroid assignment, and probe with pruning — the production
+    IVF build sequence."""
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        kmeans_fit,
+    )
+
+    prep(spark)
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    dim = len(e.select("embedding").head()[0])
+    cents = kmeans_fit(e, "vec_id", "embedding", dim, k=4, n_iter=2)
+    seeds = spark.createDataFrame(
+        [(cid, [float(x) for x in w]) for cid, w in cents],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "trained_index")
+    ivf_materialize(e, seeds, path, "vec_id", "embedding")
+
+    indexed = spark.read.parquet(path)
+    assert indexed.count() == e.count()
+    live = {r[0] for r in indexed.select("centroid_id").distinct().collect()}
+    assert live <= {cid for cid, _ in cents} and len(live) >= 2
+
+    # probe the cluster of vec 42 with pruning; must equal brute force
+    # within that cluster
+    qrow = (
+        e.where(F.col("vec_id") == PROBE_VEC_ID)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .head()
+    )
+    assignments = ivf_assign(e, seeds, "vec_id", "embedding")
+    cid = (
+        assignments.where(F.col("vec_id") == PROBE_VEC_ID)
+        .select("centroid_id")
+        .head()[0]
+    )
+    pruned = ivf_probe_pruned(
+        spark, path, cid, qrow[0], "vec_id", "embedding",
+        exclude_id=PROBE_VEC_ID, k=5,
+    ).collect()
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        cosine_topk_lit,
+    )
+
+    cluster_ids = assignments.where(F.col("centroid_id") == cid).select("vec_id")
+    brute = cosine_topk_lit(
+        e.join(cluster_ids, "vec_id"), qrow[0], "vec_id", "embedding",
+        exclude_id=PROBE_VEC_ID, k=5,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in pruned] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
