@@ -461,8 +461,13 @@ def exact_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% LSH recall, now locked by an oracle on the exact side too."""
     from ..operators.dedup import jaccard_verify, prefix_filter_candidates
 
-    shingled = _shingled(spark, sf_dir)
+    # Same caching discipline as _near_dup_pipeline: the distinct-shingle
+    # table feeds five branches (df ranking, both candidate-join sides,
+    # verify sets, sizes) and the candidate pairs feed three — without
+    # materialization each reference replays the whole explode subtree
+    # (audited: ~6 redundant scans in the uncached plan).
+    shingled = _shingled(spark, sf_dir).cache()
     cands = prefix_filter_candidates(
         shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    )
+    ).cache()
     return jaccard_verify(cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD)
