@@ -95,6 +95,7 @@ DEMOTED: tuple[str, ...] = (
     "moving_value_avg",  # round-4 addition, same reason
     "value_deciles_by_type",  # round-4 addition, same reason
     "exact_near_dup_pairs",  # round-4 addition, same reason
+    "tiered_retention_events",  # round-4 addition, same reason
 )
 
 

@@ -711,3 +711,65 @@ def value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("value").isNotNull())
         .select("event_id", "event_type", F.ntile(10).over(w).alias("decile"))
     )
+
+
+ROLLUP_CUTOVER = "2024-01-21"  # ~2/3 history downsampled, ~1/3 raw
+
+
+@query(
+    "tiered_retention_events",
+    oracle=f"""
+    SELECT 'rollup' AS tier,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events WHERE ts < TIMESTAMP '{ROLLUP_CUTOVER}'
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'raw' AS tier,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS bucket_ts,
+           event_type,
+           1 AS n_events,
+           CAST(round(value * 100) AS BIGINT) / 100.0 AS value_sum
+    FROM events WHERE ts >= TIMESTAMP '{ROLLUP_CUTOVER}'
+    """,
+)
+def tiered_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention / downsampling policy: history older than the
+    cutover collapses to hourly rollups, the recent window stays raw —
+    the hypertable retention pattern that keeps a 100 TB time-series
+    table queryable (old partitions shrink ~event-rate×3600-fold; both
+    tiers carry the same schema so one UNION view serves queries). Each
+    side is a partition-prunable scan; the rollup aggregates map-side."""
+    e = _events(spark, sf_dir)
+    cut = F.lit(ROLLUP_CUTOVER).cast("timestamp")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    rollup = (
+        e.where(F.col("ts") < cut)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_ts"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(vc) / 100.0).alias("value_sum"),
+        )
+        .select(
+            F.lit("rollup").alias("tier"),
+            "bucket_ts",
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    raw = e.where(F.col("ts") >= cut).select(
+        F.lit("raw").alias("tier"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("bucket_ts"),
+        F.col("event_type"),
+        F.lit(1).cast("long").alias("n_events"),
+        (vc / 100.0).alias("value_sum"),
+    )
+    return rollup.unionAll(raw)
