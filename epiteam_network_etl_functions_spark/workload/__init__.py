@@ -96,6 +96,7 @@ DEMOTED: tuple[str, ...] = (
     "value_deciles_by_type",  # round-4 addition, same reason
     "exact_near_dup_pairs",  # round-4 addition, same reason
     "tiered_retention_events",  # round-4 addition, same reason
+    "promo_revenue_share",  # round-4 addition, same reason
 )
 
 

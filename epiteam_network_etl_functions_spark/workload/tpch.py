@@ -459,3 +459,50 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT round(
+        100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                      * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                      AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                 * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                 AS DECIMAL(38,0))) AS DOUBLE),
+        6) AS promo_pct,
+        count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1997-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact⋈dim join collapsing to one scalar row — the promotion-revenue
+    ratio. The part dimension broadcasts; both sums accumulate in exact
+    DECIMAL(38,0) micro-cents and the ratio divides the two exact sums as
+    doubles once at the end, rounded on both engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _revenue_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
