@@ -97,6 +97,7 @@ DEMOTED: tuple[str, ...] = (
     "exact_near_dup_pairs",  # round-4 addition, same reason
     "tiered_retention_events",  # round-4 addition, same reason
     "promo_revenue_share",  # round-4 addition, same reason
+    "small_quantity_revenue",  # round-4 addition, same reason
 )
 
 

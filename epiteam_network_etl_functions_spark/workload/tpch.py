@@ -506,3 +506,47 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey,
+               sum({_SQL_CENTS.format(c='l_quantity')}) AS sq,
+               count(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_items,
+           sum({_SQL_CENTS.format(c='l.l_extendedprice')}) / 700.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#13', 'Brand#4', 'Brand#2')
+      AND 2 * {_SQL_CENTS.format(c='l.l_quantity')} * pa.n < pa.sq
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar subquery ("quantity below
+    half this part's average") decorrelated into a per-part aggregate
+    joined back to the fact — the plan Catalyst/DuckDB both rewrite the
+    subquery into, declared directly. The threshold predicate is pure
+    INTEGER arithmetic (2·qty_cents·n < sum_cents ⇔ qty < avg/2), so the
+    half-average knife-edge cannot flip on float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc = _cents("l_quantity")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qc).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#13", "Brand#4", "Brand#2")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .where(F.lit(2) * qc * F.col("n") < F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_cents("l_extendedprice")) / 700.0).alias("avg_yearly"),
+        )
+    )
