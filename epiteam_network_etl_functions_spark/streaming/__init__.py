@@ -6,4 +6,5 @@ from .windows import (  # noqa: F401
     streaming_colocation_candidates,
     streaming_colocation_left,
     streaming_colocation_pairs,
+    streaming_enrich,
 )

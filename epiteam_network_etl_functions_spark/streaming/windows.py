@@ -153,3 +153,19 @@ def streaming_colocation_left(
             F.col(f"b.{id_col}").alias(f"partner_{id_col}"),
         )
     )
+
+
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a batch dimension (homes,
+    device metadata, geo attributes) to a live stream. The static side is
+    re-read per micro-batch (picking up dimension updates) and needs no
+    watermark — only stream-stream joins buffer state. Broadcast is the
+    right physical strategy for a dimension at any scale; left join keeps
+    stream rows whose key is missing from the dimension (sentinel
+    semantics handled downstream, as in the batch attach_home)."""
+    return stream.join(F.broadcast(dim), key, how)

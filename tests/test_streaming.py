@@ -183,3 +183,32 @@ def test_streaming_colocation_left_outer(spark, stream_src):
     # matched pairs are directed and complete for emitted groups
     nulls = [r for r in rows if r.partner_user_id is None]
     assert len(nulls) > 0, "no isolated-device rows emitted"
+
+
+def test_streaming_enrich_matches_batch_join(spark, stream_src):
+    from epiteam_network_etl_functions_spark.streaming import streaming_enrich
+
+    events = catalog.load(spark, PARITY_SF_DIR, "events")
+    # batch-derived static dimension: each user's most frequent event type
+    dim = (
+        events.groupBy("user_id", "event_type")
+        .count()
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("count", "event_type")).alias("fav_type"))
+    )
+    enriched = streaming_enrich(
+        stream_src.select("user_id", "event_id"), dim, "user_id"
+    )
+    _run(enriched, "enrich_out")
+    out = spark.sql("SELECT * FROM enrich_out")
+    batch = events.select("user_id", "event_id").join(dim, "user_id")
+    assert out.count() == batch.count()
+    # spot-check parity of the attached attribute
+    got = {r.event_id: r.fav_type for r in out.limit(0).collect()}  # schema probe
+    sample = out.orderBy("event_id").limit(50).collect()
+    truth = {
+        r.event_id: r.fav_type
+        for r in batch.orderBy("event_id").limit(50).collect()
+    }
+    for r in sample:
+        assert truth[r.event_id] == r.fav_type
