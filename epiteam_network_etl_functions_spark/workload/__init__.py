@@ -98,6 +98,7 @@ DEMOTED: tuple[str, ...] = (
     "tiered_retention_events",  # round-4 addition, same reason
     "promo_revenue_share",  # round-4 addition, same reason
     "small_quantity_revenue",  # round-4 addition, same reason
+    "discounted_brand_revenue",  # round-4 addition, same reason
 )
 
 

@@ -550,3 +550,45 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents("l_extendedprice")) / 700.0).alias("avg_yearly"),
         )
     )
+
+
+@query(
+    "discounted_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand, count(*) AS n_items, {_REVENUE_SQL} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    GROUP BY p.p_brand
+    """,
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of per-branch conjunctions that couple BOTH
+    join sides (brand+size on part, quantity on lineitem). Catalyst
+    extracts the single-side residues it CAN push — the brand IN-set and
+    size range reach the part scan, the quantity hull reaches lineitem —
+    while the cross-side coupling stays a post-join filter; the dimension
+    side broadcasts. The disjunctive-predicate shape none of the other
+    TPC-H queries exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#13") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(10, 30) & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue"),
+        )
+    )
