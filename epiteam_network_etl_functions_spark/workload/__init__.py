@@ -99,6 +99,7 @@ DEMOTED: tuple[str, ...] = (
     "promo_revenue_share",  # round-4 addition, same reason
     "small_quantity_revenue",  # round-4 addition, same reason
     "discounted_brand_revenue",  # round-4 addition, same reason
+    "value_forward_fill",  # round-4 addition, same reason
 )
 
 

@@ -773,3 +773,36 @@ def tiered_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (vc / 100.0).alias("value_sum"),
     )
     return rollup.unionAll(raw)
+
+
+@query(
+    "value_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING), 6) AS value_filled
+    FROM events
+    """,
+)
+def value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (last observation carried forward): NULL measurements
+    take the most recent non-NULL value in event order — the standard
+    sensor/time-series imputation. IGNORE NULLS last_value over a running
+    frame on both engines; rows before a user's first observation stay
+    NULL. Per-user window, so the sort is per-key at any scale."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("value", ignorenulls=True).over(w), 6).alias(
+            "value_filled"
+        ),
+    )
