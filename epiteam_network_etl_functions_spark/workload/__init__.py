@@ -100,6 +100,8 @@ DEMOTED: tuple[str, ...] = (
     "small_quantity_revenue",  # round-4 addition, same reason
     "discounted_brand_revenue",  # round-4 addition, same reason
     "value_forward_fill",  # round-4 addition, same reason
+    "value_outliers",  # round-4 addition, same reason
+    "value_histogram",  # round-4 addition, same reason
 )
 
 

@@ -806,3 +806,84 @@ def value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_filled"
         ),
     )
+
+
+@query(
+    "value_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               count(value) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sc,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sc2
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round((CAST(round(e.value * 100) AS BIGINT) - sc * 1.0 / n)
+                 / sqrt(sc2 * 1.0 / n - (sc * 1.0 / n) * (sc * 1.0 / n)),
+                 6) AS z_r
+    FROM events e JOIN m ON m.user_id = e.user_id
+    WHERE e.value IS NOT NULL AND m.n >= 2
+      AND sc2 * n > sc * sc
+      AND abs(round((CAST(round(e.value * 100) AS BIGINT) - sc * 1.0 / n)
+                 / sqrt(sc2 * 1.0 / n - (sc * 1.0 / n) * (sc * 1.0 / n)),
+                 6)) >= 2
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier screen (|z| >= 2) — the anomaly-detection
+    staple. Moments accumulate as EXACT integer cents (sums and
+    sum-of-squares are exact int64 at any corpus size that fits 10^18
+    cents², i.e. far past 100 TB of this schema), so mean/std derive from
+    identical integers on both engines and the rounded z crosses the
+    threshold identically. Degenerate groups (n<2 or zero variance) are
+    excluded on both sides by the same integer predicate."""
+    e = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    m = e.groupBy("user_id").agg(
+        F.count("value").alias("n"),
+        F.sum(vc).alias("sc"),
+        F.sum(vc * vc).alias("sc2"),
+    )
+    mean = F.col("sc") * 1.0 / F.col("n")
+    var = F.col("sc2") * 1.0 / F.col("n") - mean * mean
+    z = F.round((vc - mean) / F.sqrt(var), 6)
+    return (
+        e.join(m, "user_id")
+        .where(
+            F.col("value").isNotNull()
+            & (F.col("n") >= 2)
+            & (F.col("sc2") * F.col("n") > F.col("sc") * F.col("sc"))
+            & (F.abs(z) >= 2)
+        )
+        .select("event_id", "user_id", z.alias("z_r"))
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(round(value * 100) AS BIGINT) / 1000) AS BIGINT)
+               AS bin_id,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10-unit bins on the cent grid) per event
+    type — the profiling staple. Binning is integer division of exact
+    cents, so bin edges cannot drift between engines; one map-side-
+    combined aggregation."""
+    e = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(vc / 1000).cast("bigint").alias("bin_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
