@@ -102,6 +102,7 @@ DEMOTED: tuple[str, ...] = (
     "value_forward_fill",  # round-4 addition, same reason
     "value_outliers",  # round-4 addition, same reason
     "value_histogram",  # round-4 addition, same reason
+    "doc_rolling_hash",  # round-4 addition, same reason
 )
 
 

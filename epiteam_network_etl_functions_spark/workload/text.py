@@ -471,3 +471,32 @@ def exact_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled, "doc_id", threshold=JACCARD_THRESHOLD
     ).cache()
     return jaccard_verify(cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend('0', string_split(text, '')),
+               (acc, x) -> CAST((CAST(acc AS BIGINT) * 31 + ascii(x))
+                                % 1000000007 AS VARCHAR)
+           ) AS BIGINT) AS rhash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE polynomial rolling hash (Rabin-Karp, base 31 mod
+    1e9+7) of the full document — the content-fingerprint complement to
+    the order-insensitive md5-of-sorted-tokens fingerprint: re-ordered
+    text changes this hash, so it detects exact-sequence duplicates and
+    feeds content-defined chunking. Map-only sequential fold (F.aggregate
+    over the char array, exact int64 arithmetic — products stay < 2^35);
+    the oracle folds the identical recurrence with list_reduce."""
+    docs = _docs(spark, sf_dir)
+    rh = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % 1000000007,
+    )
+    return docs.select("doc_id", rh.alias("rhash"))
