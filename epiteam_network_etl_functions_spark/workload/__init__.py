@@ -103,6 +103,7 @@ DEMOTED: tuple[str, ...] = (
     "value_outliers",  # round-4 addition, same reason
     "value_histogram",  # round-4 addition, same reason
     "doc_rolling_hash",  # round-4 addition, same reason
+    "type_counts_unpivot",  # round-4 addition, same reason
 )
 
 

@@ -698,3 +698,43 @@ def colocation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _colocation_edge_list(spark, sf_dir)
     core_deg, _rounds = kcore(edges, KCORE_K, "a_user_id", "b_user_id")
     return core_deg.select("node_id", F.col("degree").alias("core_degree"))
+
+
+@query(
+    "type_counts_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'view') AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM (
+        SELECT user_id, 'click' AS metric, click AS n FROM wide
+        UNION ALL SELECT user_id, 'view', view FROM wide
+        UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+    ) WHERE n > 0
+    """,
+)
+def type_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of A11's pivot): a wide conditional
+    aggregation stacked back to long form via `stack` — the reshape
+    every metrics pipeline needs in both directions. One aggregation
+    exchange; the stack itself is a map-only 1→N generator."""
+    e = _events(spark, sf_dir)
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+    )
+    return (
+        wide.select(
+            "user_id",
+            F.expr(
+                "stack(3, 'click', click, 'view', view, "
+                "'purchase', purchase) AS (metric, n)"
+            ),
+        )
+        .where(F.col("n") > 0)
+    )
