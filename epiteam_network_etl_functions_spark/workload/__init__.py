@@ -104,6 +104,7 @@ DEMOTED: tuple[str, ...] = (
     "value_histogram",  # round-4 addition, same reason
     "doc_rolling_hash",  # round-4 addition, same reason
     "type_counts_unpivot",  # round-4 addition, same reason
+    "user_missing_days",  # round-4 addition, same reason
 )
 
 

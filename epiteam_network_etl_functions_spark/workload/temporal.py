@@ -887,3 +887,48 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "user_missing_days",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               CAST(min(ts) AS DATE) AS d0,
+               CAST(max(ts) AS DATE) AS d1
+        FROM events GROUP BY user_id
+    ),
+    cal AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1,
+               INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    seen AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS missing_day
+    FROM cal c ANTI JOIN seen s USING (user_id, day)
+    """,
+)
+def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + gap detection: generate each user's full
+    activity-span day sequence (F.sequence → explode, a map-side 1→N
+    generator — no calendar dimension table needed) and anti-join the
+    observed days; the remainder is the silent-day report (the reference's
+    trusted-range/missing-day bookkeeping, calendar_utils, as one query).
+    Output size is gap-bounded; the only exchanges are the span aggregate
+    and the anti join on (user, day)."""
+    e = _events(spark, sf_dir)
+    span = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    seen = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        cal.join(seen, ["user_id", "day"], "left_anti")
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("missing_day"))
+    )
