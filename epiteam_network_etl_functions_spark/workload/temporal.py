@@ -120,7 +120,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_stats",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            round((sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0)
                  / count(*), 6) AS avg_k,
            count(*) AS n
@@ -157,14 +157,14 @@ _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
     )
     SELECT event_type,
            count(*) AS n_rows,
-           sum(len(toks)) AS n_tokens,
-           sum(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))))
-               AS n_word,
-           sum(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))))
-               AS n_num,
-           sum(len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))))
-               AS n_punct,
-           sum(length(num_tok)) AS digit_width
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(sum(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]'))))
+               AS BIGINT) AS n_word,
+           CAST(sum(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]'))))
+               AS BIGINT) AS n_num,
+           CAST(sum(len(list_filter(toks, x -> NOT regexp_matches(x, '^[A-Za-z0-9]'))))
+               AS BIGINT) AS n_punct,
+           CAST(sum(length(num_tok)) AS BIGINT) AS digit_width
     FROM t GROUP BY event_type
     """,
 )
@@ -256,7 +256,7 @@ def running_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(gap_us) AS n_gaps,
-           (sum(gap_us) // 1000000) AS total_gap_secs,
+           CAST(sum(gap_us) // 1000000 AS BIGINT) AS total_gap_secs,
            round((sum(gap_us) / 1000000.0) / count(gap_us), 6) AS avg_gap_secs
     FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
     """,
