@@ -105,11 +105,16 @@ def kcore(
     the fixpoint — on a 100 TB edge list every round is shuffle-bounded by
     the surviving edges, and the round count is bounded by the graph's
     degeneracy ordering depth (small for real co-location graphs; the
-    returned ``rounds`` lets callers assert it)."""
+    returned ``rounds`` lets callers assert it).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds elapse without reaching
+    the fixpoint — a partially peeled subgraph is NOT a k-core and silently
+    returning it would poison downstream joins."""
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         deg = degrees(e, "a", "b").where(F.col("degree") >= k)
         keep = deg.select("node_id")
@@ -121,7 +126,13 @@ def kcore(
         n2 = e2.count()
         e = e2
         if n2 == n_edges:
+            converged = True
             break
         n_edges = n2
         rounds += 1
+    if not converged:
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge within max_iter={max_iter} "
+            f"rounds ({n_edges} edges still shrinking); raise max_iter"
+        )
     return degrees(e, "a", "b"), rounds

@@ -200,6 +200,11 @@ def write_zorder_clustered(
     lo_x, hi_x, lo_y, hi_y = df.select(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
+    if lo_x is None or lo_y is None:
+        # empty input (min/max of zero rows): write the empty frame as-is
+        # rather than crash on None arithmetic below
+        df.write.mode(mode).parquet(path)
+        return
     span = 2**bits - 1
 
     def scaled(c, lo, hi):

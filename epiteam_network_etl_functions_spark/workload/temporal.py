@@ -838,7 +838,10 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents², i.e. far past 100 TB of this schema), so mean/std derive from
     identical integers on both engines and the rounded z crosses the
     threshold identically. Degenerate groups (n<2 or zero variance) are
-    excluded on both sides by the same integer predicate."""
+    excluded on both sides by the same integer predicate; the sc*sc / sc2*n
+    products in that predicate are computed in decimal(38,0) so the guard
+    itself cannot overflow int64 at group sizes where sc approaches 2^31.5
+    (DuckDB promotes the same products to HUGEINT)."""
     e = _events(spark, sf_dir)
     vc = F.round(F.col("value") * 100).cast("bigint")
     m = e.groupBy("user_id").agg(
@@ -854,7 +857,10 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("value").isNotNull()
             & (F.col("n") >= 2)
-            & (F.col("sc2") * F.col("n") > F.col("sc") * F.col("sc"))
+            & (
+                F.col("sc2").cast("decimal(38,0)") * F.col("n")
+                > F.col("sc").cast("decimal(38,0)") * F.col("sc")
+            )
             & (F.abs(z) >= 2)
         )
         .select("event_id", "user_id", z.alias("z_r"))

@@ -204,7 +204,7 @@ def test_streaming_enrich_matches_batch_join(spark, stream_src):
     batch = events.select("user_id", "event_id").join(dim, "user_id")
     assert out.count() == batch.count()
     # spot-check parity of the attached attribute
-    got = {r.event_id: r.fav_type for r in out.limit(0).collect()}  # schema probe
+    assert "fav_type" in out.columns
     sample = out.orderBy("event_id").limit(50).collect()
     truth = {
         r.event_id: r.fav_type

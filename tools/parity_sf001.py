@@ -46,13 +46,18 @@ def _normalize(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                vals.append(("f", round(v, 9)))
+                vals.append(("f", v))
             elif v is None:
                 vals.append(("n", None))
             else:
                 vals.append(("v", str(v)))
         out.append(tuple(vals))
-    out.sort(key=repr)
+    # Align rows by the NON-float columns only (the registry's output
+    # discipline guarantees a unique non-float tie-break key per row);
+    # sorting on floats rounded near the comparison tolerance could order
+    # boundary-straddling near-equal values differently on the two sides
+    # and produce a spurious mismatch.
+    out.sort(key=lambda row: repr([c for c in row if c[0] != "f"]))
     return [cols[i] for i in order], out
 
 
