@@ -194,21 +194,25 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
     the standard sklearn formulation).
 
-    Plan shape: one shuffle for per-(doc, term) counts, one map-side-combined
-    shuffle for document frequency (vocabulary-sized output — broadcast back
-    onto the term counts), then a per-document window over at most
-    |vocab(doc)| rows. ``n_docs`` is injected as a literal (origin-scalar
-    idiom) so the plan stays a single declarative tree. Ranking orders by the
-    ROUNDED score so cross-engine float ulp drift cannot flip ranks; ties
-    resolve on the term itself."""
+    Plan shape: a SINGLE pass — one shuffle for per-(doc, term) counts, one
+    shuffle on term where document frequency is computed as a partition-wide
+    window count (no self-join, so the tokenize/explode/groupBy subtree is
+    never evaluated twice, and no vocabulary-sized broadcast — a 100 TB
+    corpus has a broadcast-breaking vocabulary), then a per-document window
+    over at most |vocab(doc)| rows. ``n_docs`` is injected as a literal
+    (origin-scalar idiom) so the plan stays a single declarative tree.
+    Ranking orders by the ROUNDED score so cross-engine float ulp drift
+    cannot flip ranks; ties resolve on the term itself."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    wdf = Window.partitionBy("term")
+    scored = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(wdf)
+    ).withColumn(
         "score",
         F.round(
             F.col("tf")
