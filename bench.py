@@ -22,6 +22,11 @@ import time
 
 BENCH_QUERIES = [
     "colocation_pairs",
+    # the same flagship on the bucketed presence layout: the one-time
+    # bucketed write happens at plan-build, so the timed runs measure the
+    # exchange-free steady-state join (the 100 TB shape when one presence
+    # table drives many downstream runs)
+    "colocation_pairs_bucketed",
     "colocation_edges",
     "contact_probs",
     "bucket_counts",

@@ -12,6 +12,8 @@ are the reusable implementations.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import catalog
@@ -222,6 +224,41 @@ def colocation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cell + same 10-min bucket, distinct ordered pairs."""
     p = _bucketed_presence(spark, sf_dir)
     return colocation_pairs(p, id_col="user_id", cell_col="event_type", tw_col="tw")
+
+
+@query(
+    "colocation_pairs_bucketed",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()}
+    SELECT DISTINCT a.user_id AS a_user_id, b.user_id AS b_user_id
+    FROM presence a JOIN presence b USING (event_type, tw)
+    WHERE a.user_id <> b.user_id
+    """,
+)
+def colocation_pairs_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship on the EXCHANGE-FREE layout (operators/
+    colocation_bucketed.py): presence is persisted once bucketed+sorted by
+    (cell, tw), then the self-join planner-proves co-partitioning from the
+    bucket spec and runs with no exchange and no sort before the join —
+    the 100 TB plan when the same presence drives many downstream runs
+    (daily interactions, contact matrices, empiric networks). Identical
+    output + oracle to colocation_pairs; the write happens at plan-build
+    (the amortized layout cost), so a timed re-execution measures the
+    steady-state join only."""
+    from ..operators.colocation_bucketed import (
+        colocation_pairs_bucketed,
+        write_presence_bucketed,
+    )
+
+    table = "presence_bkt_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    p = _bucketed_presence(spark, sf_dir)
+    write_presence_bucketed(
+        p, table, n_buckets=16, id_col="user_id",
+        cell_col="event_type", tw_col="tw",
+    )
+    return colocation_pairs_bucketed(
+        spark, table, id_col="user_id", cell_col="event_type", tw_col="tw"
+    )
 
 
 @query(
