@@ -148,11 +148,18 @@ def jaccard_verify(
     )
 
 
+# Above this many distinct shingles, the rarity ranking is joined with a
+# plain shuffled join instead of a broadcast: a 100 TB corpus has a
+# vocabulary that would OOM the driver/executors as a broadcast table.
+PREFIX_BROADCAST_VOCAB_MAX = 5_000_000
+
+
 def prefix_filter_candidates(
     shingled: DataFrame,
     id_col: str,
     shingle_col: str = "shingle",
     threshold: float = 0.3,
+    broadcast_vocab_max: int = PREFIX_BROADCAST_VOCAB_MAX,
 ) -> DataFrame:
     """EXACT set-similarity candidate generation by prefix filtering
     (PPJoin family): order each document's shingles globally by rarity
@@ -163,15 +170,24 @@ def prefix_filter_candidates(
     trades away). Candidate volume is bounded by prefix-token co-occurrence
     — rare-first ordering makes prefixes the least-shared tokens, the
     standard trick that keeps this join far from quadratic at corpus
-    scale. The rarity ranking is a vocabulary-sized broadcast; the window
+    scale. The rarity ranking attaches via a vocabulary-sized broadcast
+    when the vocabulary is small enough (one count job gates it), and falls
+    back to a plain shuffled equi-join on the shingle beyond
+    ``broadcast_vocab_max`` — at 100 TB the vocabulary is broadcast-
+    breaking and the shuffled join is the only correct shape. The window
     is per-document (never global)."""
     from pyspark.sql import Window
 
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nd"))
     dfreq = shingled.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
+    # persist so the gating count and the join read one computation; the
+    # count itself is the broadcast-safety gate, so it cannot be skipped
+    dfreq = dfreq.persist()
+    if dfreq.count() <= broadcast_vocab_max:
+        dfreq = F.broadcast(dfreq)
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc(shingle_col))
     ranked = (
-        shingled.join(F.broadcast(dfreq), shingle_col)  # vocabulary-sized
+        shingled.join(dfreq, shingle_col)
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes, id_col)  # corpus-keyed: co-partitioned with the window
     )

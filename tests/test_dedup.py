@@ -60,3 +60,33 @@ def test_prefix_filter_has_zero_false_negatives(spark):
     }
     assert truth, "degenerate fixture"
     assert truth <= cands, f"missed true pairs: {truth - cands}"
+
+
+def test_prefix_filter_shuffled_join_fallback_matches_broadcast(spark):
+    """Beyond broadcast_vocab_max the rarity ranking must drop the FORCED
+    broadcast hint (a 100 TB vocabulary breaks broadcast; AQE may still
+    choose broadcast on its own when the side is genuinely small) — and
+    the candidate set must be identical on both paths."""
+    from epiteam_network_etl_functions_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    rows = [
+        (i, f"s{j}")
+        for i in range(1, 7)
+        for j in range(i, i + 4)  # overlapping shingle windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    bcast = prefix_filter_candidates(df, "doc_id", threshold=0.3)
+    shuf = prefix_filter_candidates(
+        df, "doc_id", threshold=0.3, broadcast_vocab_max=0
+    )
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuf.collect())
+    )
+    assert "ResolvedHint" in bcast._jdf.queryExecution().analyzed().toString()
+    assert (
+        "ResolvedHint"
+        not in shuf._jdf.queryExecution().analyzed().toString()
+    )
