@@ -592,3 +592,313 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue"),
         )
     )
+
+
+@query(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                    * {_SQL_BP.format(c='l_discount')} AS DECIMAL(38,0)))
+                AS DOUBLE) / 1000000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND {_SQL_BP.format(c='l_discount')} BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-predicate aggregate — every filter
+    (date range, discount band, quantity cap) is single-column and pushes
+    to the parquet scan, so the plan is scan -> map-side partial sum ->
+    one scalar row. The discount band compares in exact integer basis
+    points so the band edges cut identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    db = _bp("l_discount")
+    rev = (_cents("l_extendedprice") * db).cast("decimal(38,0)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & db.between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(rev).cast("double") / 1000000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                    * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                    AS DECIMAL(38,0)) AS rev_c,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                               THEN rev_c ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_c) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the widest star join in the set — fact -> orders ->
+    customer -> nation -> region on the demand side AND supplier -> nation
+    on the supply side (nation in TWO roles, like Q7) plus the part filter,
+    then a conditional-share aggregate per order year. All five dimension
+    sides broadcast; the fact shuffles once for the year groupBy. The
+    share is a ratio of exact integer sums rounded identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _revenue_col().alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_2", F.col("rev_c")).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(target).cast("double") / F.sum("rev_c").cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH srev AS (
+        SELECT l_suppkey, {_REVENUE_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, sr.total_revenue
+    FROM supplier s JOIN srev sr ON s.s_suppkey = sr.l_suppkey
+    WHERE sr.total_revenue = (SELECT max(total_revenue) FROM srev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate VIEW consumed twice — once for the
+    global max (scalar subquery) and once to select the winners. The
+    per-supplier revenue is computed ONCE and the scalar max attaches as a
+    broadcast cross join (the origin-scalar idiom; a window over an
+    unpartitioned frame would collapse to one task). The equality compares
+    exact integer-derived revenue, so "the" max is unambiguous."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    srev = li.groupBy("l_suppkey").agg(
+        (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("total_revenue")
+    )
+    mx = srev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           {_SQL_CENTS.format(c='o.o_totalprice')} / 100.0 AS totalprice,
+           sum({_SQL_CENTS.format(c='l.l_quantity')}) / 100.0 AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum({_SQL_CENTS.format(c='l_quantity')}) > 25000
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, orderdate, totalprice
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: an IN-subquery over a grouped HAVING — the
+    qualifying orderkeys (sum of quantities > 250) come from one
+    aggregation of the fact, then rejoin the fact as a left-semi join
+    (Catalyst's decorrelation, written explicitly). The semi join's build
+    side is the small qualifying set, broadcast; the surviving fact rows
+    re-aggregate per order. Quantities sum in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc = _cents("l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qc).alias("__sq"))
+        .where(F.col("__sq") > 25000)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            (_cents("o_totalprice") / 100.0).alias("totalprice"),
+        )
+        .agg((F.sum(qc) / 100.0).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "orderdate", "totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "sole_late_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ) GROUP BY l_orderkey HAVING count(*) > 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late t
+    JOIN multi m ON t.l_orderkey = m.l_orderkey
+    JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM late t2
+        WHERE t2.l_orderkey = t.l_orderkey AND t2.l_suppkey <> t.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's dates: "late" =
+    shipped >90 days after the order date): suppliers who were the ONLY
+    late shipper on a multi-supplier order. The two correlated EXISTS /
+    NOT EXISTS of Q21 decorrelate into one left-semi (order has other
+    suppliers) and one left-anti (no OTHER late supplier on the order) on
+    the same deduped (order, supplier) lateness table — the anti join
+    compares a two-column key against an inequality on the second, which
+    rewrites as: orders with exactly one distinct late supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__nl"), F.max("l_suppkey").alias("l_suppkey"))
+        .where(F.col("__nl") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH cutoff AS (
+        SELECT CAST(round(avg(CAST(round(c_acctbal * 100) AS BIGINT)), 6)
+                    AS DOUBLE) AS avg_bal_c
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c CROSS JOIN cutoff
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > cutoff.avg_bal_c
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey stands in for the phone-prefix
+    country code this schema lacks): account balances above the global
+    positive-balance average (scalar subquery -> broadcast cross join)
+    for customers with NO recent orders (NOT EXISTS -> left-anti against
+    the date-filtered orders — the filter pushes below the anti join so
+    the build side is only recent orders). Balances compare in exact
+    integer cents against the rounded average."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    bc = _cents("c_acctbal")
+    cutoff = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg(bc), 6).alias("avg_bal_c")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .where(bc > F.col("avg_bal_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bc) / 100.0).alias("totacctbal"),
+        )
+    )
