@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "doc_language_id",
     "tfidf_top_terms",
     "volume_shipping",
+    # round-5 additions: widest star join (nation two-role + region + part)
+    # and the IN-over-grouped-HAVING semi-join rewrite
+    "nation_market_share",
+    "large_volume_customers",
 ]
 
 

@@ -18,6 +18,8 @@ reference re-pays inside DuckDB per query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -34,7 +36,24 @@ def write_presence_bucketed(
     shuffle (repartition by bucket keys first, same subset rule as the
     in-flight kernel). n_buckets is a layout-time choice: at 100 TB size it
     so each bucket's presence slice fits an executor (buckets are the unit
-    of join parallelism — too few caps cores, too many makes small files)."""
+    of join parallelism — too few caps cores, too many makes small files).
+
+    The write is idempotent across sessions: a previous session's managed
+    location can survive in the warehouse dir while the new in-memory
+    catalog has no table entry, and saveAsTable then refuses with
+    LOCATION_ALREADY_EXISTS — so drop the catalog entry AND clear an
+    orphaned location first."""
+    spark = pings.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    if warehouse:
+        import shutil
+
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     (
         pings.select(id_col, cell_col, tw_col)
         .repartition(F.col(cell_col), F.col(tw_col))
