@@ -775,3 +775,113 @@ def type_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") > 0)
     )
+
+
+@query(
+    "colocation_pagerank",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    arcs AS (
+        SELECT a_user_id AS src, b_user_id AS dst FROM edges
+        UNION ALL
+        SELECT b_user_id, a_user_id FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM arcs GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node_id, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn),
+    f1 AS (
+        SELECT a.dst AS node_id, sum(r.rank / d.out_deg) AS flow
+        FROM arcs a JOIN r0 r ON r.node_id = a.src JOIN deg d ON d.src = a.src
+        GROUP BY a.dst
+    ),
+    r1 AS (SELECT node_id, 0.15 / nn.n + 0.85 * flow AS rank
+           FROM f1 CROSS JOIN nn),
+    f2 AS (
+        SELECT a.dst AS node_id, sum(r.rank / d.out_deg) AS flow
+        FROM arcs a JOIN r1 r ON r.node_id = a.src JOIN deg d ON d.src = a.src
+        GROUP BY a.dst
+    ),
+    r2 AS (SELECT node_id, 0.15 / nn.n + 0.85 * flow AS rank
+           FROM f2 CROSS JOIN nn),
+    f3 AS (
+        SELECT a.dst AS node_id, sum(r.rank / d.out_deg) AS flow
+        FROM arcs a JOIN r2 r ON r.node_id = a.src JOIN deg d ON d.src = a.src
+        GROUP BY a.dst
+    ),
+    r3 AS (SELECT node_id, 0.15 / nn.n + 0.85 * flow AS rank
+           FROM f3 CROSS JOIN nn)
+    SELECT node_id, round(rank, 6) AS rank FROM r3
+    """,
+)
+def colocation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-location network, pinned to exactly three
+    power iterations (tol=0) so the DuckDB oracle can unroll the same
+    three rounds as CTEs — the same fixed-round differential discipline
+    as the k-means oracle. Certifies plans/pagerank.pagerank (cached
+    bidirectional arcs, one groupBy(dst) shuffle per round, per-round
+    lineage checkpoints) against an independent formulation; an
+    undirected graph has no dangling mass, so both sides use the plain
+    teleport + damped-flow update. Ranks compare rounded to 6 digits
+    (double accumulation is order-insensitive far beyond that after
+    three rounds)."""
+    from ..plans.pagerank import pagerank
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    pr = pagerank(
+        edges, a_col="a_user_id", b_col="b_user_id",
+        damping=0.85, tol=0.0, max_iter=3,
+    )
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+@query(
+    "colocation_communities",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    arcs AS (
+        SELECT a_user_id AS src, b_user_id AS dst FROM edges
+        UNION ALL
+        SELECT b_user_id, a_user_id FROM edges
+    ),
+    deg AS (SELECT src FROM arcs GROUP BY src),
+    l0 AS (SELECT src AS node_id, src AS label FROM deg),
+    c1 AS (
+        SELECT a.src AS node_id, l.label, count(*) AS n
+        FROM arcs a JOIN l0 l ON l.node_id = a.dst
+        GROUP BY a.src, l.label
+    ),
+    m1 AS (SELECT node_id, max(n) AS mx FROM c1 GROUP BY node_id),
+    l1 AS (
+        SELECT c.node_id, min(c.label) AS label
+        FROM c1 c JOIN m1 m ON m.node_id = c.node_id AND c.n = m.mx
+        GROUP BY c.node_id
+    ),
+    c2 AS (
+        SELECT a.src AS node_id, l.label, count(*) AS n
+        FROM arcs a JOIN l1 l ON l.node_id = a.dst
+        GROUP BY a.src, l.label
+    ),
+    m2 AS (SELECT node_id, max(n) AS mx FROM c2 GROUP BY node_id),
+    l2 AS (
+        SELECT c.node_id, min(c.label) AS label
+        FROM c2 c JOIN m2 m ON m.node_id = c.node_id AND c.n = m.mx
+        GROUP BY c.node_id
+    )
+    SELECT node_id, label FROM l2
+    """,
+)
+def colocation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-location network, pinned to two rounds so the oracle unrolls the
+    identical update (most frequent neighbour label, ties to the smallest
+    label — the deterministic variant; the classic random-async one is
+    not reproducible and so not differentiable). Certifies
+    plans/pagerank.label_propagation; pure integer arithmetic, so the
+    differential is exact. (If round 1 is already a fixpoint the early
+    stop returns it, which equals the oracle's round 2 by idempotence.)"""
+    from ..plans.pagerank import label_propagation
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    return label_propagation(
+        edges, a_col="a_user_id", b_col="b_user_id", max_iter=2
+    )
