@@ -938,3 +938,82 @@ def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal.join(seen, ["user_id", "day"], "left_anti")
         .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("missing_day"))
     )
+
+
+@query(
+    "trailing_hour_stats",
+    oracle="""
+    SELECT event_id, user_id, rng_n,
+           CASE WHEN rng_n > 0
+                THEN round(rng_sum_c / (100.0 * rng_n), 6) END AS rng_avg
+    FROM (
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w AS rng_sum_c,
+               count(value) OVER w AS rng_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding frame (RANGE BETWEEN 1 HOUR PRECEDING, in exact
+    integer microseconds) — the frame family member ROWS-based
+    moving_value_avg cannot express: the window is defined by the TIME
+    span, not a row count, so bursts widen the frame and quiet periods
+    shrink it. Peers at the same timestamp fall in one frame on both
+    engines (RANGE includes ties), which keeps the result deterministic
+    without an event_id tie-break. Cent-quantized sum + non-null count,
+    exact on both sides."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    rng_sum = F.sum(vc).over(w)
+    rng_n = F.count("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        rng_n.alias("rng_n"),
+        F.when(rng_n > 0, F.round(rng_sum / (100.0 * rng_n), 6)).alias(
+            "rng_avg"
+        ),
+    )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event-type sequence (the training-sequence prep
+    op: event logs -> one ordered token string per entity). collect_list
+    is order-nondeterministic under shuffle, so the total order is
+    imposed AFTER collection: array_sort over (ts, event_id, type)
+    structs — event_id makes the sort total, so both engines emit the
+    identical string. One groupBy shuffle; the sort is per-group and
+    JVM-side (no window, no second exchange)."""
+    e = _events(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
