@@ -73,3 +73,18 @@ def test_join_runs_without_exchange(spark, bucketed):
 def test_presence_is_deduped_at_write(spark, bucketed):
     p = spark.table(bucketed)
     assert p.count() == p.distinct().count()
+
+
+def test_bucketed_workload_query_is_rerunnable(spark):
+    """The workload entry writes the bucketed presence table at plan-build;
+    a second invocation in the same session (and, via the orphan-location
+    sweep, in a NEW session over a stale warehouse dir) must overwrite
+    cleanly and return identical pairs."""
+    from epiteam_network_etl_functions_spark import workload
+
+    workload.load_all()
+    fn = workload.REGISTRY["colocation_pairs_bucketed"]
+    sf = "/root/testdata/sf0.001"
+    first = sorted(map(tuple, fn(spark, sf).collect()))
+    second = sorted(map(tuple, fn(spark, sf).collect()))
+    assert first == second and len(first) > 0
