@@ -30,6 +30,7 @@ def write_presence_bucketed(
     id_col: str = "caid",
     cell_col: str = "h3index_15",
     tw_col: str = "tw",
+    location: str | None = None,
 ) -> None:
     """Dedup (id, cell, tw) presence and persist it bucketed+sorted by the
     co-location join keys. The distinct's shuffle doubles as the bucketing
@@ -38,27 +39,30 @@ def write_presence_bucketed(
     so each bucket's presence slice fits an executor (buckets are the unit
     of join parallelism — too few caps cores, too many makes small files).
 
-    The write is idempotent across sessions: a previous session's managed
-    location can survive in the warehouse dir while the new in-memory
-    catalog has no table entry, and saveAsTable then refuses with
-    LOCATION_ALREADY_EXISTS — so drop the catalog entry AND clear an
-    orphaned location first."""
+    The table is EXTERNAL at an explicit ``location`` (default: a temp-dir
+    path derived from the table name), so the write does not assume a
+    writable warehouse dir under the host process's cwd. It is also
+    idempotent across sessions: a previous session's files can survive at
+    the location while the new in-memory catalog has no table entry, and
+    saveAsTable then refuses with LOCATION_ALREADY_EXISTS — so drop the
+    catalog entry AND clear the stale location first."""
+    import shutil
+    import tempfile
+
     spark = pings.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[5:]
-    if warehouse:
-        import shutil
-
-        loc = os.path.join(warehouse, table.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+    if location is None:
+        location = os.path.join(
+            tempfile.gettempdir(), "spark_graft_bucketed", table.lower()
+        )
+    if os.path.exists(location):
+        shutil.rmtree(location, ignore_errors=True)
     (
         pings.select(id_col, cell_col, tw_col)
         .repartition(F.col(cell_col), F.col(tw_col))
         .distinct()
         .write.mode("overwrite")
+        .option("path", location)
         .bucketBy(n_buckets, cell_col, tw_col)
         .sortBy(cell_col, tw_col)
         .format("parquet")
