@@ -90,3 +90,12 @@ def test_prefix_filter_shuffled_join_fallback_matches_broadcast(spark):
         "ResolvedHint"
         not in shuf._jdf.queryExecution().analyzed().toString()
     )
+
+
+def test_prefix_filter_empty_corpus(spark):
+    from epiteam_network_etl_functions_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, shingle string")
+    assert prefix_filter_candidates(empty, "doc_id").count() == 0

@@ -144,3 +144,19 @@ def test_kcore_empty_when_k_exceeds_degrees(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
     core, rounds = kcore(df, 3)
     assert core.count() == 0
+
+
+def test_iterative_kernels_handle_empty_graphs(spark):
+    """Empty edge lists must yield empty results, not crash — the guard
+    paths (n==0 PageRank, zero-round peeling, empty label set)."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import kcore
+    from epiteam_network_etl_functions_spark.plans.pagerank import (
+        label_propagation,
+        pagerank,
+    )
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert pagerank(empty).count() == 0
+    assert label_propagation(empty).count() == 0
+    core, rounds = kcore(empty, k=2)
+    assert core.count() == 0 and rounds == 0
