@@ -96,3 +96,23 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_driver_prefix_is_exactly_the_uncertified_set():
+    """The external driver snapshots the first 50 registered names; a green
+    row in any round certifies a query permanently. Invariant: the prefix
+    must be exactly the non-demoted set (every never-certified query inside,
+    nothing wasted on already-certified proxies), each with an oracle —
+    a registration-order drift would silently burn certification slots."""
+    from epiteam_network_etl_functions_spark import workload
+
+    workload.load_all()
+    names = list(workload.REGISTRY)
+    non_demoted = [n for n in names if n not in workload.DEMOTED]
+    assert len(non_demoted) <= 50, (
+        f"{len(non_demoted)} non-demoted queries exceed the 50-slot driver "
+        "prefix — demote certified proxies before adding more"
+    )
+    assert names[: len(non_demoted)] == non_demoted
+    missing = [n for n in non_demoted if n not in workload.ORACLES]
+    assert not missing, f"prefix queries without oracles: {missing}"
