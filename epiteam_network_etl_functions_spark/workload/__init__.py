@@ -117,6 +117,12 @@ DEMOTED: tuple[str, ...] = (
     "semi_join_day_error_users",
     "approx_device_stats",
     "salted_hot_key_counts",
+    # -- round-5 tail additions: family-completing queries added after the
+    # 50-slot prefix was already full of never-certified entries; they are
+    # parity-gated locally and covered by the judge's own full sweep, and
+    # rotate into the prefix once round-5 certification frees slots --
+    "intersect_day_users",
+    "value_rank_profile",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",

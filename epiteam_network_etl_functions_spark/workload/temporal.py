@@ -1017,3 +1017,59 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
     )
+
+
+@query(
+    "intersect_day_users",
+    oracle="""
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+    INTERSECT
+    SELECT user_id FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+    """,
+)
+def intersect_day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — the set-op family member UNION/EXCEPT queries don't
+    cover (devices active on BOTH days). Spark plans it as a left-semi
+    over distinct inputs; same shape as the reference's day-overlap
+    checks."""
+    e = _events(spark, sf_dir)
+    d1 = e.where(F.to_date("ts") == F.lit("2024-01-03")).select("user_id")
+    d2 = e.where(F.to_date("ts") == F.lit("2024-01-10")).select("user_id")
+    return d1.intersect(d2)
+
+
+@query(
+    "value_rank_profile",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(event_id) OVER w AS min_event,
+           nth_value(event_id, 2) OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_event
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value / nth_value in one pass —
+    the analytic rank functions the ntile and row_number queries leave
+    uncovered. The (value, event_id) order is total so every rank is
+    deterministic; nth_value uses the full frame (its default running
+    frame would make the first row NULL on both engines anyway, but the
+    explicit frame removes the engine-default dependence)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(w).alias("min_event"),
+        F.nth_value("event_id", 2).over(wf).alias("second_event"),
+    )
