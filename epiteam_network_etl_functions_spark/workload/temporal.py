@@ -1003,7 +1003,11 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     imposed AFTER collection: array_sort over (ts, event_id, type)
     structs — event_id makes the sort total, so both engines emit the
     identical string. One groupBy shuffle; the sort is per-group and
-    JVM-side (no window, no second exchange)."""
+    JVM-side (no window, no second exchange). Scale note: the sequence is
+    per-entity-unbounded by definition (like any collect_list); a 100 TB
+    run caps it the way training pipelines do — slice(sorted, 1, max_len)
+    before the join — which keeps the same plan shape and bounds group
+    memory."""
     e = _events(spark, sf_dir)
     seq = F.array_join(
         F.transform(
