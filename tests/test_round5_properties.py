@@ -181,3 +181,67 @@ def test_label_propagation_two_rounds_matches_naive(spark, pairs):
             break
         labels = new
     assert got == labels
+
+
+@given(
+    st.lists(  # (orderkey, qty) lineitems
+        st.tuples(st.integers(1, 15), st.integers(1, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(50, 150),  # threshold
+)
+@_slow
+def test_having_in_semi_join_rewrite_matches_bruteforce(spark, items, thr):
+    """Q18's IN-over-grouped-HAVING as an explicit semi join: surviving
+    rows must be exactly those of orders whose total quantity > thr."""
+    df = spark.createDataFrame(items, "l_orderkey long, qty long")
+    big = (
+        df.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sq"))
+        .where(F.col("sq") > thr)
+        .select("l_orderkey")
+    )
+    got = sorted(
+        map(tuple, df.join(big, "l_orderkey", "left_semi").collect())
+    )
+    totals: dict = {}
+    for o, q in items:
+        totals[o] = totals.get(o, 0) + q
+    expected = sorted((o, q) for o, q in items if totals[o] > thr)
+    assert got == expected
+
+
+@given(
+    st.lists(  # (custkey, balance_cents)
+        st.tuples(st.integers(1, 10), st.integers(-500, 500)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(st.integers(1, 10), max_size=10),  # custkeys with recent orders
+)
+@_slow
+def test_scalar_cutoff_anti_join_matches_bruteforce(spark, custs, recent):
+    """Q22's scalar-avg cutoff + NOT EXISTS as broadcast cross join +
+    left-anti: survivors are exactly the above-positive-average customers
+    with no recent order."""
+    c = spark.createDataFrame(custs, "c_custkey long, bal long")
+    o = spark.createDataFrame([(k,) for k in recent], "o_custkey long")
+    cutoff = c.where("bal > 0").agg(F.avg("bal").alias("cut"))
+    got = {
+        r["c_custkey"]
+        for r in c.crossJoin(F.broadcast(cutoff))
+        .where(F.col("bal") > F.col("cut"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .collect()
+    }
+    pos = [b for _, b in custs if b > 0]
+    if not pos:
+        assert got == set()
+        return
+    cut = sum(pos) / len(pos)
+    expected = {
+        k for k, b in custs if b > cut and k not in set(recent)
+    }
+    assert got == expected
