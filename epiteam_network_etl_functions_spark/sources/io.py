@@ -257,3 +257,46 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     round-trip per file — at 100 TB, resolve the schema once, persist it,
     and use read_partitioned(schema=...) for steady-state reads."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan (the interchange format of training-data pipelines).
+    ALWAYS pass a schema in production: schema inference reads the input
+    twice, and a 100 TB corpus cannot afford the extra pass — the same
+    rule the parquet readers here follow by writing explicit schemas."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """Sharded JSONL export — the standard LLM training-data layout (many
+    similar-sized .jsonl.gz shards a downstream loader can stream and
+    shuffle). Shard sizing is enforced two ways, both executor-side:
+
+    - ``maxRecordsPerFile`` caps records per written file (the hard bound);
+    - a round-robin repartition to ceil(n/records_per_shard) partitions
+      ahead of the write spreads rows evenly so shards are size-UNIFORM,
+      not just bounded — without it one fat input partition emits many
+      capped files while others emit one small one.
+
+    The count for the partition target is one metadata-cheap job on
+    parquet-backed input; at 100 TB the caller usually knows n and the
+    round-robin shuffle is the export's only wide operation."""
+    n = df.count()
+    shards = max(1, -(-n // records_per_shard))
+    writer = (
+        df.repartition(shards)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", records_per_shard)
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

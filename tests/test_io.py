@@ -97,3 +97,31 @@ def test_matrix_and_pickle_sinks(tmp_path):
     pp = str(tmp_path / "SIM_SEED_7_raw_result.pkl")
     write_pickle(pp, obj)
     assert read_pickle(pp) == obj
+
+
+def test_jsonl_shard_roundtrip(spark, tmp_path):
+    """Sharded JSONL export: shard count matches ceil(n/size), every shard
+    respects the record cap, and a schema'd re-read round-trips exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from epiteam_network_etl_functions_spark.sources.io import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, records_per_shard=300, compression=None)
+    files = sorted(glob.glob(out + "/part-*.json"))
+    assert len(files) == 4  # ceil(1000/300)
+    for f in files:
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 300
+    back = read_jsonl(spark, out, schema="doc_id long, text string")
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
