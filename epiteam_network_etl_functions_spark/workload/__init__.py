@@ -123,6 +123,8 @@ DEMOTED: tuple[str, ...] = (
     # rotate into the prefix once round-5 certification frees slots --
     "intersect_day_users",
     "value_rank_profile",
+    "doc_pack_bins",
+    "benchmark_contamination",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",

@@ -500,3 +500,88 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + F.ascii(x)) % 1000000007,
     )
     return docs.select("doc_id", rh.alias("rhash"))
+
+
+@query(
+    "doc_pack_bins",
+    oracle="""
+    WITH counted AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM counted
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget bins (512
+    here), the pretraining step that turns ragged documents into dense
+    training sequences. Contiguous-fill packing in doc_id order: bin id =
+    floor(preceding-cumulative-tokens / budget), a single running-sum
+    window, fully deterministic and SQL-expressible (vs bin-packing
+    heuristics, which are neither). The global ORDER BY window is the
+    deliberate cost: packing IS a global sequential assignment — at 100 TB
+    you run it per-shard (partitionBy(shard) makes the same window
+    embarrassingly parallel, same plan shape)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    w = Window.orderBy(F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    counted = d.select("doc_id", n_tokens.alias("n_tokens"))
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    bench AS (SELECT shingle FROM dsh WHERE doc_id < 20),
+    hits AS (
+        SELECT d.doc_id, count(DISTINCT d.shingle) AS n_shared
+        FROM dsh d JOIN bench b ON d.shingle = b.shingle
+        WHERE d.doc_id >= 20
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared >= 2
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag corpus documents sharing >= 2
+    distinct 3-gram shingles with a benchmark set (docs 0-19 stand in for
+    the held-out eval set). The dedup shingle table serves both sides: the
+    benchmark side is tiny and broadcasts, so the check is one broadcast
+    semi-ish join + per-doc distinct count over the corpus — linear in the
+    corpus at 100 TB, which is why shingle-overlap (not embedding
+    similarity) is the standard first-pass contamination gate."""
+    from ..operators.text import explode_shingles
+
+    sh = explode_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    bench = sh.where(F.col("doc_id") < 20).select("shingle").distinct()
+    return (
+        sh.where(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
