@@ -125,3 +125,35 @@ def test_jsonl_shard_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, out, schema="doc_id long, text string")
     assert back.count() == 1000
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined through a FILTERED dim must plan a
+    dynamicpruning subquery on the fact's partition column — at 100 TB
+    this is what turns a star join into a scan of only the matching
+    partitions (static pruning can't: the partition values come from the
+    dim at runtime). DPP requires the dim-side filter; an unfiltered dim
+    join plans a full scan (verified while writing this test)."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fact_path = str(tmp_path / "fact")
+    events.withColumn("day", F.to_date("ts")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(fact_path)
+    dim_rows = [
+        (f"2024-01-{i:02d}", "keep" if i == 5 else "drop")
+        for i in range(1, 29)
+    ]
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(dim_rows, "day_str string, tag string").select(
+        F.to_date("day_str").alias("day"), "tag"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    fact = spark.read.option("basePath", fact_path).parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    j = fact.join(dim, "day")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    truth = events.where(F.to_date("ts") == "2024-01-05").count()
+    assert j.count() == truth
