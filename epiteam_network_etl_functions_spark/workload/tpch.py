@@ -756,37 +756,37 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: an IN-subquery over a grouped HAVING — the
-    qualifying orderkeys (sum of quantities > 250) come from one
-    aggregation of the fact, then rejoin the fact as a left-semi join
-    (Catalyst's decorrelation, written explicitly). The semi join's build
-    side is the small qualifying set, broadcast; the surviving fact rows
-    re-aggregate per order. Quantities sum in exact integer cents."""
+    """TPC-H Q18 shape: an IN-subquery over a grouped HAVING. The SQL
+    formulation (kept verbatim in the oracle) scans the fact twice — once
+    for the qualifying orderkeys, once to re-aggregate the survivors.
+    Because the final grouping is per-order and the customer/order columns
+    are functionally dependent on the orderkey, the re-aggregation IS the
+    HAVING aggregation: aggregate lineitem ONCE to (orderkey, sum_qty),
+    filter > threshold there, and attach orders + customer to the tiny
+    qualifying set afterwards. One fact pass, one shuffle, and the dims
+    join output-sized rows — the plan that matters when lineitem is the
+    100 TB side. Quantities sum in exact integer cents."""
     li = _t(spark, sf_dir, "lineitem")
     qc = _cents("l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qc).alias("__sq"))
         .where(F.col("__sq") > 25000)
-        .select("l_orderkey")
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # the qualifying set is the SMALL side both times: broadcast it into
+    # orders, then broadcast the (still output-sized) result into customer
+    qualified = o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
+        c.join(F.broadcast(qualified), qualified.o_custkey == c.c_custkey)
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             (_cents("o_totalprice") / 100.0).alias("totalprice"),
-        )
-        .agg((F.sum(qc) / 100.0).alias("sum_qty"))
-        .select(
-            "c_name", "c_custkey", "o_orderkey", "orderdate", "totalprice",
-            "sum_qty",
+            (F.col("__sq") / 100.0).alias("sum_qty"),
         )
     )
 
