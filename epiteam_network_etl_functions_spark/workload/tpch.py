@@ -528,22 +528,30 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: the correlated scalar subquery ("quantity below
-    half this part's average") decorrelated into a per-part aggregate
-    joined back to the fact — the plan Catalyst/DuckDB both rewrite the
-    subquery into, declared directly. The threshold predicate is pure
-    INTEGER arithmetic (2·qty_cents·n < sum_cents ⇔ qty < avg/2), so the
+    half this part's average") — but NOT decorrelated into the aggregate
+    + join-back the oracle spells out (two fact passes, one over the FULL
+    fact). Because brand is a part attribute, every lineitem of a
+    brand-filtered part survives the brand filter, so the per-part
+    aggregate computed as a WINDOW over the brand-pruned fact equals the
+    full-fact per-part aggregate for every surviving row: broadcast the
+    filtered parts, one shuffle on l_partkey for the window, filter,
+    scalar agg. One fact scan of ~|brands|/|all| of the data instead of a
+    full-fact aggregate plus join-back — the asymmetry that matters when
+    lineitem is 100 TB. The threshold predicate is pure INTEGER
+    arithmetic (2·qty_cents·n < sum_cents ⇔ qty < avg/2), so the
     half-average knife-edge cannot flip on float summation order."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     qc = _cents("l_quantity")
-    pa = li.groupBy("l_partkey").agg(
-        F.sum(qc).alias("sq"), F.count(F.lit(1)).alias("n")
-    )
     p = _t(spark, sf_dir, "part").where(
         F.col("p_brand").isin("Brand#13", "Brand#4", "Brand#2")
     )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, "l_partkey")
+        .withColumn("sq", F.sum(qc).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
         .where(F.lit(2) * qc * F.col("n") < F.col("sq"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
