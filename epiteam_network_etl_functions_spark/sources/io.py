@@ -300,3 +300,21 @@ def write_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems). Same footer-statistics pruning model as parquet, so the
+    range/z-order clustering writers compose with it unchanged."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan; pass a schema for the same inference-avoidance reason as
+    the parquet/CSV/JSONL readers. Predicate pushdown and column pruning
+    reach the ORC reader exactly as they do parquet (PushedFilters in the
+    explain), so a format migration does not change plan shapes."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

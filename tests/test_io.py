@@ -157,3 +157,72 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower()
     truth = events.where(F.to_date("ts") == "2024-01-05").count()
     assert j.count() == truth
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip + the same pushdown contract as parquet: a value
+    predicate must reach the ORC scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from epiteam_network_etl_functions_spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "user_id", "value")
+    p = str(tmp_path / "events_orc")
+    write_orc(events, p)
+    back = read_orc(spark, p, schema="event_id long, user_id long, value double")
+    assert back.count() == events.count()
+    q = back.where(F.col("value") >= 100.0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(value,100.0)" in plan
+    truth = events.where(F.col("value") >= 100.0).count()
+    assert q.count() == truth
+
+
+def test_runtime_bloom_filter_join_pruning_fires(spark):
+    """Runtime Bloom-filter pruning: a selective dim filter must inject a
+    might_contain() filter on the FACT scan side of a shuffled join — the
+    row-level analogue of dynamic partition pruning, and the mechanism
+    that keeps a 100 TB fact scan from shuffling rows that cannot match.
+    Defaults only trigger above a 10 GB application-side scan, so the
+    thresholds are lowered for the fixture; production defaults fire at
+    exactly the scale where it matters."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        truth = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .join(
+                spark.read.parquet(
+                    "/root/testdata/sf0.001/orders.parquet"
+                ).where(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == truth
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
