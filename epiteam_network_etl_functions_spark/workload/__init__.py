@@ -125,6 +125,7 @@ DEMOTED: tuple[str, ...] = (
     "value_rank_profile",
     "doc_pack_bins",
     "benchmark_contamination",
+    "chunk_dup_report",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",

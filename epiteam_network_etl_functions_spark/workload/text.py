@@ -585,3 +585,52 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("shingle").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "chunk_dup_report",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+        FROM toks,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(*) > 1
+    """,
+)
+def chunk_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication report — exact dedup at SUB-document
+    granularity (tumbling 8-token chunks), the unit RAG pipelines and
+    fine-grained dedup policies operate on: boilerplate repeated across
+    documents is invisible to whole-document dedup but lights up here.
+    Chunking is pure JVM array arithmetic per row (sequence + slice +
+    posexplode — no UDF), then one md5-digest groupBy; the same linear
+    one-shuffle shape as exact_dedup_groups, just on ~L/8 times more,
+    smaller keys."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    chunks = d.select(
+        "doc_id", F.explode(chunk_arr).alias("chunk")
+    )
+    return (
+        chunks.groupBy(F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
