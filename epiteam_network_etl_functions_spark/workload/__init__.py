@@ -126,6 +126,8 @@ DEMOTED: tuple[str, ...] = (
     "doc_pack_bins",
     "benchmark_contamination",
     "chunk_dup_report",
+    "doc_repetition",
+    "doc_char_entropy",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",

@@ -634,3 +634,100 @@ def chunk_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               len(t) - 1 AS n_bigrams,
+               len(list_distinct(list_transform(range(1, len(t)),
+                   i -> t[i] || '_' || t[i+1]))) AS n_distinct
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_bigrams, 6) AS rep_ratio
+    FROM grams
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (the Gopher-family quality rule:
+    1 - distinct-bigrams/total-bigrams; high values flag boilerplate and
+    degenerate generation loops). Entirely per-row JVM array arithmetic —
+    transform to bigrams, array_distinct, two sizes — so the op is
+    map-only and pipelines with the scan at any corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    base = d.select(
+        "doc_id",
+        (F.size(toks) - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    ).where(F.col("n_bigrams") >= 1)
+    return base.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        F.round(
+            1.0 - F.col("n_distinct") * 1.0 / F.col("n_bigrams"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars
+        WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id,
+           CAST(max(t.n) AS BIGINT) AS n_chars,
+           round(-sum((f.c * 1.0 / t.n) * ln(f.c * 1.0 / t.n)), 6)
+               AS entropy_nats
+    FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the cheap
+    perplexity proxy quality filters use to drop degenerate/binary-ish
+    text (very low entropy = repetition, very high = random bytes).
+    Frequencies are computed per-row in array space (array_distinct +
+    per-char counts via JVM filter/size — no explode, no shuffle), so
+    like doc_repetition this is map-only; entropy sums over each doc's
+    alphabet, exact integer counts feeding one rounded float per row."""
+    d = _docs(spark, sf_dir)
+    chars = F.filter(
+        F.split(F.col("text"), ""), lambda x: x != ""
+    )
+    alphabet = F.array_distinct(chars)
+    n = F.size(chars)
+    # per-distinct-char count via filter+size, then entropy via aggregate
+    ent = F.aggregate(
+        F.transform(
+            alphabet,
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+        ),
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c * 1.0 / n) * F.log(c * 1.0 / n),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        F.round(ent, 6).alias("entropy_nats"),
+    )
