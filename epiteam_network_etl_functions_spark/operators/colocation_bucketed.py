@@ -56,6 +56,21 @@ def write_presence_bucketed(
             tempfile.gettempdir(), "spark_graft_bucketed", table.lower()
         )
     if os.path.exists(location):
+        # refuse to clear a caller-supplied path that doesn't look like a
+        # prior bucketed write of THIS kind of table — a mistyped or shared
+        # directory must fail loudly, not vanish silently
+        entries = os.listdir(location)
+        looks_like_prior_write = not entries or any(
+            e == "_SUCCESS" or e.startswith(("part-", "_temporary", "."))
+            for e in entries
+        )
+        if not looks_like_prior_write:
+            raise ValueError(
+                f"refusing to clear {location!r}: existing contents "
+                f"{entries[:5]} do not look like a prior bucketed table "
+                "write (no _SUCCESS/part-* files); remove it manually or "
+                "pass an empty/fresh location"
+            )
         shutil.rmtree(location, ignore_errors=True)
     (
         pings.select(id_col, cell_col, tw_col)

@@ -180,9 +180,11 @@ def prefix_filter_candidates(
 
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nd"))
     dfreq = shingled.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
-    # persist so the gating count and the join read one computation; the
-    # count itself is the broadcast-safety gate, so it cannot be skipped
-    dfreq = dfreq.persist()
+    # the gating count is a deliberate extra job (one map-side-combined
+    # aggregation pass) rather than a persist: pinning a vocabulary-sized
+    # cache in executor storage for the session is exactly the resident
+    # state the broadcast gate exists to avoid at 100 TB, and this function
+    # returns a lazy plan, so there is no safe in-function unpersist point
     if dfreq.count() <= broadcast_vocab_max:
         dfreq = F.broadcast(dfreq)
     w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc(shingle_col))

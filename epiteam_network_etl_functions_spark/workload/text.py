@@ -618,6 +618,10 @@ def chunk_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller keys."""
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # empty/whitespace-only docs would make F.sequence(0, -1) DESCEND,
+    # emitting two phantom empty chunks the oracle (range(0,0) = no rows)
+    # never sees — gate them out before chunking
+    d = d.where(F.size(toks) > 0)
     n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -663,6 +667,11 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only and pipelines with the scan at any corpus size."""
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # gate <2-token docs on the INPUT: F.sequence(1, 0) would descend
+    # through 0 and element_at(toks, 0) raises at runtime; relying on the
+    # derived n_bigrams>=1 filter being pushed below the projection is
+    # optimizer behavior, not a contract
+    d = d.where(F.size(toks) >= 2)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),

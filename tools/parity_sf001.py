@@ -57,7 +57,17 @@ def _normalize(rows, cols):
     # sorting on floats rounded near the comparison tolerance could order
     # boundary-straddling near-equal values differently on the two sides
     # and produce a spurious mismatch.
-    out.sort(key=lambda row: repr([c for c in row if c[0] != "f"]))
+    keys = [repr([c for c in row if c[0] != "f"]) for row in out]
+    has_floats = any(c[0] == "f" for row in out for c in row)
+    if has_floats and len(set(keys)) != len(keys):
+        # duplicate non-float key tuples + float columns = rows would be
+        # compared in engine-dependent order; that's a query-discipline
+        # violation, so fail it loudly instead of passing/failing by luck
+        raise ValueError(
+            "non-float key tuples are not unique per row; add a unique "
+            "non-float tie-break column to the query output"
+        )
+    out = [row for _, row in sorted(zip(keys, out), key=lambda kv: kv[0])]
     return [cols[i] for i in order], out
 
 
@@ -120,8 +130,13 @@ def main() -> int:
             print(f"FAIL {name}: oracle error {e}")
             bad.append(name)
             continue
-        s_cols_s, s_norm = _normalize(s_rows, s_cols)
-        d_cols_s, d_norm = _normalize(d_rows, d_cols)
+        try:
+            s_cols_s, s_norm = _normalize(s_rows, s_cols)
+            d_cols_s, d_norm = _normalize(d_rows, d_cols)
+        except ValueError as e:
+            print(f"FAIL {name}: {e}")
+            bad.append(name)
+            continue
         if s_cols_s != d_cols_s:
             print(f"FAIL {name}: schema {s_cols_s} vs {d_cols_s}")
             bad.append(name)
