@@ -1077,3 +1077,167 @@ def value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("min_event"),
         F.nth_value("event_id", 2).over(wf).alias("second_event"),
     )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (the funnel/behaviour-model input): lead() within user ordered by
+    (ts, event_id) — the unique id tie-break makes the successor, and so
+    the whole matrix, deterministic under same-timestamp events. One
+    shuffle on user_id for the window, then the transition groupBy runs
+    map-side-combined into at most |types|² rows; user streams are the
+    natural partition unit at 100 TB."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firstday f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, distinct
+    actives counted at each day offset — the standard growth-analytics
+    rollup. The first-seen aggregate shuffles on user_id; the join back is
+    user-keyed so it reuses that partitioning; the final (cohort, offset)
+    distinct-count is the only wide aggregate and its key space is
+    days², not data-sized. Dates format to strings so the compare is
+    timezone-representation-proof."""
+    e = _events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "daily_new_users",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_active
+        FROM events GROUP BY day
+    ),
+    fresh AS (
+        SELECT d0 AS day, count(*) AS n_new FROM firstday GROUP BY d0
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active,
+           coalesce(f.n_new, 0) AS n_new
+    FROM active a LEFT JOIN fresh f USING (day)
+    """,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active vs newly-acquired users — the DAU/new-user split every
+    events dashboard opens with. Two shuffles (per-day distinct actives;
+    per-user first-day then per-day count), joined on the tiny day key;
+    the left join zero-fills days with no first-timers. Day-keyed results
+    are calendar-sized, so everything after the fact scans is
+    broadcast-cheap at any event volume."""
+    e = _events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    active = e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    fresh = (
+        e.groupBy("user_id")
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        active.join(F.broadcast(fresh), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+
+
+@query(
+    "value_minmax_scaled",
+    oracle="""
+    WITH mm AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           round((e.value - m.vmin) / (m.vmax - m.vmin), 6) AS scaled
+    FROM events e JOIN mm m USING (event_type)
+    WHERE m.vmax > m.vmin
+    """,
+)
+def value_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (the normalization step feature
+    pipelines apply before training): group extrema joined back onto every
+    row. min/max are order-insensitive — unlike sums they are bit-exact
+    regardless of partitioning, so the scaled value is reproducible
+    cross-engine with one rounded division. The extrema table is
+    |types|-sized and broadcasts; the fact never shuffles (map-only
+    transform after the broadcast attach) — at 100 TB this is a pure
+    second scan, not an exchange. Degenerate constant groups are gated
+    out identically on both sides."""
+    e = _events(spark, sf_dir)
+    mm = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return (
+        e.join(F.broadcast(mm), "event_type")
+        .where(F.col("vmax") > F.col("vmin"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin")),
+                6,
+            ).alias("scaled"),
+        )
+    )

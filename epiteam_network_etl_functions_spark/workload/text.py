@@ -740,3 +740,201 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_chars"),
         F.round(ent, 6).alias("entropy_nats"),
     )
+
+
+@query(
+    "quality_quantile_keep",
+    oracle="""
+    SELECT doc_id, source, n_chars, round(pr, 6) AS length_pr
+    FROM (
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS pr
+        FROM documents
+    )
+    WHERE pr >= 0.2
+    """,
+)
+def quality_quantile_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-quantile gate (the C4-style filter): within each
+    source, rank documents by a quality signal (length here) and keep the
+    top 80% — the threshold is a PER-GROUP quantile, not a global constant,
+    so low-quality-heavy domains are trimmed harder in absolute terms.
+    Expressed as percent_rank over (source)-partitioned windows: one
+    shuffle on source, rank ties broken by doc_id so the kept SET is
+    deterministic, and the rank fraction (r-1)/(n-1) is the same IEEE
+    division on both engines. At 100 TB the window partitions by domain —
+    natural parallelism; a skewed mega-domain would switch to the
+    sampled-quantile + broadcast-threshold variant, trading exactness for
+    a balanced map-only gate."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .where(F.col("pr") >= 0.2)
+        .select(
+            "doc_id", "source", "n_chars", F.round("pr", 6).alias("length_pr")
+        )
+    )
+
+
+@query(
+    "fuzzy_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DSH_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+    ranked AS (
+        SELECT d.doc_id, d.shingle, s.nd,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY q.df ASC, d.shingle ASC) AS rn
+        FROM dsh d JOIN dfq q USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= nd - ceil({JACCARD_THRESHOLD} * nd) + 1
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pfx a JOIN pfx b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.a_id
+        JOIN sizes b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM reach r
+        JOIN edges e ON e.dst = r.id WHERE r.lbl < e.src
+    )
+    SELECT id AS doc_id, min(lbl) AS component_id,
+           (id = min(lbl)) AS is_keeper
+    FROM reach GROUP BY id
+    """,
+)
+def fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure fuzzy dedup (the MinHash-pipeline tail the big
+    corpus builders run): near-duplicate PAIRS are only edges — the unit
+    of removal is the CONNECTED COMPONENT (A~B, B~C must collapse to one
+    keeper even when A!~C). Pairs come from the exact PPJoin path
+    (zero false negatives), components from distributed min-label
+    propagation (operators/components.py — O(diameter) rounds of
+    neighbour-min joins, localCheckpointed state), keeper = min doc_id
+    per component, exactly the reference's connected_component-array
+    semantics (NetworkBuilder.py:229-247) re-expressed for scale. The
+    oracle builds the same closure with a recursive CTE, so the iterative
+    Spark kernel is differentially checked end-to-end. Near-dup graphs
+    are short-diameter by construction (components are tight similarity
+    cliques), so rounds stay ~log-diameter at any corpus size."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).cache()
+    pairs = jaccard_verify(
+        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.select(
+        F.col("node_id").alias("doc_id"),
+        "component_id",
+        (F.col("node_id") == F.col("component_id")).alias("is_keeper"),
+    )
+
+
+@query(
+    "corpus_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || '_' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram census (the vocabulary/boilerplate report
+    corpus audits start with): per-row JVM bigram expansion (same kernel
+    as doc_repetition), one count groupBy, global top-50 with a total
+    order (count desc, bigram asc) so the selected SET is deterministic
+    under ties. TakeOrderedAndProject keeps the global sort k-bounded —
+    each partition ships only its local top-50, never a full sort, so the
+    'global' ordering costs O(partitions·k) at any corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.where(F.size(toks) >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "doc_blocklist_hits",
+    oracle="""
+    SELECT doc_id,
+           len(list_intersect(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> '')),
+               ['slow', 'dup', 'error'])) AS n_hits
+    FROM documents
+    WHERE len(list_intersect(list_distinct(
+              list_filter(string_split(text, ' '), x -> x <> '')),
+              ['slow', 'dup', 'error'])) >= 1
+    """,
+)
+def doc_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening (the badwords/PII-term gate every corpus
+    pipeline runs before training): flag documents containing any term
+    from a curated list, reporting how many DISTINCT blocked terms hit.
+    The list is a literal array column, so the whole op is JVM
+    array_intersect per row — map-only, pipelines with the scan; a real
+    deployment swaps the literal for a broadcast lookup at the same plan
+    shape. Counting distinct terms (not occurrences) keeps the signal a
+    bounded small int however long the document."""
+    d = _docs(spark, sf_dir)
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(x) for x in ("slow", "dup", "error")])))
+    return d.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") >= 1)

@@ -910,3 +910,288 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(bc) / 100.0).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "min_cost_part_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_c
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+        GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT c.l_partkey AS p_partkey, p.p_name, s.s_name, n.n_name,
+           c.cost_c / 100.0 AS best_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE c.cost_c = (
+        SELECT min(c2.cost_c) FROM cost c2 WHERE c2.l_partkey = c.l_partkey
+    )
+    """,
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the min-cost-supplier-per-part CORRELATED scalar
+    subquery (``WHERE cost = (SELECT min(cost) ... WHERE same part)``),
+    decorrelated the Spark-first way: the per-(part, supplier) cost
+    aggregate is computed once, then the per-part minimum attaches as a
+    WINDOW over the already part-partitioned aggregate — zero extra joins
+    and zero extra shuffles for the decorrelation (the oracle spells the
+    correlated form so the rewrite is differentially checked). The part
+    filter broadcasts and prunes the fact BEFORE the aggregate, so the
+    shuffle carries only surviving (part, supplier) groups; supplier and
+    nation attach as broadcast dims. Costs compare in exact integer cents —
+    a min-equality knife-edge can't flip on float noise. All min-ties are
+    emitted (identically on both engines), keeping output deterministic
+    without an arbitrary pick."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(F.min(_cents("l_extendedprice")).alias("cost_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("best_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("best_c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.col("cost_c") / 100.0).alias("best_cost"),
+        )
+    )
+
+
+@query(
+    "part_value_concentration",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS value_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 0
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, value_c / 100.0 AS part_value
+    FROM pv
+    WHERE value_c > (SELECT sum(value_c) * 0.001 FROM pv)
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a FRACTION OF THE GLOBAL total
+    (``HAVING sum(v) > (SELECT sum(v) * f FROM ...)``) — the
+    group-vs-global decorrelation pattern. The global total is the sum of
+    the per-part sums, so the plan computes the per-part aggregate ONCE
+    and feeds it to both sides: the scalar total crossJoin-broadcasts back
+    onto the same aggregate (the engine's W1 idiom, plans/mobility.py:83)
+    and ReuseExchange dedups the underlying shuffle — one fact scan, one
+    shuffle, never a second pass over lineitem. Region filter reaches the
+    fact through two broadcast dims. Values accumulate in exact cents;
+    the 0.1% threshold compares bigint·fraction cross-engine-identically
+    because the sum is exact before the single float multiply."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    total = pv.agg((F.sum("value_c") * 0.001).alias("__thr"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") > F.col("__thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_c") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "dominant_part_shippers",
+    oracle="""
+    WITH ps AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_c
+        FROM lineitem l
+        WHERE l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+          AND l.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+        GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps
+        WHERE 2 * ps.qty_c > (
+            SELECT sum(p2.qty_c) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey
+        )
+    )
+    """,
+)
+def dominant_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the NESTED SEMI-JOIN CHAIN — suppliers IN
+    (aggregated shippers of parts IN (name-prefixed parts) whose shipped
+    quantity beats a correlated per-part threshold). Decorrelated
+    bottom-up: the part-name prefix semi-join becomes a broadcast
+    LEFT SEMI pruning the fact scan; the per-(part, supplier) aggregate
+    shuffles once on its own keys; the correlated per-part total attaches
+    as a window over that same partitioning (no re-shuffle — part is a
+    prefix of the aggregate keys); the outer IN becomes a left-semi of
+    supplier against the distinct dominant shippers. 'Dominant' compares
+    2·qty > part_total in exact integer centi-units, so the half-share
+    knife-edge is float-proof. At 100 TB the only wide exchange is the
+    (part, supplier) aggregate over the date+prefix-pruned fact."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("part_total_c", F.sum("qty_c").over(w))
+        .where(F.lit(2) * F.col("qty_c") > F.col("part_total_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "order_value_median",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)
+                 / 100.0, 6) AS p25,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                 / 100.0, 6) AS median_value,
+           round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)
+                 / 100.0, 6) AS p75,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quartiles of order value (continuous interpolation)
+    — the robust-statistics counterpart to the mean-based reports. The
+    quantile input is integer cents, so rank positions are unambiguous and
+    the single linear interpolation (a + (b-a)·frac on at-most-one cent
+    gap) is the same IEEE arithmetic on both engines. Exact percentile
+    needs the group's values together — one shuffle on the 5-value
+    priority key; the approx_percentile sketch variant
+    (approx_device_stats) is the documented swap when groups stop
+    fitting an executor."""
+    o = _t(spark, sf_dir, "orders")
+    pc = _cents("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)"
+        ) / 100.0, 6).alias("p25"),
+        F.round(F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"
+        ) / 100.0, 6).alias("median_value"),
+        F.round(F.expr(
+            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)"
+        ) / 100.0, 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "orders_monthly_trend",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), o_orderstatus
+    """,
+)
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × status time-series rollup — the calendar-bucketed trend
+    report (reference A2 family on the orders fact). date_trunc is a
+    scalar projection so the groupBy map-side-combines into at most
+    months×statuses rows; the month formats to a string so the compare
+    is timezone-representation-proof. Revenue in exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "part_catalog_grouping_sets",
+    oracle="""
+    SELECT p_type, p_size, count(*) AS n_parts,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+               AS retail_total
+    FROM part
+    GROUP BY GROUPING SETS ((p_type, p_size), (p_type), (p_size))
+    """,
+)
+def part_catalog_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization ROLLUP/CUBE specialize):
+    the (type, size) matrix plus BOTH one-dimensional margins in a single
+    pass — CUBE minus the grand total, a set CUBE can't express without a
+    post-filter. Spark expands the sets map-side (each input row feeds
+    every set's partial aggregate), so it stays one shuffle of
+    Σ|set-cardinalities| rows. Aggregated-away dimensions surface as
+    NULLs identically on both engines (no NULL-valued data in these
+    columns to collide with)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupingSets(
+            [["p_type", "p_size"], ["p_type"], ["p_size"]],
+            "p_type",
+            "p_size",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum(_cents("p_retailprice")) / 100.0).alias("retail_total"),
+        )
+    )
