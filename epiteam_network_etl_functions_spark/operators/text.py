@@ -247,3 +247,43 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def bigram_repetition_ratio(toks: Column) -> Column:
+    """Within-document repetition ratio over a token array (Gopher-family
+    rule): 1 - distinct-bigrams / total-bigrams. NULL for <2-token inputs
+    (callers gate or coalesce) — F.sequence(1, 0) would otherwise descend
+    and index element 0. Pure per-row JVM array arithmetic: map-only,
+    pipelines with the scan at any corpus size."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    n_bigrams = F.size(toks) - 1
+    return F.when(
+        F.size(toks) >= 2,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) * 1.0 / n_bigrams, 6
+        ),
+    )
+
+
+def char_entropy_nats(text_col: Column) -> Column:
+    """Character-level Shannon entropy (nats) of a string — the cheap
+    perplexity proxy quality filters use to drop degenerate/binary-ish
+    text. Per-row array-space frequencies (alphabet x filter/size counts,
+    no explode, no shuffle); O(|alphabet|·len) per row, fine for text
+    alphabets — over raw bytes switch to posexplode+groupBy. NULL for
+    empty strings."""
+    chars = F.filter(F.split(text_col, ""), lambda x: x != "")
+    alphabet = F.array_distinct(chars)
+    n = F.size(chars)
+    ent = F.aggregate(
+        F.transform(
+            alphabet,
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+        ),
+        F.lit(0.0),
+        lambda acc, c: acc - (c * 1.0 / n) * F.log(c * 1.0 / n),
+    )
+    return F.when(n >= 1, F.round(ent, 6))
