@@ -60,9 +60,19 @@ def write_presence_bucketed(
         # prior bucketed write of THIS kind of table — a mistyped or shared
         # directory must fail loudly, not vanish silently
         entries = os.listdir(location)
-        looks_like_prior_write = not entries or any(
-            e == "_SUCCESS" or e.startswith(("part-", "_temporary", "."))
-            for e in entries
+        # ALL entries must match the Spark-output shape (a lone .git or
+        # stray dotfile must NOT legitimize rmtree of the whole directory),
+        # and the hidden-file match is narrowed to Spark artifacts
+        # (.part-*.crc / ._SUCCESS.crc / ._committed), not any dotfile.
+        def _spark_artifact(e: str) -> bool:
+            return (
+                e == "_SUCCESS"
+                or e.startswith(("part-", "_temporary", "._", ".part-"))
+                or e.endswith(".crc")
+            )
+
+        looks_like_prior_write = not entries or all(
+            _spark_artifact(e) for e in entries
         )
         if not looks_like_prior_write:
             raise ValueError(

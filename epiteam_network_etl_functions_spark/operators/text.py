@@ -188,7 +188,7 @@ def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_docs: int,
+    n_docs: int | None = None,
     k: int = 3,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
@@ -199,8 +199,12 @@ def tfidf_top_terms(
     window count (no self-join, so the tokenize/explode/groupBy subtree is
     never evaluated twice, and no vocabulary-sized broadcast — a 100 TB
     corpus has a broadcast-breaking vocabulary), then a per-document window
-    over at most |vocab(doc)| rows. ``n_docs`` is injected as a literal
-    (origin-scalar idiom) so the plan stays a single declarative tree.
+    over at most |vocab(doc)| rows. When ``n_docs`` is None (the default)
+    the corpus size is folded into the SAME plan as a scalar aggregate
+    broadcast back onto the term counts (the engine's W1 global-aggregate
+    idiom, plans/mobility.daily_home_winners) — no eager driver-side
+    ``df.count()`` job before the query runs; the count branch is a
+    column-pruned zero-column scan Catalyst serves from parquet footers.
     Ranking orders by the ROUNDED score so cross-engine float ulp drift
     cannot flip ranks; ties resolve on the term itself.
 
@@ -220,6 +224,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if n_docs is None:
+        n_scalar = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+        tf = tf.crossJoin(F.broadcast(n_scalar))
+        n_docs_col = F.col("__n_docs")
+    else:
+        n_docs_col = F.lit(n_docs)
     wdf = Window.partitionBy("term")
     scored = tf.withColumn(
         "df_docs", F.count(F.lit(1)).over(wdf)
@@ -227,7 +237,7 @@ def tfidf_top_terms(
         "score",
         F.round(
             F.col("tf")
-            * (F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))) + F.lit(1.0)),
+            * (F.log((n_docs_col + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))) + F.lit(1.0)),
             6,
         ),
     )

@@ -406,14 +406,14 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed sklearn idf). Two shuffles
-    (term counts; vocabulary-sized document frequency broadcast back) plus a
-    per-document window. Ranks on the ROUNDED score so cross-engine float
-    ulp drift can't flip ranks (ties resolve on the term)."""
+    (term counts; per-term document frequency as a window) plus a
+    per-document window. The corpus size N folds into the same plan as a
+    scalar-agg broadcast (no eager driver-side count() job). Ranks on the
+    ROUNDED score so cross-engine float ulp drift can't flip ranks (ties
+    resolve on the term)."""
     from ..operators.text import tfidf_top_terms
 
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
-    return tfidf_top_terms(docs, "doc_id", "text", n_docs=n_docs, k=3)
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
 
 
 @query(
@@ -664,7 +664,11 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - distinct-bigrams/total-bigrams; high values flag boilerplate and
     degenerate generation loops). Entirely per-row JVM array arithmetic —
     transform to bigrams, array_distinct, two sizes — so the op is
-    map-only and pipelines with the scan at any corpus size."""
+    map-only and pipelines with the scan at any corpus size. The ratio is
+    computed by the library kernel ``operators.text.bigram_repetition_ratio``
+    so this oracle certifies the reusable function, not a re-spelling."""
+    from ..operators.text import bigram_repetition_ratio
+
     d = _docs(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # gate <2-token docs on the INPUT: F.sequence(1, 0) would descend
@@ -676,19 +680,12 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
-    base = d.select(
+    return d.select(
         "doc_id",
         (F.size(toks) - 1).alias("n_bigrams"),
         F.size(F.array_distinct(grams)).alias("n_distinct"),
+        bigram_repetition_ratio(toks).alias("rep_ratio"),
     ).where(F.col("n_bigrams") >= 1)
-    return base.select(
-        "doc_id",
-        "n_bigrams",
-        "n_distinct",
-        F.round(
-            1.0 - F.col("n_distinct") * 1.0 / F.col("n_bigrams"), 6
-        ).alias("rep_ratio"),
-    )
 
 
 @query(
@@ -718,28 +715,20 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequencies are computed per-row in array space (array_distinct +
     per-char counts via JVM filter/size — no explode, no shuffle), so
     like doc_repetition this is map-only; entropy sums over each doc's
-    alphabet, exact integer counts feeding one rounded float per row."""
+    alphabet, exact integer counts feeding one rounded float per row.
+    The entropy itself comes from the library kernel
+    ``operators.text.char_entropy_nats`` so the oracle certifies it."""
+    from ..operators.text import char_entropy_nats
+
     d = _docs(spark, sf_dir)
     chars = F.filter(
         F.split(F.col("text"), ""), lambda x: x != ""
     )
-    alphabet = F.array_distinct(chars)
-    n = F.size(chars)
-    # per-distinct-char count via filter+size, then entropy via aggregate
-    ent = F.aggregate(
-        F.transform(
-            alphabet,
-            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
-        ),
-        F.lit(0.0),
-        lambda acc, c: acc
-        - (c * 1.0 / n) * F.log(c * 1.0 / n),
-    )
     return d.select(
         "doc_id",
-        n.cast("bigint").alias("n_chars"),
-        F.round(ent, 6).alias("entropy_nats"),
-    )
+        F.size(chars).cast("bigint").alias("n_chars"),
+        char_entropy_nats(F.col("text")).alias("entropy_nats"),
+    ).where(F.col("n_chars") >= 1)
 
 
 @query(
@@ -862,6 +851,12 @@ def fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
     ).select("a_id", "b_id")
     comp = connected_components(pairs, "a_id", "b_id")
+    # connected_components localCheckpoints its label state eagerly, so the
+    # returned frame no longer depends on these inputs — release them rather
+    # than pinning executor storage for the session (caller contract
+    # mirrors dedup._near_dup_pipeline).
+    shingled.unpersist()
+    cands.unpersist()
     return comp.select(
         F.col("node_id").alias("doc_id"),
         "component_id",

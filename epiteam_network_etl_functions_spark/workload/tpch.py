@@ -1119,15 +1119,9 @@ def order_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     pc = _cents("o_totalprice")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25)"
-        ) / 100.0, 6).alias("p25"),
-        F.round(F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"
-        ) / 100.0, 6).alias("median_value"),
-        F.round(F.expr(
-            "percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.75)"
-        ) / 100.0, 6).alias("p75"),
+        F.round(F.percentile(pc, F.lit(0.25)) / 100.0, 6).alias("p25"),
+        F.round(F.percentile(pc, F.lit(0.5)) / 100.0, 6).alias("median_value"),
+        F.round(F.percentile(pc, F.lit(0.75)) / 100.0, 6).alias("p75"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
