@@ -161,9 +161,17 @@ winners AS MATERIALIZED (
 """
 
 
-def _home_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(caid, cell, n) visit counts — the shared upstream of the all-time
+    winner AND the realized-cell dim (its cell set is exactly the realized
+    cells, so dim derivation can branch off this aggregate and let
+    ReuseExchange serve both from one md5-derivation scan)."""
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    allc = p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
+    return p.groupBy("caid", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _home_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allc = _visits(spark, sf_dir)
     return top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")]).select(
         "caid", "cell"
     )
@@ -298,8 +306,14 @@ def pings_global_home(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("score"))
     daily = daily.repartition("caid")
     dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
+    # The dim's domain is the realized-cell set, and daily's cells ARE the
+    # realized cells — derive the dim from the aggregated branch instead of
+    # a second raw-pings pass, so ReuseExchange serves both branches from
+    # ONE md5-derivation scan (the oracle's MATERIALIZED pings CTE gets the
+    # same single-derivation shape on the DuckDB side).
+    dim = _dim_from_cells(daily.select("cell").distinct())
     repo = (
-        dwin.join(_dim(spark, sf_dir), "cell", "left")
+        dwin.join(dim, "cell", "left")
         .select(
             "caid",
             F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
@@ -470,14 +484,18 @@ def pings_device_rg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time winner cell -> region, sentinel-filled (the interactions
-    table's home_ageb input, IndexingHomeAgebs.py:112-132 shape)."""
-    return (
-        _home_winners(spark, sf_dir)
-        .join(_dim(spark, sf_dir), "cell", "left")
-        .select(
-            "caid",
-            F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
-        )
+    table's home_ageb input, IndexingHomeAgebs.py:112-132 shape). The dim
+    branches off the SAME visits aggregate as the winner (identical subtree
+    -> ReuseExchange), so the raw-pings md5 derivation runs once, not
+    twice — the Spark analog of the oracle's MATERIALIZED pings CTE."""
+    allc = _visits(spark, sf_dir)
+    winners = top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")]).select(
+        "caid", "cell"
+    )
+    dim = _dim_from_cells(allc.select("cell").distinct())
+    return winners.join(dim, "cell", "left").select(
+        "caid",
+        F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
     )
 
 
