@@ -169,6 +169,30 @@ DEMOTED: tuple[str, ...] = (
     "user_missing_days",
     "trailing_hour_stats",
     "user_event_sequences",
+    # -- driver-green round 6 (CORRECTNESS_r06 50/50; cumulative
+    # certification now covers every oracle-backed query, so the whole
+    # r6 prefix rotates out and the r7 slots go to new queries) --
+    "min_cost_part_supplier",
+    "part_value_concentration",
+    "dominant_part_shippers",
+    "order_value_median",
+    "orders_monthly_trend",
+    "part_catalog_grouping_sets",
+    "doc_pack_bins",
+    "benchmark_contamination",
+    "chunk_dup_report",
+    "doc_repetition",
+    "doc_char_entropy",
+    "quality_quantile_keep",
+    "fuzzy_dedup_components",
+    "corpus_top_bigrams",
+    "doc_blocklist_hits",
+    "intersect_day_users",
+    "value_rank_profile",
+    "event_type_transitions",
+    "retention_cohorts",
+    "daily_new_users",
+    "value_minmax_scaled",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",

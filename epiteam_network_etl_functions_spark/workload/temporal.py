@@ -1241,3 +1241,65 @@ def value_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+
+
+@query(
+    "event_type_user_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+    common AS (
+        SELECT a.event_type AS a_type, b.event_type AS b_type,
+               count(*) AS n_common
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT c.a_type, c.b_type, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(c.n_common * 1.0 / (sa.n + sb.n - c.n_common), 6)
+               AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.event_type = c.a_type
+    JOIN sizes sb ON sb.event_type = c.b_type
+    """,
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER sets behind
+    each ordered pair of event types (the cohort-overlap report product
+    analytics builds; also the same set-similarity kernel the dedup stack
+    uses, here on (type, user) instead of (doc, shingle)). One distinct
+    pass, then a self-join keyed on user_id — user_id is the high-
+    cardinality side, so the join shuffles once on it and never
+    all-pairs; per-type set sizes attach as a broadcast. Jaccard is a
+    ratio of exact integers -> identical IEEE division on both engines;
+    (a_type, b_type) is the unique row key."""
+    e = catalog.load(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.selectExpr("event_type AS a_type", "user_id")
+    b = tu.selectExpr("event_type AS b_type", "user_id")
+    common = (
+        a.join(b, "user_id")
+        .where(F.col("a_type") < F.col("b_type"))
+        .groupBy("a_type", "b_type")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.selectExpr("event_type AS a_type", "n AS n_a"))
+    sb = F.broadcast(sizes.selectExpr("event_type AS b_type", "n AS n_b"))
+    return (
+        common.join(sa, "a_type")
+        .join(sb, "b_type")
+        .select(
+            "a_type",
+            "b_type",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -933,3 +933,410 @@ def doc_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = F.size(F.array_intersect(toks, F.array(*[F.lit(x) for x in ("slow", "dup", "error")])))
     return d.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") >= 1)
+
+
+# ---- round-7: composed corpus pipeline + audits -----------------------------
+
+# corpus_funnel gate thresholds — must match plans/corpus_pipeline.CorpusConfig
+# defaults AND the SQL literals below (checked by tests/test_corpus_pipeline).
+_CF_MIN_TOKENS = 15
+_CF_MAX_REP = 0.10
+_CF_MIN_ENTROPY = 2.7
+_CF_BENCH_MAX_ID = 20
+
+# Gated-corpus pipeline CTE chain shared by the funnel oracle: corpus =
+# docs >= bench cutoff, quality gates, exact dedup, PPJoin+closure fuzzy
+# dedup, shingle decontamination. Mirrors plans/corpus_pipeline stage for
+# stage (same kernels the certified per-stage queries use).
+_FUNNEL_CTES = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= {_CF_BENCH_MAX_ID}
+),
+ctoks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
+cchars AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM corpus),
+cfreq AS (
+    SELECT doc_id, ch, count(*) AS c FROM cchars
+    WHERE ch <> '' GROUP BY doc_id, ch
+),
+ctot AS (SELECT doc_id, sum(c) AS n FROM cfreq GROUP BY doc_id),
+cent AS (
+    SELECT f.doc_id,
+           round(-sum((f.c * 1.0 / t.n) * ln(f.c * 1.0 / t.n)), 6) AS ent
+    FROM cfreq f JOIN ctot t ON t.doc_id = f.doc_id
+    GROUP BY f.doc_id
+),
+q AS (
+    SELECT tk.doc_id, tk.text, tk.t FROM ctoks tk
+    JOIN cent e ON e.doc_id = tk.doc_id
+    WHERE len(tk.t) >= {_CF_MIN_TOKENS}
+      AND round(1.0 - len(list_distinct(list_transform(range(1, len(tk.t)),
+              i -> tk.t[i] || '_' || tk.t[i+1]))) * 1.0 / (len(tk.t) - 1), 6)
+          <= {_CF_MAX_REP}
+      AND e.ent >= {_CF_MIN_ENTROPY}
+),
+ex AS (
+    SELECT doc_id, text, t FROM q
+    WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
+),
+fdsh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t)-1),
+                  i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingle
+    FROM ex
+),
+fsizes AS (SELECT doc_id, count(*) AS nd FROM fdsh GROUP BY doc_id),
+fdfq AS (SELECT shingle, count(*) AS df FROM fdsh GROUP BY shingle),
+franked AS (
+    SELECT d.doc_id, d.shingle, s.nd,
+           row_number() OVER (
+               PARTITION BY d.doc_id
+               ORDER BY q2.df ASC, d.shingle ASC) AS rn
+    FROM fdsh d JOIN fdfq q2 USING (shingle) JOIN fsizes s USING (doc_id)
+),
+fpfx AS (
+    SELECT doc_id, shingle FROM franked
+    WHERE rn <= nd - ceil({JACCARD_THRESHOLD} * nd) + 1
+),
+fcands AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM fpfx a JOIN fpfx b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+),
+finter AS (
+    SELECT c.a_id, c.b_id, count(*) AS i
+    FROM fcands c
+    JOIN fdsh da ON da.doc_id = c.a_id
+    JOIN fdsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+    GROUP BY c.a_id, c.b_id
+),
+fpairs AS (
+    SELECT i.a_id, i.b_id
+    FROM finter i
+    JOIN fsizes a ON a.doc_id = i.a_id
+    JOIN fsizes b ON b.doc_id = i.b_id
+    WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) >= {JACCARD_THRESHOLD}
+),
+fedges AS (
+    SELECT a_id AS src, b_id AS dst FROM fpairs
+    UNION SELECT b_id, a_id FROM fpairs
+),
+freach(id, lbl) AS (
+    SELECT src, src FROM fedges
+    UNION
+    SELECT e.src, r.lbl FROM freach r
+    JOIN fedges e ON e.dst = r.id WHERE r.lbl < e.src
+),
+flosers AS (
+    SELECT id FROM (SELECT id, min(lbl) AS m FROM freach GROUP BY id)
+    WHERE id <> m
+),
+fz AS (
+    SELECT doc_id, text, t FROM ex
+    WHERE doc_id NOT IN (SELECT id FROM flosers)
+),
+zsh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t)-1),
+                  i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingle
+    FROM fz
+),
+bsh AS (
+    SELECT DISTINCT unnest(list_transform(range(1, len(t)-1),
+                  i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingle
+    FROM (SELECT string_split(text, ' ') AS t FROM documents
+          WHERE doc_id < {_CF_BENCH_MAX_ID})
+),
+contam AS (
+    SELECT z.doc_id FROM zsh z JOIN bsh b USING (shingle)
+    GROUP BY z.doc_id HAVING count(*) >= 2
+),
+dc AS (
+    SELECT doc_id FROM fz
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+"""
+
+
+@query(
+    "corpus_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_FUNNEL_CTES.strip()},
+    counts AS (
+                  SELECT 0 AS s, 'raw' AS stage,
+                         (SELECT count(*) FROM corpus) AS docs_out
+        UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM q)
+        UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM ex)
+        UNION ALL SELECT 3, 'fuzzy_dedup', (SELECT count(*) FROM fz)
+        UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM dc)
+    )
+    SELECT CAST(s AS INTEGER) AS stage_id, stage,
+           coalesce(lag(docs_out) OVER (ORDER BY s), docs_out) AS docs_in,
+           docs_out
+    FROM counts
+    """,
+)
+def corpus_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-preparation funnel (dedup-rate report): raw ->
+    Gopher quality gates -> exact dedup -> PPJoin+connected-components
+    fuzzy dedup -> benchmark decontamination, one row per stage with
+    docs_in/docs_out. This certifies the COMPOSED plans/corpus_pipeline
+    (the staged driver mirroring the reference's NetworkBuilder chain,
+    NetworkBuilder.py:264-284) — every stage kernel is individually
+    certified elsewhere; this locks their composition and the survival
+    accounting a corpus build publishes. Docs 0-19 stand in for the
+    benchmark set (same convention as benchmark_contamination)."""
+    from ..plans import corpus_pipeline as cp
+
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") >= _CF_BENCH_MAX_ID)
+    bench = d.where(F.col("doc_id") < _CF_BENCH_MAX_ID)
+    return cp.corpus_funnel(corpus, bench, cp.CorpusConfig())
+
+
+@query(
+    "contamination_by_source",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id < {_CF_BENCH_MAX_ID}),
+    hits AS (
+        SELECT d.doc_id, count(DISTINCT d.shingle) AS n_shared
+        FROM dsh d JOIN bench b ON d.shingle = b.shingle
+        WHERE d.doc_id >= {_CF_BENCH_MAX_ID}
+        GROUP BY d.doc_id
+    ),
+    flagged AS (SELECT doc_id FROM hits WHERE n_shared >= 2)
+    SELECT s.source,
+           count(*) AS n_docs,
+           count(f.doc_id) AS n_contaminated,
+           round(count(f.doc_id) * 1.0 / count(*), 6) AS contam_rate
+    FROM (SELECT doc_id, source FROM documents
+          WHERE doc_id >= {_CF_BENCH_MAX_ID}) s
+    LEFT JOIN flagged f ON f.doc_id = s.doc_id
+    GROUP BY s.source
+    """,
+)
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contamination rollup — the report a decontamination run
+    publishes: for each source domain, how many corpus docs share >= 2
+    distinct shingles with the benchmark set and what fraction that is.
+    Same broadcast-bench + linear-corpus-join shape as
+    benchmark_contamination, then one groupBy on the (tiny) source key;
+    the contamination rate is a ratio of exact integers, so the rounded
+    float is identical IEEE arithmetic on both engines."""
+    from ..operators.text import explode_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = explode_shingles(d, "doc_id", "text", k=3)
+    bench = sh.where(F.col("doc_id") < _CF_BENCH_MAX_ID).select("shingle").distinct()
+    flagged = (
+        sh.where(F.col("doc_id") >= _CF_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .select("doc_id", F.lit(1).alias("__hit"))
+    )
+    corpus = d.where(F.col("doc_id") >= _CF_BENCH_MAX_ID).select("doc_id", "source")
+    return (
+        corpus.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") * 1.0 / F.col("n_docs"), 6).alias(
+                "contam_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "lsh_ppjoin_consistency",
+    oracle=f"""
+    WITH {_MINHASH_PIPELINE},
+    sizes AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
+    linter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    lsh_pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM linter i
+        JOIN sizes a ON a.doc_id = i.a_id
+        JOIN sizes b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) >= {JACCARD_THRESHOLD}
+    ),
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+    ranked AS (
+        SELECT d.doc_id, d.shingle, s.nd,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY q.df ASC, d.shingle ASC) AS rn
+        FROM dsh d JOIN dfq q USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= nd - ceil({JACCARD_THRESHOLD} * nd) + 1
+    ),
+    pcands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pfx a JOIN pfx b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    pinter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM pcands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    exact_pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM pinter i
+        JOIN sizes a ON a.doc_id = i.a_id
+        JOIN sizes b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) >= {JACCARD_THRESHOLD}
+    )
+    SELECT (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+           (SELECT count(*) FROM exact_pairs) AS n_exact,
+           (SELECT count(*) FROM lsh_pairs l
+            JOIN exact_pairs e ON e.a_id = l.a_id AND e.b_id = l.b_id)
+               AS n_common,
+           round((SELECT count(*) FROM lsh_pairs) * 1.0
+                 / (SELECT count(*) FROM exact_pairs), 6) AS lsh_recall
+    """,
+)
+def lsh_ppjoin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-vs-PPJoin pair-consistency audit: both candidate generators run
+    over the SAME shingle table, both verified at the same Jaccard
+    threshold, then the verified pair sets are compared. PPJoin is exact
+    (zero false negatives), so verified-LSH is necessarily a subset and
+    n_lsh / n_exact IS the measured LSH recall — the number a production
+    dedup pipeline monitors when it trades exactness for banding speed.
+    One-row report; both pipelines share one cached shingle frame, and
+    every count is a scalar agg crossJoined back (no driver-side counts)."""
+    from ..operators.dedup import prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    lsh_cands = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(shingled, "doc_id", n_hashes=N_HASHES),
+            "doc_id",
+            N_HASHES,
+            BAND_SIZE,
+        ),
+        "doc_id",
+    )
+    lsh_pairs = jaccard_verify(
+        lsh_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    exact_cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    )
+    exact_pairs = jaccard_verify(
+        exact_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    nl = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
+    ne = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = (
+        lsh_pairs.join(exact_pairs, ["a_id", "b_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        nl.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_lsh",
+            "n_exact",
+            "n_common",
+            F.round(F.col("n_lsh") * 1.0 / F.col("n_exact"), 6).alias(
+                "lsh_recall"
+            ),
+        )
+    )
+    shingled.unpersist(blocking=False)
+    return out
+
+
+@query(
+    "doc_length_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               count(*) AS n,
+               sum(n_chars) AS s1,
+               sum(n_chars * n_chars) AS s2
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round((d.n_chars - s.s1 * 1.0 / s.n)
+                 / sqrt((s.s2 - s.s1 * 1.0 * s.s1 / s.n) / (s.n - 1)), 6)
+               AS len_z
+    FROM documents d JOIN stats s ON s.source = d.source
+    WHERE s.n > 1
+    """,
+)
+def doc_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain length standardization (outlier-score precursor to the
+    quantile gates): z-score of n_chars within each source. The group
+    moments are EXACT integer sums (n, sum, sum-of-squares) aggregated in
+    one pass and broadcast back, so the fact never shuffles (same shape as
+    value_minmax_scaled) — and because both engines derive mean/variance
+    from the same exact integers with the same IEEE expression, the
+    rounded z-scores are bit-identical (no engine-specific Welford
+    drift, which is why this does NOT use stddev_samp())."""
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_chars").alias("__s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("__s2"),
+    )
+    joined = d.select("doc_id", "source", "n_chars").join(
+        F.broadcast(stats.where(F.col("__n") > 1)), "source"
+    )
+    mean = F.col("__s1") * 1.0 / F.col("__n")
+    var = (
+        F.col("__s2") - F.col("__s1") * 1.0 * F.col("__s1") / F.col("__n")
+    ) / (F.col("__n") - 1)
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round((F.col("n_chars") - mean) / F.sqrt(var), 6).alias("len_z"),
+    )
+
+
+@query(
+    "lang_source_matrix",
+    oracle="""
+    SELECT source,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × domain census matrix (the corpus-mix report a data-mixture
+    design starts from): pivot the lang column into counts per source.
+    Spark's pivot with an EXPLICIT value list compiles to plain conditional
+    aggregates — one shuffle on source, no second distinct-values job, and
+    the same plan shape at any corpus size (the value list is the schema
+    contract, not data-dependent)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["de", "en", "es", "fr", "zh"])
+    )

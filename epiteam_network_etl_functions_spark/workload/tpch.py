@@ -1189,3 +1189,44 @@ def part_catalog_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents("p_retailprice")) / 100.0).alias("retail_total"),
         )
     )
+
+
+@query(
+    "part_supplier_census",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can serve each
+    (brand, type, size) bucket, excluding flagged suppliers (negative
+    balance stands in for Q16's complaints subquery; lineitem stands in
+    for partsupp, which this schema folds into the fact). The NOT IN
+    decorrelates to a broadcast left-anti on the tiny flagged-supplier
+    list — the one decorrelation family (anti-join under a grouped
+    distinct-count) the suite didn't yet pin with an oracle. Plan: size
+    filter prunes part early, part broadcasts into the fact, the anti
+    join is map-side, then one shuffle for the grouped distinct count."""
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_size").isin([1, 7, 14, 21, 28, 35, 42, 49])
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
