@@ -203,10 +203,15 @@ def run_corpus_pipeline(
     if out_dir is not None:
         from ..sources.io import write_jsonl_shards
 
-        n = clean.count()
+        # The export consumes `clean` twice (shard-count job + write);
+        # cache across those two actions only, then release — the result
+        # frames stay lazy/uncached (no session-pinned storage).
+        mat = clean.cache()
+        n = mat.count()
         write_jsonl_shards(
-            clean, out_dir, records_per_shard=max(1, -(-n // shards))
+            mat, out_dir, records_per_shard=max(1, -(-n // shards))
         )
+        mat.unpersist(blocking=False)
     return CorpusResult(gated, exact, fuzzy, clean, packed)
 
 
