@@ -1303,3 +1303,119 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS i
+        FROM per_user
+    )
+    SELECT count(*) AS n_users,
+           sum(cnt) AS total_events,
+           round((2.0 * sum(i * cnt) - (count(*) + 1.0) * sum(cnt))
+                 / (count(*) * sum(cnt)), 6) AS gini
+    FROM ranked
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration report: the Gini coefficient of per-user
+    event counts (the skew scorecard that tells you whether a user-keyed
+    shuffle needs salting — the engine's own hot-key diagnostics, as a
+    query). Formula: with counts sorted ascending and ranked 1..n,
+    G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i); ties contribute the same sum
+    under any permutation, so the user_id tie-break only pins the plan,
+    not the value. One count groupBy (map-side combined), one global rank
+    over the ALREADY-AGGREGATED n_users rows (users, not events — at
+    product scale this is the small frame), one scalar agg; every term is
+    an exact integer, so the single rounded division is engine-exact."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("user_id"))
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_users"),
+        F.sum("cnt").alias("total_events"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cnt")) - (n + 1.0) * F.sum("cnt"))
+            / (n * F.sum("cnt")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "purchase_conversion_funnel",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS tv,
+               min(ts) FILTER (WHERE event_type = 'click') AS tc,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS tp
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+           sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
+               AS n_clicked_after,
+           sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
+                    THEN 1 ELSE 0 END) AS n_purchased_after,
+           round(sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
+                 * 1.0
+                 / sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 6)
+               AS click_rate,
+           round(sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
+                          THEN 1 ELSE 0 END) * 1.0
+                 / nullif(sum(CASE WHEN tv IS NOT NULL AND tc > tv
+                                   THEN 1 ELSE 0 END), 0), 6)
+               AS purchase_rate
+    FROM m
+    """,
+)
+def purchase_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event conversion funnel: users whose FIRST view precedes
+    their first click precedes their first purchase — the sequence-pattern
+    rollup (SQL MATCH_RECOGNIZE-lite) product analytics runs daily. The
+    per-user min-timestamps per type are conditional aggregates in ONE
+    groupBy pass (no per-type self-joins — at 100 TB that is one shuffle
+    of (user, 3 timestamps) instead of three joins), then a scalar rollup;
+    NULL-safe strict inequalities encode the ordering, and the rates are
+    ratios of exact integers."""
+    e = _events(spark, sf_dir)
+    m = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    viewed = F.sum(F.when(F.col("tv").isNotNull(), 1).otherwise(0))
+    clicked = F.sum(
+        F.when(F.col("tv").isNotNull() & (F.col("tc") > F.col("tv")), 1).otherwise(0)
+    )
+    purchased = F.sum(
+        F.when(
+            F.col("tv").isNotNull()
+            & (F.col("tc") > F.col("tv"))
+            & (F.col("tp") > F.col("tc")),
+            1,
+        ).otherwise(0)
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        viewed.alias("n_viewed"),
+        clicked.alias("n_clicked_after"),
+        purchased.alias("n_purchased_after"),
+        F.round(clicked * 1.0 / viewed, 6).alias("click_rate"),
+        F.round(
+            purchased * 1.0 / F.nullif(clicked, F.lit(0)), 6
+        ).alias("purchase_rate"),
+    )

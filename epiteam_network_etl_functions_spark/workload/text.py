@@ -1340,3 +1340,197 @@ def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["de", "en", "es", "fr", "zh"])
     )
+
+
+@query(
+    "doc_shingle_novelty",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle)
+    SELECT d.doc_id,
+           count(*) AS n_shingles,
+           sum(CASE WHEN q.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           round(sum(CASE WHEN q.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) AS novelty
+    FROM dsh d JOIN dfq q USING (shingle)
+    GROUP BY d.doc_id
+    """,
+)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a doc's 3-gram shingles
+    that occur NOWHERE else in the corpus — the dedup-diagnostics dual of
+    the duplication reports (low novelty = templated/boilerplate, high =
+    fresh content; data-mixture builders upweight the latter). Document
+    frequency attaches as a window count over the shingle partition (no
+    vocabulary broadcast — same scale argument as tfidf), then one
+    per-doc aggregate; novelty is a ratio of exact integers."""
+    from pyspark.sql import Window
+
+    sh = _shingled(spark, sf_dir)
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique") * 1.0 / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "minhash_band_load",
+    oracle=f"""
+    WITH {_MINHASH_PIPELINE},
+    buckets AS (
+        SELECT band_idx, band_hash, count(*) AS bucket_size
+        FROM bands GROUP BY band_idx, band_hash
+    )
+    SELECT band_idx, bucket_size, count(*) AS n_buckets
+    FROM buckets GROUP BY band_idx, bucket_size
+    """,
+)
+def minhash_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy histogram — the skew audit a production
+    LSH deployment monitors: a hot bucket (many docs hashing to one band
+    value) makes the candidate join quadratic in that bucket, which is the
+    failure mode banding exists to avoid. Two narrow count aggregates over
+    the band table; (band_idx, bucket_size) is the unique row key, every
+    value an exact integer."""
+    bands = lsh_bands(_sigs(spark, sf_dir), "doc_id", N_HASHES, BAND_SIZE)
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("band_idx", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+@query(
+    "language_confusion_matrix",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+           {_LANG_SCORES_SQL}
+        FROM documents
+    ),
+    p AS (SELECT doc_id, lang, {_lang_case_sql()} AS pred_lang FROM s)
+    SELECT lang, pred_lang, count(*) AS n
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def language_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labelled lang × predicted lang counts
+    — the evaluation rollup for the trigram classifier (doc_language_id
+    certifies the per-doc scores; this certifies the aggregated quality
+    report a corpus audit publishes). Map-only scoring then one count
+    groupBy on a 5×5 key space; (lang, pred_lang) is the unique key."""
+    from ..operators.text import language_id_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = language_id_scores(
+        docs.select("doc_id", "lang", "text"), "doc_id", "text", LANG_PROFILES
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "source_quality_profile",
+    oracle="""
+    WITH t AS (
+        SELECT source, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars,
+           round(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS short_frac,
+           round(sum(n_distinct) * 1.0 / sum(n_tokens), 6) AS vocab_rate
+    FROM t GROUP BY source
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality profile (the source-mix scorecard): doc count,
+    mean length, short-doc fraction, micro-averaged vocabulary rate
+    (sum distinct / sum tokens — deliberately a ratio of exact integer
+    SUMS, not an average of per-doc doubles, so the float result is one
+    identical IEEE division on both engines with no summation-order
+    drift). One map-only token pass + one groupBy on the 20-value source
+    key."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "source",
+        "n_chars",
+        F.size(toks).alias("__nt"),
+        F.size(F.array_distinct(toks)).alias("__nd"),
+    )
+    n = F.count(F.lit(1))
+    return base.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("n_chars") * 1.0 / n, 6).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)) * 1.0 / n, 6
+        ).alias("short_frac"),
+        F.round(F.sum("__nd") * 1.0 / F.sum("__nt"), 6).alias("vocab_rate"),
+    )
+
+
+@query(
+    "token_zipf_head",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, count(*) AS n FROM toks
+        WHERE token <> '' GROUP BY token
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS rank
+    FROM counts
+    ORDER BY n DESC, token ASC LIMIT 100
+    """,
+)
+def token_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head: the corpus's 100 most frequent tokens with their rank —
+    the unigram census complementing corpus_top_bigrams (vocabulary
+    audits read the head for boilerplate and the tail for noise). One
+    token-count shuffle, then the k-cut FIRST (orderBy+limit compiles to
+    TakeOrderedAndProject — each partition ships only its local top-100,
+    never a full sort) and the rank window only over the surviving 100
+    rows; ranking before cutting would single-partition the whole
+    vocabulary, which is exactly the shape this avoids. (count DESC,
+    token ASC) is a total order, so the cut set and ranks are
+    deterministic."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    head = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
