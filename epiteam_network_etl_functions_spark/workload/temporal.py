@@ -1317,7 +1317,7 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     )
     SELECT count(*) AS n_users,
-           sum(cnt) AS total_events,
+           CAST(sum(cnt) AS BIGINT) AS total_events,
            round((2.0 * sum(i * cnt) - (count(*) + 1.0) * sum(cnt))
                  / (count(*) * sum(cnt)), 6) AS gini
     FROM ranked
@@ -1363,11 +1363,12 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-           sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
-               AS n_clicked_after,
-           sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
-                    THEN 1 ELSE 0 END) AS n_purchased_after,
+           CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewed,
+           CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked_after,
+           CAST(sum(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after,
            round(sum(CASE WHEN tv IS NOT NULL AND tc > tv THEN 1 ELSE 0 END)
                  * 1.0
                  / sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END), 6)

@@ -1318,11 +1318,11 @@ def doc_length_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_source_matrix",
     oracle="""
     SELECT source,
-           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
     FROM documents GROUP BY source
     """,
 )
@@ -1349,7 +1349,8 @@ def lang_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle)
     SELECT d.doc_id,
            count(*) AS n_shingles,
-           sum(CASE WHEN q.df = 1 THEN 1 ELSE 0 END) AS n_unique,
+           CAST(sum(CASE WHEN q.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
            round(sum(CASE WHEN q.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
                  6) AS novelty
     FROM dsh d JOIN dfq q USING (shingle)
