@@ -1221,8 +1221,12 @@ def lsh_ppjoin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero false negatives), so verified-LSH is necessarily a subset and
     n_lsh / n_exact IS the measured LSH recall — the number a production
     dedup pipeline monitors when it trades exactness for banding speed.
-    One-row report; both pipelines share one cached shingle frame, and
-    every count is a scalar agg crossJoined back (no driver-side counts)."""
+    One-row report; both pipelines share one cached shingle frame (the
+    shingle subtree feeds ~6 branches), the verified pair sets are
+    localCheckpointed — eagerly materialized, lineage cut — so the cache
+    can be released before returning (the connected_components
+    discipline: no session-pinned storage outlives the call), and every
+    count is a scalar agg crossJoined back (no driver-side counts)."""
     from ..operators.dedup import prefix_filter_candidates
 
     shingled = _shingled(spark, sf_dir).cache()
@@ -1237,20 +1241,21 @@ def lsh_ppjoin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh_pairs = jaccard_verify(
         lsh_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").localCheckpoint()
     exact_cands = prefix_filter_candidates(
         shingled, "doc_id", threshold=JACCARD_THRESHOLD
     )
     exact_pairs = jaccard_verify(
         exact_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
+    ).select("a_id", "b_id").localCheckpoint()
+    shingled.unpersist()
     nl = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
     ne = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = (
         lsh_pairs.join(exact_pairs, ["a_id", "b_id"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    return (
         nl.crossJoin(F.broadcast(ne))
         .crossJoin(F.broadcast(nc))
         .select(
@@ -1262,8 +1267,6 @@ def lsh_ppjoin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    shingled.unpersist(blocking=False)
-    return out
 
 
 @query(
