@@ -306,12 +306,15 @@ def pings_global_home(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("score"))
     daily = daily.repartition("caid")
     dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
-    # The dim's domain is the realized-cell set, and daily's cells ARE the
-    # realized cells — derive the dim from the aggregated branch instead of
-    # a second raw-pings pass, so ReuseExchange serves both branches from
-    # ONE md5-derivation scan (the oracle's MATERIALIZED pings CTE gets the
-    # same single-derivation shape on the DuckDB side).
-    dim = _dim_from_cells(daily.select("cell").distinct())
+    # The repo LEFT-joins dim on the WINNERS' cells, so restricting the dim
+    # domain to dwin's cells is result-identical (non-winner cells never
+    # match) and derives from the already-aggregated branch instead of a
+    # second raw-pings pass: ReuseExchange serves both branches from ONE
+    # md5-derivation scan, and the dim derivation runs over one cell per
+    # (device, day) instead of every realized cell (the oracle's
+    # MATERIALIZED pings CTE gives DuckDB the same single-derivation
+    # shape).
+    dim = _dim_from_cells(dwin.select("cell").distinct())
     repo = (
         dwin.join(dim, "cell", "left")
         .select(
@@ -492,7 +495,10 @@ def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")]).select(
         "caid", "cell"
     )
-    dim = _dim_from_cells(allc.select("cell").distinct())
+    # dim restricted to the winners' cells: result-identical under the
+    # left join (non-winner cells never match) and one winner cell per
+    # device instead of the full realized-cell set.
+    dim = _dim_from_cells(winners.select("cell").distinct())
     return winners.join(dim, "cell", "left").select(
         "caid",
         F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
