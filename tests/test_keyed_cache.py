@@ -1,0 +1,71 @@
+"""catalog.cache_tables keyed layout: a table cached hash-partitioned on
+its hot key must make downstream joins/aggregates on that key
+exchange-free (the in-memory bucketing analog, PLANS.md round 7).
+
+Plan-asserted so a regression (a repartition dropped, a Catalyst change
+that stops InMemoryTableScan from reporting outputPartitioning) fails
+loudly instead of silently re-widening the TPC-H spine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges_above_cache(plan: str) -> int:
+    """Count Exchange nodes EXCLUDING the one inside the InMemoryRelation
+    (the cache-build repartition itself) and any ReusedExchange."""
+    n = 0
+    for line in plan.splitlines():
+        if "InMemoryRelation" in line:
+            break  # everything below is the cache-build subtree
+        if "ReusedExchange" in line:
+            continue
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            n += 1
+    return n
+
+
+def test_orderkey_join_is_exchange_free(spark):
+    catalog.cache_tables(spark, SF_DIR)
+    li = catalog.load(spark, SF_DIR, "lineitem")
+    o = catalog.load(spark, SF_DIR, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+        "o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(joined)
+    assert "InMemoryTableScan" in plan
+    # join on the cluster key + groupBy on it: zero exchanges above the
+    # cached scans (the join reads both caches' hashpartitioning directly)
+    assert _exchanges_above_cache(plan) == 0, plan
+    assert joined.count() > 0
+
+
+def test_offkey_join_still_shuffles(spark):
+    """Sanity inverse: a join on a NON-cluster key must still exchange —
+    the assertion helper is measuring real plan structure, not vacuous."""
+    catalog.cache_tables(spark, SF_DIR)
+    o = catalog.load(spark, SF_DIR, "orders")
+    c = catalog.load(spark, SF_DIR, "customer").limit(10**6)  # defeat broadcast estimate
+    joined = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert _exchanges_above_cache(_plan(joined)) >= 1
+
+
+def test_doc_groupby_is_exchange_free(spark):
+    catalog.cache_tables(spark, SF_DIR)
+    d = catalog.load(spark, SF_DIR, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # HashPartitioning(doc_id) satisfies clustering on (doc_id, term):
+    # explode preserves partitioning, the aggregate needs no exchange
+    assert _exchanges_above_cache(_plan(tf)) == 0
+    assert tf.count() > 0
