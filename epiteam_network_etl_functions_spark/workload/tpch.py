@@ -1230,3 +1230,170 @@ def part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "ship_latency_histogram",
+    oracle="""
+    SELECT CAST(floor(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) / 30.0)
+                AS BIGINT) AS latency_bucket,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY latency_bucket
+    """,
+)
+def ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram in 30-day buckets — the fulfilment
+    SLA report (reference A-family aggregate over a J-family join). The
+    lineitem⋈orders join runs on the orderkey spine (exchange-free over
+    the keyed cache / bucketed layout), then one tiny-key count groupBy;
+    the bucket is floor(days/30.0) — double floor division, identical
+    IEEE on both engines, negative-safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.floor(days / 30.0).cast("bigint").alias("latency_bucket"))
+        .groupBy("latency_bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "orders_backlog_depth",
+    oracle="""
+    WITH closed AS (
+        SELECT l_orderkey, max(l_shipdate) AS closed_at
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    om AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n_opened
+        FROM orders GROUP BY month
+    ),
+    cm AS (
+        SELECT strftime(date_trunc('month', closed_at), '%Y-%m') AS month,
+               count(*) AS n_closed
+        FROM closed GROUP BY month
+    ),
+    months AS (SELECT month FROM om UNION SELECT month FROM cm),
+    j AS (
+        SELECT months.month,
+               CAST(coalesce(om.n_opened, 0) AS BIGINT) AS n_opened,
+               CAST(coalesce(cm.n_closed, 0) AS BIGINT) AS n_closed
+        FROM months
+        LEFT JOIN om ON om.month = months.month
+        LEFT JOIN cm ON cm.month = months.month
+    )
+    SELECT month, n_opened, n_closed,
+           CAST(sum(n_opened - n_closed) OVER (
+               ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM j
+    """,
+)
+def orders_backlog_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: per month, orders opened, orders fully
+    shipped (close = max ship date over the order's lines, computed
+    exchange-free on the orderkey spine), and the running net backlog —
+    the as-of inventory-depth analytic (a cumulative window over an
+    ALREADY-AGGREGATED month dimension, so the 'global' running sum is
+    ~80 rows at any fact scale; orders with no lines simply never close).
+    Month string is the unique sort key; every value an exact BIGINT."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    month = lambda c: F.date_format(F.date_trunc("month", F.col(c)), "yyyy-MM")  # noqa: E731
+    closed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("closed_at"))
+    om = o.groupBy(month("o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    cm = closed.groupBy(month("closed_at").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    j = (
+        om.join(cm, "month", "full")
+        .select(
+            "month",
+            F.coalesce("n_opened", F.lit(0)).cast("bigint").alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).cast("bigint").alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "month",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint").alias(
+            "backlog"
+        ),
+    )
+
+
+@query(
+    "customer_repeat_rate",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_customers,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           round(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) AS repeat_rate
+    FROM pc
+    """,
+)
+def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate: share of ordering customers with >= 2 orders
+    (the retention scalar next to the cohort matrix). One map-side-combined
+    count per customer, one scalar rollup; the rate is a ratio of exact
+    integers."""
+    o = _t(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    rep = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+    return pc.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        rep.cast("bigint").alias("n_repeat"),
+        F.round(rep * 1.0 / F.count(F.lit(1)), 6).alias("repeat_rate"),
+    )
+
+
+@query(
+    "part_price_band_census",
+    oracle="""
+    SELECT p_brand,
+           CAST(floor(CAST(round(p_retailprice * 100) AS BIGINT)
+                      / 100000.0) AS BIGINT) AS price_band,
+           count(*) AS n_parts,
+           min(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+               AS min_price,
+           max(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0
+               AS max_price
+    FROM part GROUP BY p_brand, price_band
+    """,
+)
+def part_price_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price-band census per brand (1000-unit bands on exact
+    integer cents): count + exact min/max band prices. Map-only banding,
+    one small-key groupBy; (p_brand, price_band) is the unique key and
+    every float is one exact-cents division."""
+    p = _t(spark, sf_dir, "part")
+    pc = _cents("p_retailprice")
+    return (
+        p.select(
+            "p_brand",
+            F.floor(pc / 100000.0).cast("bigint").alias("price_band"),
+            pc.alias("__pc"),
+        )
+        .groupBy("p_brand", "price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.min("__pc") / 100.0).alias("min_price"),
+            (F.max("__pc") / 100.0).alias("max_price"),
+        )
+    )

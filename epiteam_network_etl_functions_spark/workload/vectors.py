@@ -494,3 +494,33 @@ def kmeans_cluster_sizes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("size"))
     )
+
+
+@query(
+    "vec_sparsity_profile",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> abs(x) < 0.05)) AS n_nearzero,
+           round(len(list_filter(embedding, x -> abs(x) < 0.05)) * 1.0
+                 / len(embedding), 6) AS nearzero_frac
+    FROM embeddings
+    """,
+)
+def vec_sparsity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector near-zero sparsity profile — the embedding-health audit
+    (collapsed or dead dimensions show up as mass near zero; quantization
+    planning reads the same histogram). Pure per-row JVM array filter/size
+    — no UDF, no shuffle, map-only at any scale; the comparison reads the
+    stored float32 against a double literal under the same IEEE widening
+    on both engines, so no arithmetic drift is possible."""
+    e = _emb(spark, sf_dir)
+    nz = F.size(F.filter(F.col("embedding"), lambda x: F.abs(x) < 0.05))
+    return e.select(
+        "vec_id",
+        F.size(F.col("embedding")).alias("dim"),
+        nz.alias("n_nearzero"),
+        F.round(nz * 1.0 / F.size(F.col("embedding")), 6).alias(
+            "nearzero_frac"
+        ),
+    )
