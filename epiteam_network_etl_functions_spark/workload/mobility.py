@@ -885,3 +885,34 @@ def colocation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         edges, a_col="a_user_id", b_col="b_user_id", max_iter=2
     )
+
+
+@query(
+    "colocation_degree_distribution",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()},
+    pairs AS (
+        SELECT DISTINCT a.user_id AS a_id, b.user_id AS b_id
+        FROM presence a JOIN presence b USING (event_type, tw)
+        WHERE a.user_id <> b.user_id
+    ),
+    deg AS (SELECT a_id, count(*) AS degree FROM pairs GROUP BY a_id)
+    SELECT degree, count(*) AS n_devices
+    FROM deg GROUP BY degree
+    """,
+)
+def colocation_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-degree histogram over the co-location graph — the network
+    statistic the reference's SBM fit consumes (degree sequence shape,
+    MakeEmpiricNetworks.py family): distinct partners per device, then
+    the degree histogram. Rides the flagship J1 self-join (single reused
+    presence shuffle) plus two narrow count aggregates; all integers,
+    degree is the unique key."""
+    p = _bucketed_presence(spark, sf_dir)
+    pairs = colocation_pairs(p, id_col="user_id", cell_col="event_type", tw_col="tw")
+    return (
+        pairs.groupBy("a_user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_devices"))
+    )

@@ -691,3 +691,68 @@ def pings_impute_kring_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ring_fn=_hex_ring_fn,
     )
     return out.select("caid", "home_cell", "cve_geo")
+
+
+@query(
+    "device_day_coverage",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS caid,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+           strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day,
+           CAST(date_diff('day', min(CAST(ts AS DATE)),
+                          max(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days
+    FROM events GROUP BY user_id
+    """,
+)
+def device_day_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device observation coverage: active days vs calendar span — the
+    panel-quality report the reference's multi-day home aggregation
+    implicitly depends on (a device seen 2 days out of 60 gets a weak
+    home signal; RadiusOfGyrationHandler gates on similar coverage). One
+    groupBy with a two-phase distinct-day count; dates format to strings
+    for the cross-engine compare, span is exact day arithmetic."""
+    e = catalog.load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    return e.groupBy(F.col("user_id").cast("string").alias("caid")).agg(
+        F.countDistinct(day).alias("n_days"),
+        F.date_format(F.min(day), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max(day), "yyyy-MM-dd").alias("last_day"),
+        (F.datediff(F.max(day), F.min(day)) + 1).cast("bigint").alias(
+            "span_days"
+        ),
+    )
+
+
+@query(
+    "night_owl_share",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS caid,
+           count(*) AS n_pings,
+           CAST(sum(CASE WHEN hour(ts) >= 22 OR hour(ts) < 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_night,
+           round(sum(CASE WHEN hour(ts) >= 22 OR hour(ts) < 6
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS night_share,
+           (sum(CASE WHEN hour(ts) >= 22 OR hour(ts) < 6
+                     THEN 1 ELSE 0 END) * 1.0 / count(*) >= 0.5)
+               AS is_night_owl
+    FROM events GROUP BY user_id
+    """,
+)
+def night_owl_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Night-activity profile per device: the share of pings in the
+    reference's night window (22:00-06:00, the home-inference window —
+    ntl_queries.py's hour predicate) and a night-owl flag. The flag
+    threshold compares a ratio of exact integers against 0.5 (exactly
+    representable), so the boolean cannot drift between engines. One
+    conditional-sum groupBy, map-side combined."""
+    e = catalog.load(spark, sf_dir, "events")
+    night = F.when((F.hour("ts") >= 22) | (F.hour("ts") < 6), 1).otherwise(0)
+    n = F.count(F.lit(1))
+    return e.groupBy(F.col("user_id").cast("string").alias("caid")).agg(
+        n.alias("n_pings"),
+        F.sum(night).cast("bigint").alias("n_night"),
+        F.round(F.sum(night) * 1.0 / n, 6).alias("night_share"),
+        (F.sum(night) * 1.0 / n >= 0.5).alias("is_night_owl"),
+    )

@@ -1420,3 +1420,39 @@ def purchase_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             purchased * 1.0 / F.nullif(clicked, F.lit(0)), 6
         ).alias("purchase_rate"),
     )
+
+
+@query(
+    "session_bounce_rate",
+    oracle=f"""
+    WITH {_SESSION_CTE.strip()},
+    per AS (
+        SELECT user_id, session_id, count(*) AS n
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounced,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) AS bounce_rate
+    FROM per
+    """,
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-sessionized activity: the share of sessions
+    containing exactly one event (the engagement scalar next to the
+    session-length distribution). Reuses the certified sessionize kernel
+    (lag + cumulative-flag windows, all user-partitioned), then one
+    per-session count and one scalar rollup — the 'global' aggregate runs
+    over sessions, not events; the rate is a ratio of exact integers."""
+    e = _events(spark, sf_dir)
+    sess = sessionize(e, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounced = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounced.cast("bigint").alias("n_bounced"),
+        F.round(bounced * 1.0 / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )

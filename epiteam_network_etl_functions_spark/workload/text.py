@@ -1538,3 +1538,191 @@ def token_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = counts.orderBy(F.desc("n"), F.asc("token")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return head.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "chunk_position_dup_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ')) AS h
+        FROM toks,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+        WHERE len(t) > 0
+    ),
+    occ AS (SELECT h, count(*) AS c FROM chunks GROUP BY h)
+    SELECT k.chunk_idx,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN o.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated,
+           round(sum(CASE WHEN o.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*),
+                 6) AS dup_rate
+    FROM chunks k JOIN occ o ON o.h = k.h
+    GROUP BY k.chunk_idx
+    """,
+)
+def chunk_position_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate BY CHUNK POSITION — the boilerplate locator:
+    headers/footers duplicate at fixed offsets (position 0 spikes =
+    shared preambles), which whole-document and even flat chunk dedup
+    reports can't localize. Same 8-token tumbling chunks as
+    chunk_dup_report (JVM array slicing via posexplode, no UDF);
+    occurrence counts attach as a window over the chunk-hash partition
+    (no hash-table broadcast), then one per-position rollup. chunk_idx
+    is the unique key; the rate is a ratio of exact integers."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.where(F.size(toks) > 0)
+    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)).cast("binary")),
+    )
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "h")
+    ).select(F.col("chunk_idx").cast("bigint").alias("chunk_idx"), "h")
+    w = Window.partitionBy("h")
+    dup = F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0)
+    flagged = chunks.select("chunk_idx", dup.alias("__dup"))
+    n = F.count(F.lit(1))
+    return flagged.groupBy("chunk_idx").agg(
+        n.alias("n_chunks"),
+        F.sum("__dup").cast("bigint").alias("n_duplicated"),
+        F.round(F.sum("__dup") * 1.0 / n, 6).alias("dup_rate"),
+    )
+
+
+@query(
+    "doc_quality_grid",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(floor(len(t) / 20.0) AS BIGINT) AS token_band,
+               CAST(floor((1.0 - len(list_distinct(list_transform(
+                        range(1, len(t)), i -> t[i] || '_' || t[i+1])))
+                        * 1.0 / (len(t) - 1)) * 20.0) AS BIGINT) AS rep_band
+        FROM m WHERE len(t) >= 2
+    )
+    SELECT token_band, rep_band, count(*) AS n_docs
+    FROM g GROUP BY token_band, rep_band
+    """,
+)
+def doc_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D quality scatter grid: token-length band × bigram-repetition
+    band, the corpus-triage heatmap (where do the gates actually bite?).
+    Both band inputs are exact on both engines — length is an integer and
+    the repetition ratio is one identical IEEE expression over integers —
+    so the floor banding cannot straddle; map-only then one tiny-key
+    groupBy. (token_band, rep_band) is the unique key."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    d = d.where(F.size(toks) >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws("_", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    rep = (
+        1.0
+        - F.size(F.array_distinct(grams)) * 1.0 / (F.size(toks) - 1)
+    )
+    return (
+        d.select(
+            F.floor(F.size(toks) / 20.0).cast("bigint").alias("token_band"),
+            F.floor(rep * 20.0).cast("bigint").alias("rep_band"),
+        )
+        .groupBy("token_band", "rep_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "near_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_DSH_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+    ranked AS (
+        SELECT d.doc_id, d.shingle, s.nd,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY q.df ASC, d.shingle ASC) AS rn
+        FROM dsh d JOIN dfq q USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= nd - ceil({JACCARD_THRESHOLD} * nd) + 1
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pfx a JOIN pfx b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.a_id
+        JOIN sizes b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM reach r
+        JOIN edges e ON e.dst = r.id WHERE r.lbl < e.src
+    ),
+    comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id),
+    csz AS (SELECT m, count(*) AS sz FROM comp GROUP BY m)
+    SELECT sz AS cluster_size, count(*) AS n_clusters
+    FROM csz GROUP BY sz
+    """,
+)
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER-SIZE distribution — the report that tells a
+    dedup run whether it is removing scattered pairs or collapsing a few
+    giant template families (the long tail here decides the dedup
+    budget). Same PPJoin -> connected-components chain as
+    fuzzy_dedup_components, then component sizes histogrammed; the oracle
+    rebuilds the closure with a recursive CTE. Only documents appearing
+    in at least one near-dup pair form clusters (singletons are not
+    clusters), identically on both sides."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).cache()
+    pairs = jaccard_verify(
+        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    shingled.unpersist()
+    cands.unpersist()
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
