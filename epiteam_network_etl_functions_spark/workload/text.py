@@ -1726,3 +1726,113 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+# Target mixture for source_mix_weights: a flat 5% per domain (the
+# data-mixture design input; literal on both engines).
+_MIX_TARGET = 0.05
+
+
+@query(
+    "source_mix_weights",
+    oracle=f"""
+    WITH actual AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM actual)
+    SELECT a.source, a.n_docs,
+           round(a.n_docs * 1.0 / t.n, 6) AS actual_frac,
+           CAST({_MIX_TARGET} AS DOUBLE) AS target_frac,
+           round(CAST({_MIX_TARGET} AS DOUBLE) * t.n / a.n_docs, 6)
+               AS sample_weight
+    FROM actual a CROSS JOIN tot t
+    """,
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture design table: per-domain actual share vs target share
+    and the resampling weight (target/actual) an interleaved loader
+    applies — the planning step between the corpus census and the
+    sampler (weighted_doc_sample consumes exactly these weights). One
+    count groupBy + a scalar-agg crossJoin for the total; every float is
+    one exact-integer division."""
+    d = _docs(spark, sf_dir)
+    actual = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = actual.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    return actual.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias("actual_frac"),
+        F.lit(_MIX_TARGET).alias("target_frac"),
+        F.round(F.lit(_MIX_TARGET) * F.col("n") / F.col("n_docs"), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+@query(
+    "dedup_bytes_by_source",
+    oracle="""
+    WITH k AS (
+        SELECT source, doc_id, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+                AS BIGINT) AS dup_bytes,
+           round(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+                 * 1.0 / sum(n_chars), 6) AS dup_byte_frac
+    FROM k GROUP BY source
+    """,
+)
+def dedup_bytes_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup savings per domain in BYTES (storage/compute planning
+    reads bytes, not doc counts — one fat duplicate outweighs many short
+    ones): keeper = min doc id per content digest via a window over the
+    digest partition, then per-source byte sums. One digest shuffle, one
+    small-key rollup; fractions are ratios of exact integer sums."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    k = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.min("doc_id").over(w).alias("__keeper"),
+    )
+    dup = F.when(F.col("doc_id") != F.col("__keeper"), F.col("n_chars")).otherwise(0)
+    return k.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.sum(dup).cast("bigint").alias("dup_bytes"),
+        F.round(F.sum(dup) * 1.0 / F.sum("n_chars"), 6).alias(
+            "dup_byte_frac"
+        ),
+    )
+
+
+@query(
+    "token_len_distribution",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT CAST(length(tok) AS BIGINT) AS token_len, count(*) AS n_tokens
+    FROM toks WHERE tok <> ''
+    GROUP BY token_len
+    """,
+)
+def token_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (characters per token) — the corpus statistic
+    a tokenizer/BPE budget is designed against (mean token length drives
+    the chars-per-token compression ratio). Explode + length + one
+    tiny-key count groupBy; all integers."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(F.length("tok").cast("bigint").alias("token_len"))
+        .groupBy("token_len")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )

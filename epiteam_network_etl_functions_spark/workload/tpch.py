@@ -1397,3 +1397,59 @@ def part_price_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("__pc") / 100.0).alias("max_price"),
         )
     )
+
+
+@query(
+    "order_lines_distribution",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines, count(*) AS n_orders
+    FROM per GROUP BY n_lines
+    """,
+)
+def order_lines_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order histogram (the fact-table fan-out profile that
+    sizes the orderkey join): per-order line count runs EXCHANGE-FREE on
+    the orderkey spine (keyed cache / bucketed layout), then one
+    tiny-key histogram; all integers, n_lines is the unique key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "supplier_load_balance",
+    oracle="""
+    WITH per AS (
+        SELECT l_suppkey, count(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    mx AS (SELECT CAST(max(n_items) AS BIGINT) AS mx FROM per)
+    SELECT p.l_suppkey AS s_suppkey, p.n_items,
+           round(p.n_items * 1.0 / m.mx, 6) AS load_share
+    FROM per p CROSS JOIN mx m
+    """,
+)
+def supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier load-balance report: each supplier's lineitem volume as a
+    fraction of the hottest supplier's — the skew scorecard for a
+    supplier-keyed shuffle (the engine's salting decision input, as a
+    query). One count groupBy + the max as a scalar-agg broadcast
+    crossJoin (the W1 idiom); the share is a ratio of exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    mx = per.agg(F.max("n_items").cast("bigint").alias("mx"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "s_suppkey",
+        "n_items",
+        F.round(F.col("n_items") * 1.0 / F.col("mx"), 6).alias("load_share"),
+    )

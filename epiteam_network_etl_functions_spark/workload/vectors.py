@@ -524,3 +524,34 @@ def vec_sparsity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearzero_frac"
         ),
     )
+
+
+@query(
+    "vec_component_range",
+    oracle="""
+    WITH comp AS (
+        SELECT u.i AS dim_idx, embedding[u.i + 1] AS v
+        FROM embeddings, unnest(range(0, 8)) AS u(i)
+    )
+    SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+           min(v) AS min_val, max(v) AS max_val,
+           count(*) AS n
+    FROM comp GROUP BY dim_idx
+    """,
+)
+def vec_component_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension value range over the first 8 embedding components —
+    the quantization-calibration statistic (min/max per dim sizes the
+    int8 scale). min/max involve NO arithmetic, only comparisons of the
+    stored float32 values, so the result is drift-free on both engines
+    (the reason this reports range, not mean/std). Posexplode of a fixed
+    slice + one tiny-key groupBy."""
+    e = _emb(spark, sf_dir)
+    comp = e.select(
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("dim_idx", "v")
+    )
+    return comp.groupBy(F.col("dim_idx").cast("bigint").alias("dim_idx")).agg(
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
