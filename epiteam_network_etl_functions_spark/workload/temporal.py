@@ -1456,3 +1456,36 @@ def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounced.cast("bigint").alias("n_bounced"),
         F.round(bounced * 1.0 / F.count(F.lit(1)), 6).alias("bounce_rate"),
     )
+
+
+@query(
+    "value_quartile_labels",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(round(value * 1000000) AS BIGINT) ASC,
+                        event_id ASC
+           ) AS INTEGER) AS quartile
+    FROM events
+    """,
+)
+def value_quartile_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quartile labelling via ntile(4) — the bucketed-rank window
+    family (equal-count bins, unlike the value-cut histograms) the suite
+    had not yet pinned. ntile's bin boundaries depend only on the row
+    ORDER, so the ordering is made total (exact-micros value, event_id
+    tie-break) and the labels are engine-exact; one shuffle on the
+    5-value type key."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    vmicros = F.round(F.col("value") * 1000000).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        vmicros.asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

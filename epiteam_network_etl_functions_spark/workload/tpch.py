@@ -1453,3 +1453,31 @@ def supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         F.round(F.col("n_items") * 1.0 / F.col("mx"), 6).alias("load_share"),
     )
+
+
+@query(
+    "orders_weekday_profile",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday,
+           o_orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY weekday, o_orderpriority
+    """,
+)
+def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume by weekday × priority — pins the cross-engine weekday
+    mapping, the classic date-part portability trap: Spark's weekday()
+    is 0=Monday while DuckDB's dayofweek() is 0=Sunday, so the oracle
+    uses isodow()-1 (1=Monday ISO, shifted) to land on the identical
+    0=Monday..6=Sunday convention. One map-only extract + tiny-key
+    count groupBy; (weekday, o_orderpriority) is the unique key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("weekday(o_orderdate)").cast("int").alias("weekday"),
+            "o_orderpriority",
+        )
+        .groupBy("weekday", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
