@@ -8,11 +8,29 @@ loudly instead of silently re-widening the TPC-H spine."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from epiteam_network_etl_functions_spark import catalog
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _restore_catalog(spark):
+    """cache_tables pins keyed InMemoryRelations into catalog._LOAD_CACHE
+    for the whole session; evict them afterwards so later tests see plain
+    parquet scans again (plan-shape tests assert on the uncached form)."""
+    yield
+    sc = spark.sparkContext
+    for name in catalog.TABLE_NAMES:
+        key = (sc.applicationId, sc.startTime, SF_DIR, name)
+        df = catalog._LOAD_CACHE.pop(key, None)
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def _plan(df) -> str:
