@@ -1489,3 +1489,56 @@ def value_quartile_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@query(
+    "events_since_last_error",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS err_grp
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (
+               PARTITION BY user_id, err_grp ORDER BY ts ASC, event_id ASC
+           ) - 1 AS BIGINT) AS events_since_error
+    FROM o WHERE event_type <> 'error'
+    """,
+)
+def events_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event distance since the user's last error — the RESET-window
+    pattern (a running counter that restarts at a marker event), which
+    plain frames can't express: a cumulative error count partitions each
+    user's stream into error epochs, then a row_number within (user,
+    epoch) is the distance. Both windows share the same user-keyed
+    clustering (one shuffle); events before any error count from stream
+    start. Ordering is total (ts, event_id), everything integer."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    o = e.withColumn(
+        "err_grp",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .cast("bigint"),
+    )
+    w2 = Window.partitionBy("user_id", "err_grp").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        o.where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            "event_id",
+            (F.row_number().over(w2) - 1).cast("bigint").alias(
+                "events_since_error"
+            ),
+        )
+    )

@@ -1836,3 +1836,59 @@ def token_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token_len")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def _lang_term_sql(c: str) -> str:
+    return (
+        f"CASE WHEN {c} = 0 THEN 0.0 "
+        f"ELSE ({c} * 1.0 / n) * ln({c} * 1.0 / n) END"
+    )
+
+
+@query(
+    "source_lang_diversity",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+               CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+               CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+               CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh,
+               count(*) AS n
+        FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           round(-({_lang_term_sql('c_de')} + {_lang_term_sql('c_en')}
+                   + {_lang_term_sql('c_es')} + {_lang_term_sql('c_fr')}
+                   + {_lang_term_sql('c_zh')}), 6) AS lang_entropy
+    FROM c
+    """,
+)
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity (Shannon entropy) per source — the mixture-
+    balance scorecard. Determinism note: a grouped SUM over per-lang
+    entropy terms would accumulate floats in engine-dependent order; here
+    the 5 language counts pivot to COLUMNS (conditional integer sums)
+    and the entropy is ONE fixed left-to-right expression over them —
+    identical IEEE evaluation on both engines, no summation-order drift.
+    One conditional-sum groupBy, map-only after."""
+    d = _docs(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.col("lang") == L, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c_{L}")
+        for L in ("de", "en", "es", "fr", "zh")
+    ]
+    c = d.groupBy("source").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+
+    def term(L: str):
+        cc = F.col(f"c_{L}")
+        p = cc * 1.0 / n
+        return F.when(cc == 0, 0.0).otherwise(p * F.log(p))
+
+    ent = -(
+        term("de") + term("en") + term("es") + term("fr") + term("zh")
+    )
+    return c.select("source", "n", F.round(ent, 6).alias("lang_entropy"))

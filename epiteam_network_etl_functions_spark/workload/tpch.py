@@ -1481,3 +1481,83 @@ def orders_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("weekday", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "orders_quarter_growth",
+    oracle="""
+    WITH q AS (
+        SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m')
+                   AS quarter,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY quarter
+    )
+    SELECT quarter, rev_c / 100.0 AS revenue,
+           round((rev_c - lag(rev_c) OVER (ORDER BY quarter)) * 1.0
+                 / lag(rev_c) OVER (ORDER BY quarter), 6) AS qoq_growth
+    FROM q
+    """,
+)
+def orders_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth — the trend report over the
+    coarse calendar truncation (quarter) with a lag-ratio window. The
+    'global' window runs over the ~27-row quarter dimension, never the
+    fact; revenue accumulates as exact integer cents so the growth ratio
+    is one identical IEEE division (NULL for the first quarter on both
+    engines)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.date_format(F.date_trunc("quarter", F.col("o_orderdate")), "yyyy-MM")
+        .alias("quarter")
+    ).agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev_c"))
+    w = Window.orderBy("quarter")
+    prev = F.lag("rev_c").over(w)
+    return q.select(
+        "quarter",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.round((F.col("rev_c") - prev) * 1.0 / prev, 6).alias("qoq_growth"),
+    )
+
+
+@query(
+    "brand_type_revenue_rank",
+    oracle="""
+    WITH r AS (
+        SELECT p.p_brand, p.p_type,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, p.p_type
+    )
+    SELECT p_brand, p_type, rev_c / 100.0 AS revenue,
+           CAST(dense_rank() OVER (
+               PARTITION BY p_brand ORDER BY rev_c DESC
+           ) AS INTEGER) AS rnk
+    FROM r
+    """,
+)
+def brand_type_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue league table per brand: p_types dense-ranked by exact-cents
+    gross revenue within each brand — the dense_rank window family (equal
+    values share a rank with no gaps; deterministic on exact integers
+    without a tie-break, unlike row_number). part broadcasts into the
+    fact, one (brand, type) aggregate, one small window."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(_cents("l_extendedprice")).cast("bigint").alias("rev_c"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_c"))
+    return r.select(
+        "p_brand",
+        "p_type",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        F.dense_rank().over(w).cast("int").alias("rnk"),
+    )
