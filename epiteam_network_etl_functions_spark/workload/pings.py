@@ -756,3 +756,102 @@ def night_owl_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(night) * 1.0 / n, 6).alias("night_share"),
         (F.sum(night) * 1.0 / n >= 0.5).alias("is_night_owl"),
     )
+
+
+@query(
+    "pings_home_stability",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, CAST(cdmx_datetime AS DATE) AS day,
+               {_cell_sql()} AS cell
+        FROM pings
+    ),
+    daily AS (
+        SELECT caid, day, cell, count(*) AS score
+        FROM pc GROUP BY caid, day, cell
+    ),
+    dwin AS (
+        SELECT caid, day, cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid, day ORDER BY score DESC, cell ASC
+            ) AS rn FROM daily
+        ) WHERE rn = 1
+    )
+    SELECT caid,
+           count(*) AS n_days,
+           count(DISTINCT cell) AS n_homes,
+           (count(DISTINCT cell) = 1) AS is_stable
+    FROM dwin GROUP BY caid
+    """,
+)
+def pings_home_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-churn report: how many DISTINCT daily winner cells each device
+    produced across the observation window (the stability diagnostic
+    behind the reference's multi-day repository vote — a device with a
+    different 'home' every day yields a weak global winner,
+    IndexingHomeAgebs.py:66-89). Rides the same daily-winner kernel as
+    pings_global_home (one aggregate + one caid-clustered window), then a
+    per-device distinct count; all integers, caid is the unique key."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    daily = p.groupBy(
+        "caid", F.to_date("cdmx_datetime").alias("day"), "cell"
+    ).agg(F.count(F.lit(1)).alias("score"))
+    daily = daily.repartition("caid")
+    dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
+    return dwin.groupBy("caid").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.countDistinct("cell").alias("n_homes"),
+        (F.countDistinct("cell") == 1).alias("is_stable"),
+    )
+
+
+@query(
+    "device_rg_percentiles",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (SELECT caid, {_cell_sql()} AS cell FROM pings),
+    visits AS (SELECT caid, cell, count(*) AS n FROM pc GROUP BY caid, cell),
+    center AS (
+        SELECT caid, cell AS c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY n DESC, cell ASC
+            ) AS rn FROM visits
+        ) WHERE rn = 1
+    ),
+    d AS (
+        SELECT v.caid, v.n,
+               greatest(
+                   abs(CAST(split_part(v.cell, ':', 2) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 2) AS BIGINT)),
+                   abs(CAST(split_part(v.cell, ':', 3) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 3) AS BIGINT))) AS d
+        FROM visits v JOIN center c USING (caid)
+    ),
+    rg AS (
+        SELECT caid, round(sqrt(sum(n * d * d) / sum(n)), 6) AS rg
+        FROM d GROUP BY caid
+    )
+    SELECT count(*) AS n_devices,
+           round(quantile_cont(rg, 0.25), 6) AS p25,
+           round(quantile_cont(rg, 0.5), 6) AS median_rg,
+           round(quantile_cont(rg, 0.75), 6) AS p75
+    FROM rg
+    """,
+)
+def device_rg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population quartiles of device radius-of-gyration — the mobility-
+    distribution summary the reference plots per region
+    (RadiusOfGyrationHandler downstream). COMPOSES two certified
+    kernels: the grid-hop RG (pings_device_rg) and exact continuous
+    percentiles — interpolation runs over the ROUNDED rg values, which
+    both engines hold bit-identically, so the quantile arithmetic is the
+    same IEEE ops; a one-row scalar rollup of a per-device aggregate."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    rg = device_rg(p, id_col="caid", cell_col="cell").select("caid", "rg")
+    return rg.agg(
+        F.count(F.lit(1)).alias("n_devices"),
+        F.round(F.percentile("rg", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("rg", F.lit(0.5)), 6).alias("median_rg"),
+        F.round(F.percentile("rg", F.lit(0.75)), 6).alias("p75"),
+    )

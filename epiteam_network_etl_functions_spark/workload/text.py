@@ -1892,3 +1892,27 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         term("de") + term("en") + term("es") + term("fr") + term("zh")
     )
     return c.select("source", "n", F.round(ent, 6).alias("lang_entropy"))
+
+
+@query(
+    "shingle_df_histogram",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle)
+    SELECT df, count(*) AS n_shingles
+    FROM dfq GROUP BY df
+    """,
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram — the 'how deduplicable is
+    this corpus' profile (mass at df=1 means mostly-unique content; a
+    long df tail means template families) and the input to the PPJoin
+    rarity-prefix design. Two narrow count aggregates over the shingle
+    table; all integers, df is the unique key."""
+    sh = _shingled(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )

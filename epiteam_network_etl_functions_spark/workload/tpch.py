@@ -1561,3 +1561,45 @@ def brand_type_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c") / 100.0).alias("revenue"),
         F.dense_rank().over(w).cast("int").alias("rnk"),
     )
+
+
+@query(
+    "fulfillment_lag_by_priority",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(lag_days) * 1.0 / count(*), 6) AS avg_lag_days,
+           round(quantile_cont(lag_days, 0.5), 6) AS median_lag_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def fulfillment_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA by priority class: mean and exact median
+    order-to-ship lag — does URGENT actually ship faster? The join runs
+    exchange-free on the orderkey spine; the lag is exact integer days,
+    so the mean is one exact division and the median interpolates over
+    integers identically on both engines; one shuffle on the 5-value
+    priority key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", lag_days.alias("lag_days")
+    )
+    n = F.count(F.lit(1))
+    return lat.groupBy("o_orderpriority").agg(
+        n.alias("n_items"),
+        F.round(F.sum("lag_days") * 1.0 / n, 6).alias("avg_lag_days"),
+        F.round(F.percentile("lag_days", F.lit(0.5)), 6).alias(
+            "median_lag_days"
+        ),
+    )
