@@ -916,3 +916,49 @@ def colocation_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_devices"))
     )
+
+
+@query(
+    "colocation_pair_persistence",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()},
+    pair_buckets AS (
+        SELECT DISTINCT a.user_id AS a_user_id, b.user_id AS b_user_id,
+               a.tw
+        FROM presence a JOIN presence b USING (event_type, tw)
+        WHERE a.user_id < b.user_id
+    ),
+    weighted AS (
+        SELECT a_user_id, b_user_id, count(*) AS n_buckets
+        FROM pair_buckets GROUP BY a_user_id, b_user_id
+    )
+    SELECT a_user_id, b_user_id, n_buckets
+    FROM weighted WHERE n_buckets >= 2
+    """,
+)
+def colocation_pair_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED-contact filter: unordered device pairs co-located in >= 2
+    DISTINCT time buckets, with the bucket count as edge weight — the
+    reference's observed-contact weighting (NetworkBuilder.py:155-211
+    counts repeated interactions before the probability normalization;
+    one-off passes are noise, repeated co-location is signal). Same
+    single-shuffle self-join as the flagship, but deduped at (pair,
+    bucket) grain first so the weight counts buckets, not ping pairs;
+    unordered orientation (a < b) halves the edge list."""
+    p = _bucketed_presence(spark, sf_dir)
+    a, b = p.alias("a"), p.hint("shuffle_hash").alias("b")
+    pair_buckets = (
+        a.join(b, on=["event_type", "tw"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("a_user_id"),
+            F.col("b.user_id").alias("b_user_id"),
+            "tw",
+        )
+        .distinct()
+    )
+    return (
+        pair_buckets.groupBy("a_user_id", "b_user_id")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .where(F.col("n_buckets") >= 2)
+    )

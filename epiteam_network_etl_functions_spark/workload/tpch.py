@@ -1603,3 +1603,128 @@ def fulfillment_lag_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_lag_days"
         ),
     )
+
+
+@query(
+    "first_order_cohort_value",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(o_orderdate) AS first_date
+        FROM orders GROUP BY o_custkey
+    ),
+    fo AS (
+        SELECT f.o_custkey,
+               strftime(date_trunc('quarter', f.first_date), '%Y-%m')
+                   AS cohort,
+               min(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS first_value_c
+        FROM firsts f
+        JOIN orders o ON o.o_custkey = f.o_custkey
+                     AND o.o_orderdate = f.first_date
+        GROUP BY f.o_custkey, cohort
+    )
+    SELECT cohort,
+           count(*) AS n_customers,
+           round(sum(first_value_c) / 100.0 / count(*), 6)
+               AS avg_first_value
+    FROM fo GROUP BY cohort
+    """,
+)
+def first_order_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort quality: customers grouped by the quarter of
+    their FIRST order, with the average first-order value — the
+    first-touch analytic (argmin-by-date then aggregate by cohort).
+    Ties on the first date resolve to the MIN price on both engines
+    (deterministic without an order-key tie-break); the first-date
+    lookup is a self-join back on (custkey, date) against the min-date
+    aggregate, one shuffle each side on custkey; money stays exact
+    integer cents until the single final division."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.min("o_orderdate").alias("first_date")
+    )
+    fo = (
+        firsts.join(
+            o,
+            (F.col("o_custkey") == F.col("__ck"))
+            & (F.col("o_orderdate") == F.col("first_date")),
+        )
+        .groupBy(
+            "__ck",
+            F.date_format(F.date_trunc("quarter", "first_date"), "yyyy-MM").alias(
+                "cohort"
+            ),
+        )
+        .agg(F.min(_cents("o_totalprice")).alias("first_value_c"))
+    )
+    n = F.count(F.lit(1))
+    return fo.groupBy("cohort").agg(
+        n.alias("n_customers"),
+        F.round(F.sum("first_value_c") / 100.0 / n, 6).alias(
+            "avg_first_value"
+        ),
+    )
+
+
+@query(
+    "segment_value_matrix",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(floor(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                      / 5000000.0) AS BIGINT) AS value_band,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment, value_band
+    """,
+)
+def segment_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment × order-value-band census (50k-unit bands on exact
+    cents) — the demand-mix matrix. customer broadcasts into orders,
+    banding is exact-integer floor division, one tiny-key groupBy;
+    (c_mktsegment, value_band) is the unique key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(_cents("o_totalprice") / 5000000.0).cast("bigint")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", band.alias("value_band"))
+        .groupBy("c_mktsegment", "value_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "supplier_nation_summary",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_suppliers,
+           min(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0
+               AS min_balance,
+           max(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0
+               AS max_balance,
+           round(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_balance
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier census per nation with exact-cents balance statistics —
+    the supply-side dimension profile (the supplier table's only other
+    coverage is as a join leg). Broadcast dim attach + one small groupBy;
+    min/max/avg all derive from exact integer cents."""
+    s = _t(spark, sf_dir, "supplier")
+    nt = _t(spark, sf_dir, "nation")
+    bc = _cents("s_acctbal")
+    n = F.count(F.lit(1))
+    return (
+        s.join(F.broadcast(nt), s.s_nationkey == nt.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            n.alias("n_suppliers"),
+            (F.min(bc) / 100.0).alias("min_balance"),
+            (F.max(bc) / 100.0).alias("max_balance"),
+            F.round(F.sum(bc) / 100.0 / n, 6).alias("avg_balance"),
+        )
+    )
