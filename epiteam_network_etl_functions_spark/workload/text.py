@@ -949,7 +949,7 @@ _CF_BENCH_MAX_ID = 20
 # dedup, shingle decontamination. Mirrors plans/corpus_pipeline stage for
 # stage (same kernels the certified per-stage queries use).
 _FUNNEL_CTES = f"""
-corpus AS (
+corpus AS MATERIALIZED (
     SELECT doc_id, text FROM documents WHERE doc_id >= {_CF_BENCH_MAX_ID}
 ),
 ctoks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus),
@@ -965,7 +965,7 @@ cent AS (
     FROM cfreq f JOIN ctot t ON t.doc_id = f.doc_id
     GROUP BY f.doc_id
 ),
-q AS (
+q AS MATERIALIZED (
     SELECT tk.doc_id, tk.text, tk.t FROM ctoks tk
     JOIN cent e ON e.doc_id = tk.doc_id
     WHERE len(tk.t) >= {_CF_MIN_TOKENS}
@@ -974,11 +974,11 @@ q AS (
           <= {_CF_MAX_REP}
       AND e.ent >= {_CF_MIN_ENTROPY}
 ),
-ex AS (
+ex AS MATERIALIZED (
     SELECT doc_id, text, t FROM q
     WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))
 ),
-fdsh AS (
+fdsh AS MATERIALIZED (
     SELECT DISTINCT doc_id,
            unnest(list_transform(range(1, len(t)-1),
                   i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS shingle
@@ -1030,7 +1030,7 @@ flosers AS (
     SELECT id FROM (SELECT id, min(lbl) AS m FROM freach GROUP BY id)
     WHERE id <> m
 ),
-fz AS (
+fz AS MATERIALIZED (
     SELECT doc_id, text, t FROM ex
     WHERE doc_id NOT IN (SELECT id FROM flosers)
 ),
@@ -1050,7 +1050,7 @@ contam AS (
     SELECT z.doc_id FROM zsh z JOIN bsh b USING (shingle)
     GROUP BY z.doc_id HAVING count(*) >= 2
 ),
-dc AS (
+dc AS MATERIALIZED (
     SELECT doc_id FROM fz
     WHERE doc_id NOT IN (SELECT doc_id FROM contam)
 )
