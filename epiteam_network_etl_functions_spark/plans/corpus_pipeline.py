@@ -191,14 +191,24 @@ def run_corpus_pipeline(
     shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> CorpusResult:
     """The full composition. When ``out_dir`` is given, the surviving
-    documents are exported as size-uniform JSONL shards (sources/io)."""
+    documents are exported as size-uniform JSONL shards (sources/io).
+
+    ``materialize=True`` localCheckpoints each stage boundary — the
+    reference's materialized-stage-IR discipline (every stage writes
+    parquet before the next reads it). Use it when several consumers
+    read the stage frames (the funnel report taps counts off every
+    boundary; without it each consumer replays the whole upstream
+    chain). At production scale swap localCheckpoint for a parquet
+    write per stage — same plan shape, restartable."""
     cfg = cfg or CorpusConfig()
-    gated = gate_quality(docs, cfg, id_col, text_col)
-    exact = dedup_exact(gated, id_col, text_col)
-    fuzzy = dedup_fuzzy(exact, cfg, id_col, text_col)
-    clean = decontaminate(fuzzy, bench, cfg, id_col, text_col)
+    mat = (lambda df: df.localCheckpoint()) if materialize else (lambda df: df)
+    gated = mat(gate_quality(docs, cfg, id_col, text_col))
+    exact = mat(dedup_exact(gated, id_col, text_col))
+    fuzzy = mat(dedup_fuzzy(exact, cfg, id_col, text_col))
+    clean = mat(decontaminate(fuzzy, bench, cfg, id_col, text_col))
     packed = pack_bins(clean, cfg, id_col, text_col)
     if out_dir is not None:
         from ..sources.io import write_jsonl_shards
@@ -229,7 +239,9 @@ def corpus_funnel(
     from pyspark.sql import Window
 
     cfg = cfg or CorpusConfig()
-    res = run_corpus_pipeline(docs, bench, cfg, id_col=id_col, text_col=text_col)
+    res = run_corpus_pipeline(
+        docs, bench, cfg, id_col=id_col, text_col=text_col, materialize=True
+    )
     frames = (
         docs,
         res.gated,
