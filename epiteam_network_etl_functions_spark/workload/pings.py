@@ -712,6 +712,7 @@ def device_day_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     home signal; RadiusOfGyrationHandler gates on similar coverage). One
     groupBy with a two-phase distinct-day count; dates format to strings
     for the cross-engine compare, span is exact day arithmetic."""
+    prep(spark)
     e = catalog.load(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     return e.groupBy(F.col("user_id").cast("string").alias("caid")).agg(
@@ -747,6 +748,7 @@ def night_owl_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compares a ratio of exact integers against 0.5 (exactly
     representable), so the boolean cannot drift between engines. One
     conditional-sum groupBy, map-side combined."""
+    prep(spark)
     e = catalog.load(spark, sf_dir, "events")
     night = F.when((F.hour("ts") >= 22) | (F.hour("ts") < 6), 1).otherwise(0)
     n = F.count(F.lit(1))

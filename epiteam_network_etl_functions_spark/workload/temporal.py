@@ -1273,7 +1273,7 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; per-type set sizes attach as a broadcast. Jaccard is a
     ratio of exact integers -> identical IEEE division on both engines;
     (a_type, b_type) is the unique row key."""
-    e = catalog.load(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     tu = e.select("event_type", "user_id").distinct()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.selectExpr("event_type AS a_type", "user_id")
