@@ -216,12 +216,12 @@ def run_corpus_pipeline(
         # The export consumes `clean` twice (shard-count job + write);
         # cache across those two actions only, then release — the result
         # frames stay lazy/uncached (no session-pinned storage).
-        mat = clean.cache()
-        n = mat.count()
+        export_df = clean.cache()
+        n = export_df.count()
         write_jsonl_shards(
-            mat, out_dir, records_per_shard=max(1, -(-n // shards))
+            export_df, out_dir, records_per_shard=max(1, -(-n // shards))
         )
-        mat.unpersist(blocking=False)
+        export_df.unpersist(blocking=False)
     return CorpusResult(gated, exact, fuzzy, clean, packed)
 
 

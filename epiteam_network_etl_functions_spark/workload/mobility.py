@@ -942,10 +942,14 @@ def colocation_pair_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's observed-contact weighting (NetworkBuilder.py:155-211
     counts repeated interactions before the probability normalization;
     one-off passes are noise, repeated co-location is signal). Same
-    single-shuffle self-join as the flagship, but deduped at (pair,
-    bucket) grain first so the weight counts buckets, not ping pairs;
-    unordered orientation (a < b) halves the edge list."""
-    p = _bucketed_presence(spark, sf_dir)
+    single-shuffle self-join as the flagship, on the same DEDUPED
+    presence grain — distinct (user, cell, bucket) BEFORE the join, so a
+    device pinging k times in one bucket contributes one presence row,
+    not k² join rows (the quadratic blowup the flagship's presence
+    dedup exists to prevent); the join output is already at (pair,
+    bucket) grain, so the weight counts buckets directly. Unordered
+    orientation (a < b) halves the edge list."""
+    p = _bucketed_presence(spark, sf_dir).distinct()
     a, b = p.alias("a"), p.hint("shuffle_hash").alias("b")
     pair_buckets = (
         a.join(b, on=["event_type", "tw"])

@@ -491,10 +491,7 @@ def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches off the SAME visits aggregate as the winner (identical subtree
     -> ReuseExchange), so the raw-pings md5 derivation runs once, not
     twice — the Spark analog of the oracle's MATERIALIZED pings CTE."""
-    allc = _visits(spark, sf_dir)
-    winners = top1_per_key(allc, ["caid"], [F.desc("n"), F.asc("cell")]).select(
-        "caid", "cell"
-    )
+    winners = _home_winners(spark, sf_dir)
     # dim restricted to the winners' cells: result-identical under the
     # left join (non-winner cells never match) and one winner cell per
     # device instead of the full realized-cell set.

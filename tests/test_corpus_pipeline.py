@@ -8,10 +8,9 @@ silently decertify the funnel)."""
 
 from __future__ import annotations
 
-import json
 import os
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row
 
 from epiteam_network_etl_functions_spark.plans.corpus_pipeline import (
     CorpusConfig,

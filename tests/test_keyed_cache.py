@@ -38,12 +38,27 @@ def _plan(df) -> str:
 
 
 def _exchanges_above_cache(plan: str) -> int:
-    """Count Exchange nodes EXCLUDING the one inside the InMemoryRelation
-    (the cache-build repartition itself) and any ReusedExchange."""
+    """Count Exchange nodes EXCLUDING those nested inside an
+    InMemoryRelation (the cache-build repartition itself) and any
+    ReusedExchange. Indent-aware: a cache-build subtree is every line
+    indented deeper than its InMemoryRelation header, so exchanges above
+    a LATER cached scan (e.g. only the right join side regressing) are
+    still counted — a first-match break would miss them."""
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*"))
+
     n = 0
+    cache_depth: int | None = None
     for line in plan.splitlines():
-        if "InMemoryRelation" in line:
-            break  # everything below is the cache-build subtree
+        d = indent(line)
+        if cache_depth is not None and d <= cache_depth:
+            cache_depth = None  # dedented out of the cache-build subtree
+        if cache_depth is None and "InMemoryRelation" in line:
+            cache_depth = d
+            continue
+        if cache_depth is not None:
+            continue  # inside a cache-build subtree
         if "ReusedExchange" in line:
             continue
         if "Exchange" in line and "BroadcastExchange" not in line:

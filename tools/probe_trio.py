@@ -16,17 +16,19 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = [
-    q
-    for a in sys.argv[1:]
-    if not a.startswith("--")
-    for q in a.split(",")
-]
 EXPLAIN = "--explain" in sys.argv
 REPS = 5
+_skip = set()
 for i, a in enumerate(sys.argv):
     if a == "--reps":
         REPS = int(sys.argv[i + 1])
+        _skip.add(i + 1)
+QUERIES = [
+    q
+    for i, a in enumerate(sys.argv[1:], start=1)
+    if not a.startswith("--") and i not in _skip
+    for q in a.split(",")
+]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
