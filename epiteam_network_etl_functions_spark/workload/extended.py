@@ -448,3 +448,63 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, sf_dir, "documents")
     out = weighted_sample_topn(docs, "doc_id", "n_chars", n=50)
     return out.select("doc_id", "sample_key")
+
+
+_SH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, "
+    f"(simhash // {1 << (4 * b)}) % 16 AS band_val FROM simhashes"
+    for b in range(4)
+)
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE.strip()},
+    shbands AS ({_SH_BANDS_SQL}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, a.simhash AS a_sh,
+               b.doc_id AS b_id, b.simhash AS b_sh
+        FROM shbands a JOIN shbands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(a_sh, b_sh)) <= 3
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3 WITHOUT an
+    all-pairs comparison: the 16-bit signature splits into 4 disjoint
+    4-bit bands, and by pigeonhole any pair within Hamming 3 differs in
+    at most 3 bands — so it MUST agree exactly on at least one band.
+    Candidates come from a band-bucket equi-join (the SimHash analog of
+    MinHash-LSH banding, with a zero-false-negative guarantee instead of
+    probabilistic recall), then one bit_count(xor) verify per candidate.
+    At corpus scale the join is bounded by band-bucket co-occupancy,
+    never n²; all values exact integers."""
+    sh = _simhashes(spark, sf_dir)
+    rows = ", ".join(
+        f"{b}, shiftright(simhash, {4 * b}) & 15" for b in range(4)
+    )
+    bands = sh.selectExpr(
+        "doc_id", "simhash", f"stack(4, {rows}) AS (band_idx, band_val)"
+    )
+    a = bands.selectExpr(
+        "doc_id AS a_id", "simhash AS a_sh", "band_idx", "band_val"
+    )
+    b = bands.selectExpr(
+        "doc_id AS b_id", "simhash AS b_sh", "band_idx", "band_val"
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "a_sh", "b_id", "b_sh")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(a_sh ^ b_sh)")
+    return (
+        cands.where(hamming <= 3)
+        .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+    )

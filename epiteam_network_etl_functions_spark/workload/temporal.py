@@ -1542,3 +1542,29 @@ def events_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           count(*) AS n_events
+    FROM events GROUP BY weekday, hour_of_day
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the load-profile matrix capacity
+    planning reads (and the week-periodicity check behind the night-window
+    gates). Uses the pinned cross-engine weekday mapping (Spark weekday()
+    0=Monday vs DuckDB isodow()-1) and session-UTC hours; one map-only
+    extract + a 7×24-key count groupBy."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("weekday(ts)").cast("int").alias("weekday"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .groupBy("weekday", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
