@@ -1916,3 +1916,44 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("df")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
+
+
+@query(
+    "doc_hapax_ratio",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(list_distinct(toks),
+               u -> len(list_filter(toks, x -> x = u)) = 1)) AS n_hapax,
+           round(len(list_filter(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)) = 1)) * 1.0
+                 / len(toks), 6) AS hapax_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document hapax legomenon ratio (tokens occurring exactly
+    once in THEIR OWN document / total tokens) — the lexical-richness
+    statistic next to uniq_ratio (which can't distinguish 'every token
+    twice' from 'half the tokens once'); low hapax share flags loop-y
+    generation. Per-row array arithmetic over (distinct × occurrences) —
+    map-only, no shuffle, no UDF; the ratio is exact integers."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    hapax = F.size(
+        F.filter(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)) == 1,
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        hapax.alias("n_hapax"),
+        F.round(hapax * 1.0 / F.size(toks), 6).alias("hapax_ratio"),
+    ).where(F.col("n_tokens") > 0)

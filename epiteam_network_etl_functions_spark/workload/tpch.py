@@ -1728,3 +1728,56 @@ def supplier_nation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bc) / 100.0 / n, 6).alias("avg_balance"),
         )
     )
+
+
+@query(
+    "region_revenue_share",
+    oracle=f"""
+    WITH rr AS (
+        SELECT r.r_name,
+               CAST(sum(CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                        * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                        AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    ),
+    tot AS (SELECT CAST(sum(rev) AS DECIMAL(38,0)) AS t FROM rr)
+    SELECT rr.r_name,
+           CAST(rr.rev AS DOUBLE) / 1000000.0 AS revenue,
+           round(CAST(rr.rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+               AS revenue_share
+    FROM rr CROSS JOIN tot
+    """,
+)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each region's share of global discounted revenue — the two-level
+    rollup (group total + grand total) expressed as a 5-row aggregate
+    crossJoined with its own scalar sum, NOT a window over the fact: the
+    share computation touches 5 rows regardless of fact size. Revenue
+    accumulates exactly in DECIMAL(38,0) micro-cents; both the share and
+    the revenue convert to double with one identical division."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(_revenue_col()).cast("decimal(38,0)").alias("rev"))
+    )
+    tot = rr.agg(F.sum("rev").cast("decimal(38,0)").alias("t"))
+    return rr.crossJoin(F.broadcast(tot)).select(
+        "r_name",
+        (F.col("rev").cast("double") / 1000000.0).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
