@@ -321,6 +321,42 @@ def rg_stage(spark, args, tables: dict | None) -> None:
     print("# rg: device_rg.parquet + rg_by_mun.csv", file=sys.stderr)
 
 
+def corpus_stage(spark, args) -> None:
+    """LLM-corpus preparation stage (plans/corpus_pipeline): quality gates
+    -> exact dedup -> fuzzy dedup -> decontamination -> packing -> JSONL
+    shards, plus the per-stage funnel report — the training-data product
+    the engine adds beyond the reference's mobility arc. Documents below
+    --bench-max-id stand in for the benchmark/eval set (the same split
+    convention the certified corpus_funnel query uses)."""
+    from . import catalog
+    from .plans.corpus_pipeline import (
+        CorpusConfig,
+        corpus_funnel,
+        run_corpus_pipeline,
+    )
+
+    docs = catalog.load(spark, args.sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= args.bench_max_id)
+    bench = docs.where(F.col("doc_id") < args.bench_max_id)
+    cfg = CorpusConfig()
+    res = run_corpus_pipeline(
+        corpus,
+        bench,
+        cfg,
+        out_dir=_out(args, "corpus_shards"),
+        shards=args.corpus_shards,
+        materialize=True,
+    )
+    res.packed.write.mode("overwrite").parquet(_out(args, "corpus_packed.parquet"))
+    corpus_funnel(corpus, bench, cfg).toPandas().to_csv(
+        _out(args, "corpus_funnel.csv"), index=False
+    )
+    print(
+        "# corpus: corpus_shards/ + corpus_packed.parquet + corpus_funnel.csv",
+        file=sys.stderr,
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="epiteam-etl-spark",
@@ -348,6 +384,13 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--seir", action="store_true")
     st.add_argument("--rg", action="store_true",
                     help="radius-of-gyration + municipal rollup stage")
+    st.add_argument("--corpus", action="store_true",
+                    help="LLM-corpus preparation stage (gates -> dedup -> "
+                         "decontaminate -> pack -> JSONL shards + funnel)")
+    p.add_argument("--bench-max-id", type=int, default=20,
+                   help="documents below this doc_id form the benchmark "
+                        "set for decontamination")
+    p.add_argument("--corpus-shards", type=int, default=8)
     p.add_argument("--min-accuracy", type=float, default=100.0)
     p.add_argument("--quality-gate", action="store_true",
                    help="enforce stage invariants (operators/quality) "
@@ -382,9 +425,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     if not (args.gen_tables or args.prob_matrix or args.build_network
-            or args.seir or args.rg):
+            or args.seir or args.rg or args.corpus):
         sys.exit("nothing to do: pass at least one of --gen-tables --prob-matrix "
-                 "--build-network --seir --rg")
+                 "--build-network --seir --rg --corpus")
     os.makedirs(args.out, exist_ok=True)
     spark = get_session("epiteam-etl-spark-cli")
     tables = gen_tables(spark, args) if args.gen_tables else None
@@ -396,6 +439,8 @@ def main(argv: list[str] | None = None) -> None:
         seir_sweep(spark, args, nodes, edges)
     if args.rg:
         rg_stage(spark, args, tables)
+    if args.corpus:
+        corpus_stage(spark, args)
     spark.stop()
 
 

@@ -117,3 +117,19 @@ def test_cli_stage_restart_reads_prior_ir(spark, tmp_path):
     cli.rg_stage(spark, args, None)
     with open(os.path.join(out, "rg_by_mun.csv")) as f:
         assert f.readline().strip() == "cve_mun,avg_rg,std_rg,n_devices"
+
+
+def test_cli_corpus_stage(spark, tmp_path):
+    out = str(tmp_path / "corpus_run")
+    os.makedirs(out)
+    args = _args(out, ["--corpus", "--corpus-shards", "2"])
+    cli.corpus_stage(spark, args)
+    # stage IR: gzip JSONL shards, packed bins parquet, funnel CSV
+    shard_dir = os.path.join(out, "corpus_shards")
+    assert spark.read.json(shard_dir).count() > 0
+    packed = spark.read.parquet(os.path.join(out, "corpus_packed.parquet"))
+    assert set(packed.columns) == {"doc_id", "n_tokens", "bin_id"}
+    with open(os.path.join(out, "corpus_funnel.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].split(",")[:2] == ["stage_id", "stage"]
+    assert len(lines) == 6  # header + 5 stages
