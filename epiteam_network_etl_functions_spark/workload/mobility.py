@@ -966,3 +966,75 @@ def colocation_pair_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_buckets"))
         .where(F.col("n_buckets") >= 2)
     )
+
+
+@query(
+    "colocation_assortativity",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    deg AS (
+        SELECT node_id, count(*) AS degree FROM (
+            SELECT a_user_id AS node_id FROM edges
+            UNION ALL
+            SELECT b_user_id FROM edges
+        ) GROUP BY node_id
+    ),
+    dir AS (
+        SELECT da.degree AS dx, db.degree AS dy
+        FROM edges e
+        JOIN deg da ON da.node_id = e.a_user_id
+        JOIN deg db ON db.node_id = e.b_user_id
+        UNION ALL
+        SELECT db.degree, da.degree
+        FROM edges e
+        JOIN deg da ON da.node_id = e.a_user_id
+        JOIN deg db ON db.node_id = e.b_user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+           round(CAST(count(*) * sum(dx * dy) - sum(dx) * sum(dy) AS DOUBLE)
+                 / CAST(count(*) * sum(dx * dx) - sum(dx) * sum(dx) AS DOUBLE),
+                 6) AS assortativity
+    FROM dir
+    """,
+)
+def colocation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-location network (Newman's r): the
+    Pearson correlation of endpoint degrees over the directed double
+    cover of the edge list — positive r means hubs meet hubs (the
+    epidemiologically dangerous regime for the reference's contact
+    networks), negative means hub-leaf mixing. Cross-engine float
+    discipline: r is assembled from the EXACT integer moment sums
+    (n, S_x, S_xy, S_xx — symmetric under the double cover, so the
+    x/y denominators coincide) with one identical double division, never
+    from corr()'s order-dependent streaming accumulation. Plan shape:
+    degree aggregate + two node-keyed joins back to the edge list, then
+    a single 5-accumulator scalar aggregate — every stage combines
+    map-side and the driver sees one row. At 100 TB the moment sums
+    outgrow int64 (bound m * d_max^2) — swap the sums to DECIMAL(38,0)
+    accumulators, same plan."""
+    from ..operators.graphstats import degrees
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    deg = degrees(edges, "a_user_id", "b_user_id")
+    da = deg.select(
+        F.col("node_id").alias("a_user_id"), F.col("degree").alias("dx")
+    )
+    db = deg.select(
+        F.col("node_id").alias("b_user_id"), F.col("degree").alias("dy")
+    )
+    joined = edges.join(da, "a_user_id").join(db, "b_user_id")
+    both = joined.select("dx", "dy").unionAll(
+        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("dx"), F.sum("dy")
+    sxy = F.sum(F.col("dx") * F.col("dy"))
+    sxx = F.sum(F.col("dx") * F.col("dx"))
+    return both.agg(
+        n.cast("bigint").alias("n_endpoints"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )

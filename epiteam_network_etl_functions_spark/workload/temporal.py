@@ -1568,3 +1568,127 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("weekday", "hour_of_day")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "markov_transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 6) AS prob
+    FROM counts
+    """,
+)
+def markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized first-order Markov transition matrix (the
+    behaviour-model form of event_type_transitions): P(next | current) =
+    n / row-total. The normalization is a window over the ALREADY
+    AGGREGATED |types|^2 matrix, not over the fact — the expensive part
+    (per-user lead + transition groupBy) is identical to
+    event_type_transitions, and the extra window touches at most 25
+    rows whatever the corpus size. Counts are exact integers; the one
+    division is the same double op on both engines."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        e.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(wt).cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
+@query(
+    "user_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               )) // 1000000 AS gap_s
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id,
+               count(*) AS n_gaps,
+               CAST(sum(gap_s) AS BIGINT) AS s,
+               CAST(sum(gap_s * gap_s) AS BIGINT) AS q
+        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round((sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+                 / (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE)),
+                 6) AS burstiness
+    FROM sums WHERE n_gaps >= 2 AND s > 0
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of per-user
+    inter-event gaps — the temporal-pattern statistic separating
+    Poisson-like activity (B ~ 0) from bursty sessions (B -> 1) and
+    clockwork pings (B -> -1). Cross-engine float discipline: sigma and
+    mu are NOT computed with stddev()/avg() (engine-order-dependent
+    accumulation); instead the population-variance identity
+    n*sigma^2 = (n*Q - S^2)/n cancels n in the ratio, so
+    B = (sqrt(nQ - S^2) - S) / (sqrt(nQ - S^2) + S) evaluates from the
+    EXACT integer second sums S and Q with one identical sqrt+divide on
+    both engines. One user_id shuffle for the lag window, then the
+    aggregate combines map-side — same shape as inter_event_gaps."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    g = (
+        e.select("user_id", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    sums = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("q"),
+    )
+    disc = (F.col("n_gaps") * F.col("q") - F.col("s") * F.col("s")).cast(
+        "double"
+    )
+    return sums.where((F.col("n_gaps") >= 2) & (F.col("s") > 0)).select(
+        "user_id",
+        "n_gaps",
+        F.round(
+            (F.sqrt(disc) - F.col("s").cast("double"))
+            / (F.sqrt(disc) + F.col("s").cast("double")),
+            6,
+        ).alias("burstiness"),
+    )

@@ -1957,3 +1957,117 @@ def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.alias("n_hapax"),
         F.round(hapax * 1.0 / F.size(toks), 6).alias("hapax_ratio"),
     ).where(F.col("n_tokens") > 0)
+
+
+@query(
+    "cross_source_chunk_leakage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(t[(i * 8 + 1):(i * 8 + 8)], ' ')) AS h
+        FROM toks,
+             unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_chunks
+    FROM chunks a JOIN chunks b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def cross_source_chunk_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate leakage matrix — for every source pair,
+    how many distinct 8-token chunks appear in BOTH (the signal that two
+    crawls/feeds share templates or syndicated text, which whole-document
+    and within-source dedup both miss). Chunking is the same JVM
+    sequence+slice arithmetic as chunk_dup_report; the pair detection is
+    an equi-join on the chunk DIGEST over the distinct (chunk, source)
+    table — hash-partitioned by digest, never a text comparison, and the
+    output key space is |sources|^2. At 100 TB the distinct table is the
+    dedup table the pipeline already maintains; the leakage report is one
+    extra self-join over it."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.where(F.size(toks) > 0)
+    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    cs = (
+        d.select("source", F.explode(chunk_arr).alias("chunk"))
+        .select("source", F.md5(F.col("chunk").cast("binary")).alias("h"))
+        .distinct()
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
+
+
+@query(
+    "packing_fill_report",
+    oracle="""
+    WITH counted AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM counted
+    )
+    SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(CAST(sum(n_tokens) AS BIGINT) / 512.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY CAST((cum - n_tokens) // 512 AS BIGINT)
+    """,
+)
+def packing_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over doc_pack_bins' assignment: per bin,
+    the document count, token load, and fill ratio against the 512-token
+    budget (ratios > 1 mark bins whose last document straddles the
+    boundary — the padding-vs-truncation tradeoff a training pipeline
+    tunes). Same single running-sum window as the packer (global by
+    design; per-shard partitionBy at scale), then a bin_id groupBy that
+    map-side-combines to n_bins rows."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    w = Window.orderBy(F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = d.select("doc_id", n_tokens.alias("n_tokens")).select(
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
+    )

@@ -1781,3 +1781,60 @@ def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.col("t").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "nation_year_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(
+               {_SQL_CENTS.format(c='l_extendedprice')}
+                   * (10000 - {_SQL_BP.format(c='l_discount')})
+               - {_SQL_CENTS.format(c='p_retailprice')}
+                   * {_SQL_CENTS.format(c='l_quantity')} * 100
+           AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by supplier nation and year;
+    reference has no partsupp table, so p_retailprice stands in for
+    ps_supplycost — same plan topology: fact x 3 broadcast dims + the
+    orderkey spine). Q9 is the classic star-join profit rollup; the
+    decorrelation-free shape here is ONE pass over lineitem: the
+    orders join rides the keyed-cache orderkey partitioning
+    (exchange-free, tests/test_keyed_cache.py), part/supplier/nation
+    broadcast, and the (nation, year) groupBy map-side-combines to
+    nations x years rows. Profit accumulates exactly in DECIMAL(38,0)
+    micro-dollar units (cents x basis points), one identical double
+    division at the end — the same cross-engine determinism contract
+    as _revenue_col."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        _cents("l_extendedprice") * (10000 - _bp("l_discount"))
+        - _cents("p_retailprice") * _cents("l_quantity") * 100
+    ).cast("decimal(38,0)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.sum(amount).cast("double") / 1000000.0).alias("profit"),
+        )
+    )

@@ -555,3 +555,66 @@ def vec_component_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_val"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "centroid_pair_distances",
+    oracle="""
+    WITH cent AS (
+        SELECT label, u.pos AS pos,
+               CAST(round(avg(u.val) * 1000000) AS BIGINT) AS cq
+        FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> struct_pack(pos := i,
+                                           val := CAST(embedding[i] AS DOUBLE))))
+                       AS u
+            FROM embeddings
+        )
+        GROUP BY label, u.pos
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(sqrt(CAST(CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT)
+                      AS DOUBLE)) / 1000000.0, 6) AS dist
+    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def centroid_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-centroid Euclidean distance matrix — the cluster-separation
+    diagnostic read off k-means/IVF training (nearly-coincident centroids
+    mean wasted clusters; at serving time it bounds how aggressively IVF
+    can prune probes). Centroids come from the same posexplode->avg plan
+    as label_centroids; each mean is then QUANTIZED to integer micro-units
+    so the pairwise sum-of-squares accumulates EXACTLY (engine-order-free)
+    and only the final sqrt/scale is float — the same cross-engine
+    determinism contract as the cents arithmetic in tpch. The pair join
+    runs on pos over a k x dim table (k^2 x dim intermediate, independent
+    of corpus size) — at 100 TB this is a driver-negligible epilogue to
+    the centroid aggregate, which itself shuffles only k x dim partials."""
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode(as_double(F.col("embedding"))))
+        .select("label", (F.col("pos") + 1).alias("pos"), "col")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("col") * 1000000).cast("bigint").alias("cq"))
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    d2 = (F.col("a.cq") - F.col("b.cq")) * (F.col("a.cq") - F.col("b.cq"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.round(
+                F.sqrt(F.sum(d2).cast("double")) / 1000000.0, 6
+            ).alias("dist")
+        )
+    )
