@@ -136,3 +136,45 @@ def kcore(
             f"rounds ({n_edges} edges still shrinking); raise max_iter"
         )
     return degrees(e, "a", "b"), rounds
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
+) -> DataFrame:
+    """1-row frame (n_endpoints, assortativity): Newman's degree
+    assortativity r over an undirected canonical edge list — the Pearson
+    correlation of endpoint degrees taken over the directed double cover
+    (each edge contributes (dx,dy) and (dy,dx), matching
+    networkx.degree_assortativity_coefficient).
+
+    Cross-engine/cross-run determinism: r is assembled from the exact
+    integer moment sums (n, S_x, S_xy, S_xx; the double cover makes the
+    x/y marginals identical, so one denominator serves both) with a
+    single double division — never from corr()'s order-dependent
+    streaming accumulation. Plan: degree aggregate + two node-keyed
+    joins back to the edges, then one scalar aggregate; every stage
+    combines map-side. At 100 TB the moment sums outgrow int64 (bound
+    m * d_max^2): swap the sum columns to DECIMAL(38,0), same plan."""
+    deg = degrees(edges, a_col, b_col)
+    da = deg.select(
+        F.col("node_id").alias(a_col), F.col("degree").alias("dx")
+    )
+    db = deg.select(
+        F.col("node_id").alias(b_col), F.col("degree").alias("dy")
+    )
+    joined = edges.join(da, a_col).join(db, b_col)
+    both = joined.select("dx", "dy").unionAll(
+        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("dx"), F.sum("dy")
+    sxy = F.sum(F.col("dx") * F.col("dy"))
+    sxx = F.sum(F.col("dx") * F.col("dx"))
+    return both.agg(
+        n.cast("bigint").alias("n_endpoints"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )

@@ -1012,29 +1012,7 @@ def colocation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and the driver sees one row. At 100 TB the moment sums
     outgrow int64 (bound m * d_max^2) — swap the sums to DECIMAL(38,0)
     accumulators, same plan."""
-    from ..operators.graphstats import degrees
+    from ..operators.graphstats import degree_assortativity
 
     edges = _colocation_edge_list(spark, sf_dir)
-    deg = degrees(edges, "a_user_id", "b_user_id")
-    da = deg.select(
-        F.col("node_id").alias("a_user_id"), F.col("degree").alias("dx")
-    )
-    db = deg.select(
-        F.col("node_id").alias("b_user_id"), F.col("degree").alias("dy")
-    )
-    joined = edges.join(da, "a_user_id").join(db, "b_user_id")
-    both = joined.select("dx", "dy").unionAll(
-        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
-    n = F.count(F.lit(1))
-    sx, sy = F.sum("dx"), F.sum("dy")
-    sxy = F.sum(F.col("dx") * F.col("dy"))
-    sxx = F.sum(F.col("dx") * F.col("dx"))
-    return both.agg(
-        n.cast("bigint").alias("n_endpoints"),
-        F.round(
-            (n * sxy - sx * sy).cast("double")
-            / (n * sxx - sx * sx).cast("double"),
-            6,
-        ).alias("assortativity"),
-    )
+    return degree_assortativity(edges, "a_user_id", "b_user_id")

@@ -160,3 +160,29 @@ def test_iterative_kernels_handle_empty_graphs(spark):
     assert label_propagation(empty).count() == 0
     core, rounds = kcore(empty, k=2)
     assert core.count() == 0 and rounds == 0
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """Star K_{1,3}: every edge joins the hub (deg 3) to a leaf (deg 1) —
+    perfectly disassortative, r = -1 (networkx agrees)."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        degree_assortativity,
+    )
+
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_endpoints"] == 6
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_path_p4(spark):
+    """Path 1-2-3-4: exact moment sums give r = -0.5 (the
+    networkx.degree_assortativity_coefficient value for P4)."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        degree_assortativity,
+    )
+
+    p4 = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    row = degree_assortativity(p4).collect()[0]
+    assert row["n_endpoints"] == 6
+    assert row["assortativity"] == -0.5
