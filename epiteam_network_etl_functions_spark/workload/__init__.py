@@ -212,6 +212,7 @@ DEFERRED: tuple[str, ...] = (
     "packing_fill_report",
     "centroid_pair_distances",
     "colocation_assortativity",
+    "returnflag_priority_counts",
 )
 
 

@@ -1838,3 +1838,44 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(amount).cast("double") / 1000000.0).alias("profit"),
         )
     )
+
+
+@query(
+    "returnflag_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (this schema has no l_shipmode/receiptdate, so
+    l_returnflag categorizes and l_shipdate bounds the year) — the
+    conditional-aggregation pattern: one fact join, then CASE-based
+    split counts per category, the SQL idiom for pivoting a binary
+    attribute without a second pass. With Q12 in place every one of the
+    22 TPC-H query shapes has an adapted, oracle-certified counterpart
+    here. The orderkey join rides the keyed-cache partitioning
+    (exchange-free); the year filter pushes to the scan; the groupBy
+    map-side-combines to |returnflags| rows. Counts are exact integers
+    on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
