@@ -148,33 +148,36 @@ def degree_assortativity(
     networkx.degree_assortativity_coefficient).
 
     Cross-engine/cross-run determinism: r is assembled from the exact
-    integer moment sums (n, S_x, S_xy, S_xx; the double cover makes the
-    x/y marginals identical, so one denominator serves both) with a
-    single double division — never from corr()'s order-dependent
-    streaming accumulation. Plan: degree aggregate + two node-keyed
-    joins back to the edges, then one scalar aggregate; every stage
-    combines map-side. At 100 TB the moment sums outgrow int64 (bound
-    m * d_max^2): swap the sum columns to DECIMAL(38,0), same plan."""
-    deg = degrees(edges, a_col, b_col)
-    da = deg.select(
-        F.col("node_id").alias(a_col), F.col("degree").alias("dx")
+    integer moment sums with a single double division — never from
+    corr()'s order-dependent streaming accumulation. The double cover is
+    never materialized: over the SINGLE orientation (m rows) the cover's
+    moments are n = 2m, S_x = S_y = sum(dx+dy), S_xy = 2*sum(dx*dy),
+    S_xx = S_yy = sum(dx^2+dy^2), so one pass suffices and the x/y
+    denominators coincide. The edge list feeds three consumers (both
+    endpoint roles of the degree count + the pair join), so it is
+    materialized once with localCheckpoint (the kcore idiom) rather than
+    re-evaluating a possibly-expensive upstream subtree per consumer.
+    Plan: degree aggregate + two node-keyed joins back to the edges,
+    then one scalar aggregate; every stage combines map-side. At 100 TB
+    the moment sums outgrow int64 (bound m * d_max^2): swap the sum
+    columns to DECIMAL(38,0), same plan."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    e = e.localCheckpoint(eager=True)
+    deg = degrees(e, "a", "b")
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("dy"))
+    joined = e.join(da, "a").join(db, "b")
+    m = F.count(F.lit(1))
+    s1 = F.sum(F.col("dx") + F.col("dy"))
+    sp = F.sum(F.col("dx") * F.col("dy"))
+    s2 = F.sum(
+        F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
     )
-    db = deg.select(
-        F.col("node_id").alias(b_col), F.col("degree").alias("dy")
-    )
-    joined = edges.join(da, a_col).join(db, b_col)
-    both = joined.select("dx", "dy").unionAll(
-        joined.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
-    n = F.count(F.lit(1))
-    sx, sy = F.sum("dx"), F.sum("dy")
-    sxy = F.sum(F.col("dx") * F.col("dy"))
-    sxx = F.sum(F.col("dx") * F.col("dx"))
-    return both.agg(
-        n.cast("bigint").alias("n_endpoints"),
+    return joined.agg(
+        (m * 2).cast("bigint").alias("n_endpoints"),
         F.round(
-            (n * sxy - sx * sy).cast("double")
-            / (n * sxx - sx * sx).cast("double"),
+            ((m * 2) * (sp * 2) - s1 * s1).cast("double")
+            / ((m * 2) * s2 - s1 * s1).cast("double"),
             6,
         ).alias("assortativity"),
     )
