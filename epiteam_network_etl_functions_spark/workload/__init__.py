@@ -213,6 +213,7 @@ DEFERRED: tuple[str, ...] = (
     "centroid_pair_distances",
     "colocation_assortativity",
     "returnflag_priority_counts",
+    "per_source_doc_sample",
 )
 
 

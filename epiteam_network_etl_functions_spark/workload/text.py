@@ -2071,3 +2071,44 @@ def packing_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
         F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
     )
+
+
+@query(
+    "per_source_doc_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sample — exactly 3 documents per source,
+    chosen by md5(doc_id) order (a seedless, engine-portable shuffle):
+    the 'pull N examples from every stratum for inspection' op that a
+    rand()-based sample can't certify cross-engine. One window shuffle
+    keyed by source; rank<=3 prunes inside the window operator, so the
+    output is |sources| x 3 however large the corpus. Mega-stratum skew
+    at 100 TB: the hash order means any per-partition top-3 pre-prune
+    (groupBy source + min_by struct top-k) yields the identical rows if
+    a single source ever overwhelms one window partition."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
