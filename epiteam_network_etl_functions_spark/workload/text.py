@@ -587,6 +587,23 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_chunks(d: DataFrame) -> DataFrame:
+    """(doc_id, source, chunk): tumbling 8-token chunks per document,
+    pure JVM array arithmetic (sequence + slice + explode — no UDF).
+    Empty/whitespace-only docs are gated out: they would make
+    F.sequence(0, -1) DESCEND and emit two phantom empty chunks the
+    oracles (range(0,0) = no rows) never see. Shared by
+    chunk_dup_report and cross_source_chunk_leakage."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = d.where(F.size(toks) > 0)
+    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    return d.select("doc_id", "source", F.explode(chunk_arr).alias("chunk"))
+
+
 @query(
     "chunk_dup_report",
     oracle="""
@@ -616,20 +633,7 @@ def chunk_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode — no UDF), then one md5-digest groupBy; the same linear
     one-shuffle shape as exact_dedup_groups, just on ~L/8 times more,
     smaller keys."""
-    d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    # empty/whitespace-only docs would make F.sequence(0, -1) DESCEND,
-    # emitting two phantom empty chunks the oracle (range(0,0) = no rows)
-    # never sees — gate them out before chunking
-    d = d.where(F.size(toks) > 0)
-    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
-    )
-    chunks = d.select(
-        "doc_id", F.explode(chunk_arr).alias("chunk")
-    )
+    chunks = _doc_chunks(_docs(spark, sf_dir))
     return (
         chunks.groupBy(F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"))
         .agg(
@@ -1990,16 +1994,8 @@ def cross_source_chunk_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     output key space is |sources|^2. At 100 TB the distinct table is the
     dedup table the pipeline already maintains; the leakage report is one
     extra self-join over it."""
-    d = _docs(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = d.where(F.size(toks) > 0)
-    n_chunks = F.ceil(F.size(toks) / 8.0).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
-    )
     cs = (
-        d.select("source", F.explode(chunk_arr).alias("chunk"))
+        _doc_chunks(_docs(spark, sf_dir))
         .select("source", F.md5(F.col("chunk").cast("binary")).alias("h"))
         .distinct()
     )
@@ -2050,22 +2046,9 @@ def packing_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — the padding-vs-truncation tradeoff a training pipeline
     tunes). Same single running-sum window as the packer (global by
     design; per-shard partitionBy at scale), then a bin_id groupBy that
-    map-side-combines to n_bins rows."""
-    from pyspark.sql import Window
-
-    d = _docs(spark, sf_dir)
-    n_tokens = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    )
-    w = Window.orderBy(F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = d.select("doc_id", n_tokens.alias("n_tokens")).select(
-        "n_tokens",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
-        .cast("bigint")
-        .alias("bin_id"),
-    )
+    map-side-combines to n_bins rows. Reuses doc_pack_bins — the
+    certified packer IS the report's input plan."""
+    packed = doc_pack_bins(spark, sf_dir)
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
