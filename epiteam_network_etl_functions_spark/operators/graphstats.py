@@ -158,26 +158,38 @@ def degree_assortativity(
     materialized once with localCheckpoint (the kcore idiom) rather than
     re-evaluating a possibly-expensive upstream subtree per consumer.
     Plan: degree aggregate + two node-keyed joins back to the edges,
-    then one scalar aggregate; every stage combines map-side. At 100 TB
-    the moment sums outgrow int64 (bound m * d_max^2): swap the sum
-    columns to DECIMAL(38,0), same plan."""
+    then one scalar aggregate; every stage combines map-side.
+
+    Overflow: the SUMS fit int64 far past bench scale, but the final
+    expression multiplies sums by sums (s1*s1 ~ (2m*avg_deg)^2 passes
+    int64's 9.2e18 already at ~2e7 edges — measured at the 10x tier:
+    s1^2 = 1.4e22, where silent int64 wrap would flip r's sign while
+    the DuckDB oracle computes exactly in HUGEINT). The products are
+    therefore formed in DECIMAL(38,0): exact up to ~1e38, i.e. any
+    graph with sum(deg^2) < 1e19 — beyond any realizable edge list —
+    and the decimal->double conversion at the end rounds identically
+    to DuckDB's hugeint->double."""
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     e = e.localCheckpoint(eager=True)
     deg = degrees(e, "a", "b")
     da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("dx"))
     db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("dy"))
     joined = e.join(da, "a").join(db, "b")
+    dec = "decimal(38,0)"
     m = F.count(F.lit(1))
-    s1 = F.sum(F.col("dx") + F.col("dy"))
-    sp = F.sum(F.col("dx") * F.col("dy"))
+    n = (m * 2).cast(dec)
+    # per-row terms fit int64 trivially (degrees are device counts); the
+    # ACCUMULATORS are decimal so even the sums can pass int64 safely
+    s1 = F.sum((F.col("dx") + F.col("dy")).cast(dec))
+    sp = F.sum((F.col("dx") * F.col("dy")).cast(dec))
     s2 = F.sum(
-        F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+        (F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast(dec)
     )
     return joined.agg(
         (m * 2).cast("bigint").alias("n_endpoints"),
         F.round(
-            ((m * 2) * (sp * 2) - s1 * s1).cast("double")
-            / ((m * 2) * s2 - s1 * s1).cast("double"),
+            (n * (sp * 2) - s1 * s1).cast("double")
+            / (n * s2 - s1 * s1).cast("double"),
             6,
         ).alias("assortativity"),
     )

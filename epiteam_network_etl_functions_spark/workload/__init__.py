@@ -236,7 +236,9 @@ def load_all() -> None:
         # a typo'd/renamed DEMOTED/DEFERRED entry would otherwise silently
         # leave a proxy in the driver-certified 50-prefix and push a product
         # stage out
-        raise RuntimeError(f"DEMOTED names not in REGISTRY: {sorted(unknown)}")
+        raise RuntimeError(
+            f"DEMOTED/DEFERRED names not in REGISTRY: {sorted(unknown)}"
+        )
     tail = set(DEMOTED) | set(DEFERRED)
     ordered = [n for n in REGISTRY if n not in tail]
     ordered += [n for n in DEFERRED if n in REGISTRY]

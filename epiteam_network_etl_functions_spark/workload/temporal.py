@@ -1600,20 +1600,12 @@ def markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-user lead + transition groupBy) is identical to
     event_type_transitions, and the extra window touches at most 25
     rows whatever the corpus size. Counts are exact integers; the one
-    division is the same double op on both engines."""
+    division is the same double op on both engines. The counts subplan
+    IS event_type_transitions (called, not re-spelled, so a fix to the
+    certified transition counts can never diverge from this matrix)."""
     from pyspark.sql import Window
 
-    e = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    counts = (
-        e.select(
-            "event_type",
-            F.lead("event_type").over(w).alias("next_type"),
-        )
-        .where(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = event_type_transitions(spark, sf_dir)
     wt = Window.partitionBy("event_type")
     return counts.select(
         "event_type",

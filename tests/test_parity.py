@@ -108,11 +108,20 @@ def test_driver_prefix_is_exactly_the_uncertified_set():
 
     workload.load_all()
     names = list(workload.REGISTRY)
-    non_demoted = [n for n in names if n not in workload.DEMOTED]
-    assert len(non_demoted) <= 50, (
-        f"{len(non_demoted)} non-demoted queries exceed the 50-slot driver "
-        "prefix — demote certified proxies before adding more"
+    fresh = [
+        n
+        for n in names
+        if n not in workload.DEMOTED and n not in workload.DEFERRED
+    ]
+    assert len(fresh) <= 50, (
+        f"{len(fresh)} uncertified non-deferred queries exceed the 50-slot "
+        "driver prefix — demote certified proxies (or defer late additions) "
+        "before adding more"
     )
-    assert names[: len(non_demoted)] == non_demoted
-    missing = [n for n in non_demoted if n not in workload.ORACLES]
-    assert not missing, f"prefix queries without oracles: {missing}"
+    assert names[: len(fresh)] == fresh
+    # the DEFERRED tier sits immediately after the prefix, before the
+    # certified tail, so it inherits the freed slots at the next rotation
+    deferred = [n for n in workload.DEFERRED if n in workload.REGISTRY]
+    assert names[len(fresh) : len(fresh) + len(deferred)] == deferred
+    missing = [n for n in fresh + deferred if n not in workload.ORACLES]
+    assert not missing, f"prefix/deferred queries without oracles: {missing}"
