@@ -1630,13 +1630,15 @@ def markov_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     sums AS (
+        -- s and q stay HUGEINT here so the n*q - s^2 products below are
+        -- exact at any history length (they are never projected raw)
         SELECT user_id,
                count(*) AS n_gaps,
-               CAST(sum(gap_s) AS BIGINT) AS s,
-               CAST(sum(gap_s * gap_s) AS BIGINT) AS q
+               sum(gap_s) AS s,
+               sum(gap_s * gap_s) AS q
         FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
     )
-    SELECT user_id, n_gaps,
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
            round((sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
                  / (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE)),
                  6) AS burstiness
@@ -1667,14 +1669,18 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gap_us").isNotNull())
         .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
     )
+    # decimal accumulators: n*Q and S^2 pass int64 for decade-long
+    # per-user histories (same products-of-sums frontier as
+    # degree_assortativity); the oracle's HUGEINT sums are the mirror
+    dec = "decimal(38,0)"
     sums = g.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum("gap_s").alias("s"),
-        F.sum(F.col("gap_s") * F.col("gap_s")).alias("q"),
+        F.sum(F.col("gap_s").cast(dec)).alias("s"),
+        F.sum((F.col("gap_s") * F.col("gap_s")).cast(dec)).alias("q"),
     )
-    disc = (F.col("n_gaps") * F.col("q") - F.col("s") * F.col("s")).cast(
-        "double"
-    )
+    disc = (
+        F.col("n_gaps").cast(dec) * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
     return sums.where((F.col("n_gaps") >= 2) & (F.col("s") > 0)).select(
         "user_id",
         "n_gaps",
