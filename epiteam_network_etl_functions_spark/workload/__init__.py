@@ -214,6 +214,7 @@ DEFERRED: tuple[str, ...] = (
     "colocation_assortativity",
     "returnflag_priority_counts",
     "per_source_doc_sample",
+    "value_autocorr_lag1",
 )
 
 

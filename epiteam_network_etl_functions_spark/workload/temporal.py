@@ -1690,3 +1690,79 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burstiness"),
     )
+
+
+@query(
+    "value_autocorr_lag1",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               lead(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS y
+        FROM events
+    ),
+    sums AS (
+        -- HUGEINT sums; only the rounded double and the count project
+        SELECT user_id, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS autocorr
+    FROM sums
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values — the
+    trending-vs-mean-reverting signal on a user's value stream (near +1:
+    values drift in runs; near 0: independent; negative: alternating).
+    The cross-product generalization of the moment-sum discipline
+    (DETERMINISM.md): Pearson r over consecutive (x, y=next x) cent
+    pairs is assembled from exact integer sums — here the x/y marginals
+    genuinely differ (y drops each user's first value, x the last), so
+    both variance legs are computed, each under its own sqrt, spelled
+    identically in both engines. Accumulators are DECIMAL(38,0)
+    (products-of-sums frontier); the variance>0 gates are exact integer
+    comparisons so no engine can disagree about which users appear.
+    One user_id window shuffle, then a map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.select("user_id", vc.alias("x"), F.lead(vc).over(w).alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    sums = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.where((F.col("n") >= 2) & (varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ).alias("autocorr"),
+        )
+    )
