@@ -215,6 +215,15 @@ DEFERRED: tuple[str, ...] = (
     "returnflag_priority_counts",
     "per_source_doc_sample",
     "value_autocorr_lag1",
+    # -- round-7 continuation tail (registered after the second prefix
+    # snapshot; float into the round-8 prefix with the rest) --
+    "minhash_jaccard_calibration",
+    "shingle_containment_pairs",
+    "posting_list_heads",
+    "bigram_surprisal",
+    "semantic_bucket_dups",
+    "common_neighbor_links",
+    "part_basket_pairs",
 )
 
 

@@ -1016,3 +1016,73 @@ def colocation_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _colocation_edge_list(spark, sf_dir)
     return degree_assortativity(edges, "a_user_id", "b_user_id")
+
+
+CN_LINK_K = 20
+
+
+@query(
+    "common_neighbor_links",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u, b_user_id AS v FROM edges
+        UNION ALL
+        SELECT b_user_id, a_user_id FROM edges
+    ),
+    wedge AS (
+        SELECT a.v AS u, b.v AS w, count(*) AS n_common
+        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        GROUP BY a.v, b.v
+    )
+    SELECT u AS a_user_id, w AS b_user_id, n_common
+    FROM wedge x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.a_user_id = x.u AND e.b_user_id = x.w
+    )
+    ORDER BY n_common DESC, a_user_id ASC, b_user_id ASC
+    LIMIT {CN_LINK_K}
+    """,
+)
+def common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-location network: the top-{CN_LINK_K}
+    NON-adjacent device pairs ranked by common-neighbor count — the
+    'probable missed contact' query an epidemic-contact platform runs to
+    flag likely under-observed edges (and the simplest member of the
+    common-neighbors / Adamic-Adar family; counts are exact integers so
+    the differential has no log hazard). Plan: the same ordered wedge
+    join the triangle counter uses (center-node equi-join over the
+    symmetrized adjacency, sum deg^2 intermediate — degree-cap the hub
+    tail at 100 TB exactly as graphstats.triangle_count documents), one
+    pair aggregate, a left_anti join against the edge list to drop
+    existing edges, then a k-bounded TakeOrderedAndProject."""
+    edges = _colocation_edge_list(spark, sf_dir)
+    adj = edges.select(
+        F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
+    ).unionAll(
+        edges.select(
+            F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
+        )
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .groupBy(
+            F.col("a.v").alias("a_user_id"), F.col("b.v").alias("b_user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        wedges.join(edges, ["a_user_id", "b_user_id"], "left_anti")
+        .orderBy(
+            F.col("n_common").desc(),
+            F.col("a_user_id").asc(),
+            F.col("b_user_id").asc(),
+        )
+        .limit(CN_LINK_K)
+    )

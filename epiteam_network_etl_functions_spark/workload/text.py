@@ -2095,3 +2095,307 @@ def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+# ---- round-7 tail 2: sketch calibration, containment, index, LM ------------
+
+
+@query(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH {_MINHASH_PIPELINE},
+    na AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id,
+               ({" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))})
+                   / {N_HASHES}.0 AS e
+        FROM cands c
+        JOIN sigs sa ON sa.doc_id = c.a_id
+        JOIN sigs sb ON sb.doc_id = c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(e.e, 6) AS est_jaccard,
+           round(i.i * 1.0 / (a.n + b.n - i.i), 6) AS exact_jaccard,
+           round(abs(round(e.e, 6)
+                     - round(i.i * 1.0 / (a.n + b.n - i.i), 6)), 6) AS abs_err
+    FROM inter i
+    JOIN na a ON a.doc_id = i.a_id
+    JOIN na b ON b.doc_id = i.b_id
+    JOIN est e ON e.a_id = i.a_id AND e.b_id = i.b_id
+    """,
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the MinHash
+    ESTIMATE of Jaccard (matching signature components / 16 — an exact
+    binary fraction, so no float hazard) against the EXACT shingle Jaccard,
+    with the absolute error. This is the measurement that justifies the
+    sketch parameters (16 hashes, 4x4 bands) before a 100 TB run commits
+    to them: systematic error here means re-sizing the signature, not
+    debugging dedup output. Both sides are candidate-bounded joins (LSH
+    keeps it non-quadratic); the signature comparison is 16 integer
+    equality tests per pair. Zero-intersection band-collision pairs are
+    excluded on both engines (inner intersection join)."""
+    from ..operators.dedup import jaccard_verify
+
+    sh = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
+    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    cands = lsh_candidate_pairs(bands, "doc_id").cache()
+    exact = jaccard_verify(cands, sh, "doc_id", threshold=0.0).where(
+        F.col("jaccard") > 0
+    )
+    matches = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        cands.join(sigs.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(matches / float(N_HASHES), 6).alias("est_jaccard"),
+        )
+    )
+    out = exact.join(est, ["a_id", "b_id"]).select(
+        "a_id",
+        "b_id",
+        "est_jaccard",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+    sh.unpersist()
+    cands.unpersist()
+    return out
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH {_MINHASH_PIPELINE},
+    na AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id,
+           round(i.i * 1.0 / least(a.n, b.n), 6) AS containment
+    FROM inter i
+    JOIN na a ON a.doc_id = i.a_id
+    JOIN na b ON b.doc_id = i.b_id
+    WHERE round(i.i * 1.0 / least(a.n, b.n), 6) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment = |A∩B| / min(|A|,|B|)
+    over distinct 3-gram shingle sets, at 0.5 — catches a short document
+    embedded inside a long one (quotes, concatenated crawls, boilerplate
+    wrappers), which symmetric Jaccard dilutes below any usable threshold.
+    Candidates come from the same LSH banding as near_dup_pairs, the
+    shingle sets gather once per candidate doc (array_intersect per pair),
+    and the score is a ratio of exact integers — same scale shape as
+    jaccard_verify, different decision rule."""
+    sh = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
+    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    cands = lsh_candidate_pairs(bands, "doc_id").cache()
+    cand_ids = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .union(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    cont = F.round(
+        inter.cast("double") / F.least(F.size("__sa"), F.size("__sb")), 6
+    )
+    out = (
+        cands.join(sa.hint("shuffle_hash"), "a_id")
+        .join(sb.hint("shuffle_hash"), "b_id")
+        .select("a_id", "b_id", cont.alias("containment"))
+        .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    sh.unpersist()
+    cands.unpersist()
+    return out
+
+
+POSTING_MIN_DF = 3
+POSTING_HEAD_K = 40
+POSTINGS_PER_TERM = 8
+
+
+@query(
+    "posting_list_heads",
+    oracle=f"""
+    WITH td AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ),
+    pl AS (
+        SELECT term,
+               count(*) AS df,
+               array_to_string(
+                   list_transform(list_sort(list(doc_id))[1:{POSTINGS_PER_TERM}],
+                                  x -> CAST(x AS VARCHAR)), ',') AS postings
+        FROM td GROUP BY term
+    )
+    SELECT term, df, postings
+    FROM pl WHERE df >= {POSTING_MIN_DF}
+    ORDER BY df DESC, term ASC LIMIT {POSTING_HEAD_K}
+    """,
+)
+def posting_list_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the retrieval-side primitive of a
+    corpus platform): term -> document frequency + the first
+    {POSTINGS_PER_TERM} postings in doc_id order, for the
+    {POSTING_HEAD_K} highest-df terms. One distinct (doc, term) pass,
+    one term-keyed aggregate (collect_set is bounded per term here by the
+    slice; a full-index build at 100 TB shards postings by (term,
+    doc_id_range) instead of materializing unbounded lists — documented
+    swap), then a k-bounded TakeOrderedAndProject. CSV-string postings
+    keep the differential hash engine-neutral."""
+    d = _docs(spark, sf_dir)
+    td = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        ).alias("term"),
+    ).distinct()
+    pl = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_PER_TERM),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return (
+        pl.where(F.col("df") >= POSTING_MIN_DF)
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(POSTING_HEAD_K)
+    )
+
+
+@query(
+    "bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        FROM toks WHERE len(t) >= 2
+    ),
+    occ AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+    vocab AS (
+        SELECT count(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks
+        )
+    ),
+    scored AS (
+        SELECT o.doc_id,
+               CAST(round(ln((c1.c1 + vocab.v) * 1.0 / (c2.c2 + 1)) * 1e9)
+                    AS BIGINT) AS nano
+        FROM occ o
+        JOIN c2 ON c2.w1 = o.w1 AND c2.w2 = o.w2
+        JOIN c1 ON c1.w1 = o.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(sum(nano) / (count(*) * 1e9), 6) AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality signal: per-document mean SURPRISAL
+    under an add-one-smoothed bigram language model fitted on the corpus
+    itself — low surprisal marks templated/repetitive text, high marks
+    rare-vocabulary or shuffled content; mixture builders gate on both
+    tails. p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V); surprisal = ln of the
+    reciprocal, which is >= 0 (c1 >= c2, V >= 1), so both engines round
+    identically. Determinism: each term quantizes to integer nanos BEFORE
+    the per-doc sum (quantize-then-accumulate, DETERMINISM.md) so the
+    aggregation order can't perturb the float total; the single ln sits on
+    a correctly-rounded integer ratio and the 1e-9 quantum swallows its
+    <=1-ulp cross-engine spread. Plan shape: one bigram explode, two
+    model aggregates (bigram- and unigram-keyed, map-side combined), the
+    vocab size folded in as a scalar-agg cross join (never an eager
+    count()), then shuffle joins occurrences->model on the bigram key —
+    model tables are corpus-vocabulary-sized, so they shuffle rather than
+    broadcast at 100 TB. Docs under 2 tokens have no bigrams and drop on
+    both engines."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nano = F.round(
+        F.log((F.col("c1") + F.col("v")) / (F.col("c2") + F.lit(1))) * 1e9
+    ).cast("long")
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nano.alias("nano"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nano") / (F.count(F.lit(1)) * 1e9), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+    )

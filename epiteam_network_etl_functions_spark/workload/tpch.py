@@ -1879,3 +1879,62 @@ def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+BASKET_MIN_ORDERS = 2
+BASKET_TOP_K = 30
+
+
+@query(
+    "part_basket_pairs",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= {BASKET_MIN_ORDERS}
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top part PAIRS by number of
+    distinct orders containing both — the support-counting kernel of
+    frequent-itemset mining (the recommender/affinity report every retail
+    warehouse runs on its order fact). Plan: distinct (order, part) once,
+    then a WITHIN-ORDER self-join — the pair explosion is bounded by
+    C(order_size, 2) (TPC-H orders hold <= 7 lines, so ~21 pairs/order:
+    linear in the fact, never parts-squared), a pair-keyed count that
+    map-side-combines, a support gate, and a k-bounded
+    TakeOrderedAndProject. At 100 TB the same plan holds because the join
+    key is the order key — co-partitioned with the keyed cache/bucketing
+    layout — and a pathological mega-order is capped by a per-order line
+    limit before the pair join."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= BASKET_MIN_ORDERS)
+        .orderBy(
+            F.col("n_orders").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(BASKET_TOP_K)
+    )

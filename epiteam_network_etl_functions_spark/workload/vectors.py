@@ -618,3 +618,57 @@ def centroid_pair_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+
+
+SEMDEDUP_COS = 0.3
+
+
+@query(
+    "semantic_bucket_dups",
+    oracle=f"""
+    WITH bk AS (
+        SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+           round({_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_NORM.format(a='a.embedding', b='a.embedding')}
+                    * {_NORM.format(a='b.embedding', b='b.embedding')}), 6)
+               AS cosine
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.embedding', b='b.embedding')}
+                / ({_NORM.format(a='a.embedding', b='a.embedding')}
+                   * {_NORM.format(a='b.embedding', b='b.embedding')}), 6)
+          >= {SEMDEDUP_COS}
+    """,
+)
+def semantic_bucket_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pass: exact cosine >= 0.3 computed
+    ONLY within random-projection LSH buckets (the 8 seeded sign-bit
+    planes of rp_lsh_vec_buckets). This is the embedding-space scale play:
+    the bucket key bounds candidate volume to sum of bucket sizes squared
+    — no all-pairs join — and at 100 TB the bucket is the partition key
+    (embedding_near_dups' label blocking needs labels; this needs only the
+    vectors). Same fold-ordered dot/norm arithmetic as knn_bruteforce, so
+    scores differentially match the oracle's identical plane literals."""
+    from ..operators.similarity import cosine, rp_bucket_col
+
+    e = _emb(spark, sf_dir)
+    d = e.select(
+        "vec_id",
+        rp_bucket_col(F.col("embedding"), RP_PLANES).alias("bucket"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    a = d.select(
+        F.col("vec_id").alias("a_id"), "bucket", F.col("v").alias("va")
+    )
+    b = d.select(
+        F.col("vec_id").alias("b_id"), "bucket", F.col("v").alias("vb")
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "bucket", cos.alias("cosine"))
+        .where(F.col("cosine") >= SEMDEDUP_COS)
+    )

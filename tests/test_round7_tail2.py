@@ -1,0 +1,168 @@
+"""Invariant tests for the round-7 continuation queries (the differential
+oracle parity for each lives in test_parity.py; these pin the semantic
+claims the oracles can't express directly): sketch-calibration bounds,
+containment >= Jaccard dominance, posting-list ordering, surprisal
+non-negativity + bigram conservation, bucket agreement for semantic dups,
+non-adjacency of predicted links, and basket support recomputation."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from epiteam_network_etl_functions_spark.workload.mobility import (
+    common_neighbor_links,
+    _colocation_edge_list,
+)
+from epiteam_network_etl_functions_spark.workload.text import (
+    N_HASHES,
+    bigram_surprisal,
+    minhash_jaccard_calibration,
+    posting_list_heads,
+    shingle_containment_pairs,
+    POSTING_MIN_DF,
+    POSTING_HEAD_K,
+    POSTINGS_PER_TERM,
+)
+from epiteam_network_etl_functions_spark.workload.tpch import (
+    BASKET_MIN_ORDERS,
+    part_basket_pairs,
+)
+from epiteam_network_etl_functions_spark.workload.vectors import (
+    RP_PLANES,
+    SEMDEDUP_COS,
+    semantic_bucket_dups,
+)
+from tests.conftest import PARITY_SF_DIR
+
+
+def test_calibration_bounds_and_error_identity(spark):
+    rows = minhash_jaccard_calibration(spark, PARITY_SF_DIR).collect()
+    assert rows, "calibration must be non-degenerate at sf0.001"
+    for r in rows:
+        assert r.a_id < r.b_id
+        # the estimate is k/16 for integer k
+        k = r.est_jaccard * N_HASHES
+        assert abs(k - round(k)) < 1e-6
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 < r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)) < 1e-9
+
+
+def test_containment_dominates_jaccard(spark):
+    """containment = i/min(na,nb) >= i/(na+nb-i) = jaccard for every pair,
+    so every exact-Jaccard near-dup pair at >= 0.5 must also appear in the
+    containment output."""
+    cont = {
+        (r.a_id, r.b_id): r.containment
+        for r in shingle_containment_pairs(spark, PARITY_SF_DIR).collect()
+    }
+    assert cont, "containment must be non-degenerate at sf0.001"
+    cal = minhash_jaccard_calibration(spark, PARITY_SF_DIR).collect()
+    for r in cal:
+        if (r.a_id, r.b_id) in cont:
+            assert cont[(r.a_id, r.b_id)] >= r.exact_jaccard - 1e-9
+        else:
+            # pairs absent from containment output were below its threshold
+            assert r.exact_jaccard < 0.5 + 1e-9
+
+
+def test_posting_list_shape(spark):
+    rows = posting_list_heads(spark, PARITY_SF_DIR).collect()
+    assert 0 < len(rows) <= POSTING_HEAD_K
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert r.df >= POSTING_MIN_DF
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, POSTINGS_PER_TERM)
+
+
+def test_bigram_surprisal_conservation(spark):
+    """n_bigrams must equal token_count - 1 per doc, and the mean add-one
+    surprisal is non-negative by construction (c1 >= c2, V >= 1)."""
+    out = {r.doc_id: r for r in bigram_surprisal(spark, PARITY_SF_DIR).collect()}
+    docs = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("n_tok"),
+        )
+        .collect()
+    )
+    for d in docs:
+        if d.n_tok >= 2:
+            assert out[d.doc_id].n_bigrams == d.n_tok - 1
+            assert out[d.doc_id].mean_surprisal >= 0.0
+        else:
+            assert d.doc_id not in out
+
+
+def test_semantic_bucket_dups_share_bucket(spark):
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        rp_bucket_col,
+    )
+
+    pairs = semantic_bucket_dups(spark, PARITY_SF_DIR).collect()
+    assert pairs, "semantic dups must be non-degenerate at sf0.001"
+    buckets = {
+        r.vec_id: r.bucket
+        for r in spark.read.parquet(f"{PARITY_SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id", rp_bucket_col(F.col("embedding"), RP_PLANES).alias("bucket")
+        )
+        .collect()
+    }
+    for p in pairs:
+        assert p.a_id < p.b_id
+        assert p.cosine >= SEMDEDUP_COS - 1e-9
+        assert buckets[p.a_id] == buckets[p.b_id] == p.bucket
+
+
+def test_common_neighbor_links_are_non_edges(spark):
+    links = common_neighbor_links(spark, PARITY_SF_DIR).collect()
+    assert links, "link prediction must be non-degenerate at sf0.001"
+    edges = {
+        (r.a_user_id, r.b_user_id)
+        for r in _colocation_edge_list(spark, PARITY_SF_DIR).collect()
+    }
+    counts = [r.n_common for r in links]
+    assert counts == sorted(counts, reverse=True)
+    for r in links:
+        assert r.a_user_id < r.b_user_id
+        assert (r.a_user_id, r.b_user_id) not in edges
+        assert r.n_common >= 1
+
+
+def test_basket_pairs_match_direct_recount(spark):
+    got = {
+        (r.part_a, r.part_b): r.n_orders
+        for r in part_basket_pairs(spark, PARITY_SF_DIR).collect()
+    }
+    assert got, "basket pairs must be non-degenerate at sf0.001"
+    li = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set[int]] = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    support: Counter = Counter()
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    for pair, n in got.items():
+        assert support[pair] == n
+        assert n >= BASKET_MIN_ORDERS
+    # the query returns the true top pairs: nothing outside the result may
+    # strictly beat anything inside it
+    floor = min(got.values())
+    better = [p for p, n in support.items() if n > floor]
+    assert all(p in got for p in better)
