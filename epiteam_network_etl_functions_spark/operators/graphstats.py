@@ -138,6 +138,92 @@ def kcore(
     return degrees(e, "a", "b"), rounds
 
 
+def common_neighbor_scores(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, n_common) for NON-adjacent pairs with at least one
+    common neighbor — the link-prediction/common-neighbors kernel.
+
+    Plan: symmetrize the canonical edge list, self-join on the wedge
+    CENTER node, aggregate per endpoint pair, then left_anti against the
+    edge list to keep non-edges only. Wedge volume is sum(deg(center)^2),
+    i.e. DEGREE-QUADRATIC: on a graph whose density (not node count)
+    grows, this term explodes — measured at the 10x density tier, wedges
+    grow ~100x for 10x degree and exhaust local spill. ``max_degree``
+    is the standard mitigation: drop wedge CENTERS above the cap
+    (super-hub neighbors carry near-zero link-prediction evidence —
+    the Adamic-Adar 1/log(deg) weight formalizes the same intuition),
+    bounding wedges at n*cap^2. Scores become lower bounds; pairs whose
+    only common neighbors are hubs drop out. At fixed degree (the
+    realistic growth direction for contact graphs: more devices, not
+    denser cells) the uncapped plan is linear in nodes."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if max_degree is not None:
+        ok = (
+            degrees(e, "a", "b")
+            .where(F.col("degree") <= max_degree)
+            .select(F.col("node_id").alias("u"))
+        )
+        adj = adj.join(ok, "u", "left_semi")
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a_id"), F.col("y.v").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    existing = e.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    return wedges.join(existing, ["a_id", "b_id"], "left_anti")
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, n_common, aa_nano) for non-adjacent pairs: the
+    Adamic-Adar link-prediction score — each common neighbor contributes
+    1/ln(degree), so hub co-membership is discounted smoothly (the soft
+    form of the ``max_degree`` hard cap, which still applies for the
+    degree-quadratic wedge bound).
+
+    Determinism: the per-wedge weight quantizes to integer nanos
+    IMMEDIATELY after the ln (transcendental-then-quantize,
+    DETERMINISM.md), so the per-pair sum is exact integer arithmetic and
+    aggregation order cannot perturb scores or the top-k cut. A center
+    spanning a pair has degree >= 2, so ln(deg) >= ln 2 and the weight
+    is finite and positive. Callers derive the float score as
+    aa_nano / 1e9 and MUST order/cut on aa_nano, not the float."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = degrees(e, "a", "b").select(
+        F.col("node_id").alias("u"), "degree"
+    )
+    if max_degree is not None:
+        deg = deg.where(F.col("degree") <= max_degree)
+    adj = adj.join(deg, "u")
+    w_nano = F.round(F.lit(1e9) / F.log(F.col("x.degree"))).cast("long")
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a_id"), F.col("y.v").alias("b_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(w_nano).alias("aa_nano"),
+        )
+    )
+    existing = e.select(F.col("a").alias("a_id"), F.col("b").alias("b_id"))
+    return wedges.join(existing, ["a_id", "b_id"], "left_anti")
+
+
 def degree_assortativity(
     edges: DataFrame, a_col: str = "a_id", b_col: str = "b_id"
 ) -> DataFrame:

@@ -224,6 +224,9 @@ DEFERRED: tuple[str, ...] = (
     "semantic_bucket_dups",
     "common_neighbor_links",
     "part_basket_pairs",
+    "frame_sample_catalog",
+    "resized_payload_digest",
+    "adamic_adar_links",
 )
 
 

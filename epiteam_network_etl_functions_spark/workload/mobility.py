@@ -1051,38 +1051,88 @@ def common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     'probable missed contact' query an epidemic-contact platform runs to
     flag likely under-observed edges (and the simplest member of the
     common-neighbors / Adamic-Adar family; counts are exact integers so
-    the differential has no log hazard). Plan: the same ordered wedge
-    join the triangle counter uses (center-node equi-join over the
-    symmetrized adjacency, sum deg^2 intermediate — degree-cap the hub
-    tail at 100 TB exactly as graphstats.triangle_count documents), one
-    pair aggregate, a left_anti join against the edge list to drop
-    existing edges, then a k-bounded TakeOrderedAndProject."""
+    the differential has no log hazard). The kernel is
+    graphstats.common_neighbor_scores (center-node wedge join, pair
+    aggregate, left_anti against the edge list); this query runs it
+    UNCAPPED so the oracle is exact — the operator's max_degree cap is
+    the documented mitigation for the degree-quadratic wedge volume on
+    density-grown graphs (SCALING.md). A k-bounded
+    TakeOrderedAndProject closes it."""
+    from ..operators.graphstats import common_neighbor_scores
+
     edges = _colocation_edge_list(spark, sf_dir)
-    adj = edges.select(
-        F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
-    ).unionAll(
-        edges.select(
-            F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
-        )
-    )
-    a = adj.alias("a")
-    b = adj.alias("b")
-    wedges = (
-        a.join(
-            b,
-            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
-        )
-        .groupBy(
-            F.col("a.v").alias("a_user_id"), F.col("b.v").alias("b_user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    scores = common_neighbor_scores(edges, "a_user_id", "b_user_id")
     return (
-        wedges.join(edges, ["a_user_id", "b_user_id"], "left_anti")
+        scores.select(
+            F.col("a_id").alias("a_user_id"),
+            F.col("b_id").alias("b_user_id"),
+            "n_common",
+        )
         .orderBy(
             F.col("n_common").desc(),
             F.col("a_user_id").asc(),
             F.col("b_user_id").asc(),
         )
         .limit(CN_LINK_K)
+    )
+
+
+@query(
+    "adamic_adar_links",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u, b_user_id AS v FROM edges
+        UNION ALL
+        SELECT b_user_id, a_user_id FROM edges
+    ),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    wadj AS (
+        SELECT a.u, a.v, CAST(round(1e9 / ln(d.degree)) AS BIGINT) AS w
+        FROM adj a JOIN deg d ON d.u = a.u
+    ),
+    wedge AS (
+        SELECT a.v AS ua, b.v AS ub,
+               count(*) AS n_common, sum(a.w) AS aa_nano
+        FROM wadj a JOIN wadj b ON a.u = b.u AND a.v < b.v
+        GROUP BY a.v, b.v
+    )
+    SELECT ua AS a_user_id, ub AS b_user_id, n_common,
+           round(aa_nano / 1e9, 6) AS aa_score
+    FROM wedge x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.a_user_id = x.ua AND e.b_user_id = x.ub
+    )
+    ORDER BY aa_nano DESC, a_user_id ASC, b_user_id ASC
+    LIMIT {CN_LINK_K}
+    """,
+)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction — the hub-discounted refinement of
+    common_neighbor_links: each common neighbor votes 1/ln(its degree),
+    so two devices sharing only mega-hub cells score near zero while a
+    pair sharing quiet locations ranks high (the epidemiologically
+    interesting signal). Kernel: graphstats.adamic_adar_scores — same
+    wedge-join shape and max_degree bound as the unweighted form; the
+    ln-weight quantizes to integer nanos per wedge BEFORE the pair sum
+    (transcendental-then-quantize), so the top-k cut orders on an exact
+    integer and both engines cut identically."""
+    from ..operators.graphstats import adamic_adar_scores
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    scores = adamic_adar_scores(edges, "a_user_id", "b_user_id")
+    return (
+        scores.orderBy(
+            F.col("aa_nano").desc(),
+            F.col("a_id").asc(),
+            F.col("b_id").asc(),
+        )
+        .limit(CN_LINK_K)
+        .select(
+            F.col("a_id").alias("a_user_id"),
+            F.col("b_id").alias("b_user_id"),
+            "n_common",
+            F.round(F.col("aa_nano") / 1e9, 6).alias("aa_score"),
+        )
     )

@@ -45,3 +45,98 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, sf_dir, "documents")
     payload = attach_binary_payload(docs, "doc_id", "text")
     return decode_features(payload)
+
+
+FRAME_EVERY_N = 2
+
+
+@query(
+    "frame_sample_catalog",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               CAST(ceil(length(text) / 64.0) AS BIGINT) AS nc
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, text, nc,
+               unnest(range(0, nc, {FRAME_EVERY_N})) AS fi
+        FROM f WHERE nc > 0
+    )
+    SELECT doc_id,
+           fi AS frame_idx,
+           md5(substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)) AS frame_md5,
+           nc AS n_frames
+    FROM k
+    """,
+)
+def frame_sample_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling catalog: the 1-row-in -> N-rows-out mapInPandas path
+    (operators/multimodal.sample_frames) differentially certified — every
+    kept frame's content digest, its index, and the total frame count.
+    The fake codec slices the payload into 64-byte frames and keeps every
+    {FRAME_EVERY_N}th; the oracle replays the identical slicing as SQL
+    substr arithmetic (corpus is ASCII, so char offsets == byte offsets
+    and md5(text slice) == md5 of the frame bytes). This locks the
+    data-dependent fan-out shape — output cardinality, ordering column,
+    per-frame binary handling — which is exactly what a real video
+    decoder changes the codec of, not the plumbing."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import sample_frames
+
+    prep(spark)
+    docs = catalog.load(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs, "doc_id", "text")
+    frames = sample_frames(payload, every_n=FRAME_EVERY_N)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        "n_frames",
+    )
+
+
+RESIZE_W = 64
+RESIZE_H = 64
+
+
+@query(
+    "resized_payload_digest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({RESIZE_W} AS BIGINT) AS width,
+           CAST({RESIZE_H} AS BIGINT) AS height,
+           CAST({min(3 * RESIZE_W * RESIZE_H, 1 << 20)} AS BIGINT) AS n_bytes,
+           md5(substr(repeat(md5(text || ':{RESIZE_W}x{RESIZE_H}'),
+                             {min(3 * RESIZE_W * RESIZE_H, 1 << 20) // 16 + 1}),
+                      1, {2 * min(3 * RESIZE_W * RESIZE_H, 1 << 20)}))
+               AS body_md5
+    FROM documents
+    """,
+)
+def resized_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-stage certification: the payload-REPLACING mapInPandas path
+    (operators/multimodal.resize_images at {RESIZE_W}x{RESIZE_H}) with the
+    output bytes content-addressed. The fake resizer emits
+    (md5-digest-of input+target, repeated)[:3wh] bytes; both engines hash
+    the lowercase-hex encoding of that buffer (DuckDB's md5 is
+    VARCHAR-only), so truncation at a byte boundary aligns with 2 hex
+    chars and the digests agree exactly. Certifies the write-amplification
+    shape — new bytes per row, size-faithful buffers, Arrow batch
+    round-trip — independent of any pixel library."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import resize_images
+
+    prep(spark)
+    docs = catalog.load(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs, "doc_id", "text")
+    resized = resize_images(payload, RESIZE_W, RESIZE_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload")).cast("binary")).alias("body_md5"),
+    )

@@ -2356,8 +2356,13 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab size folded in as a scalar-agg cross join (never an eager
     count()), then shuffle joins occurrences->model on the bigram key —
     model tables are corpus-vocabulary-sized, so they shuffle rather than
-    broadcast at 100 TB. Docs under 2 tokens have no bigrams and drop on
-    both engines."""
+    broadcast at 100 TB (the small-input profile broadcasts them at bench
+    SF — same declarative plan, threshold-driven choice). The bigram
+    explode subtree is referenced three times (occurrences + both model
+    aggregates); a 100 TB run stages it to parquet once (the corpus
+    pipeline's materialization discipline) instead of re-exploding —
+    deliberately NOT a session-pinned cache here. Docs under 2 tokens
+    have no bigrams and drop on both engines."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",

@@ -186,3 +186,114 @@ def test_assortativity_path_p4(spark):
     row = degree_assortativity(p4).collect()[0]
     assert row["n_endpoints"] == 6
     assert row["assortativity"] == -0.5
+
+
+def test_common_neighbor_scores_star_and_path(spark):
+    """Star K_{1,4}: every leaf pair shares exactly the hub (n_common=1,
+    6 non-adjacent pairs); path P4 has (1,3),(2,4) via one center each
+    and no score for the adjacent or distance-3 pairs."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        common_neighbor_scores,
+    )
+
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    got = {
+        (r.a_id, r.b_id): r.n_common
+        for r in common_neighbor_scores(star).collect()
+    }
+    assert got == {(a, b): 1 for a in (2, 3, 4) for b in (3, 4, 5) if a < b}
+
+    p4 = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        (r.a_id, r.b_id): r.n_common
+        for r in common_neighbor_scores(p4).collect()
+    }
+    assert got == {(1, 3): 1, (2, 4): 1}
+
+
+def test_common_neighbor_scores_degree_cap(spark):
+    """A generous cap reproduces the uncapped result exactly; a tight cap
+    yields a SUBSET with scores bounded by the uncapped scores (dropping
+    hub centers only removes evidence, never adds it). Hub-and-spoke plus
+    a low-degree triangle chain exercises both regimes."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        common_neighbor_scores,
+    )
+
+    g = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (2, 3), (5, 6), (6, 7), (7, 8)],
+    )
+    full = {
+        (r.a_id, r.b_id): r.n_common
+        for r in common_neighbor_scores(g).collect()
+    }
+    loose = {
+        (r.a_id, r.b_id): r.n_common
+        for r in common_neighbor_scores(g, max_degree=100).collect()
+    }
+    assert loose == full
+    tight = {
+        (r.a_id, r.b_id): r.n_common
+        for r in common_neighbor_scores(g, max_degree=2).collect()
+    }
+    # (6, 8) is a non-edge whose only common neighbor is node 7 (deg 2):
+    # the tight cap must preserve it while dropping all hub-only evidence
+    assert tight.get((6, 8)) == 1
+    for pair, n in tight.items():
+        assert pair in full and n <= full[pair]
+    # node 1 (degree 5) was the only common neighbor of e.g. (4, 5):
+    # that pair must disappear under the cap
+    assert (4, 5) in full and (4, 5) not in tight
+
+
+def test_adamic_adar_star_weights(spark):
+    """Star K_{1,4}: every leaf pair's only common neighbor is the hub
+    (degree 4), so aa_nano = round(1e9/ln(4)) exactly, and the pair set
+    matches the unweighted kernel's."""
+    import math
+
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        adamic_adar_scores,
+        common_neighbor_scores,
+    )
+
+    star = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    got = {
+        (r.a_id, r.b_id): (r.n_common, r.aa_nano)
+        for r in adamic_adar_scores(star).collect()
+    }
+    want_nano = round(1e9 / math.log(4))
+    assert got == {
+        (a, b): (1, want_nano)
+        for a in (2, 3, 4)
+        for b in (3, 4, 5)
+        if a < b
+    }
+    cn = {
+        (r.a_id, r.b_id) for r in common_neighbor_scores(star).collect()
+    }
+    assert set(got) == cn
+
+
+def test_adamic_adar_discounts_hubs(spark):
+    """Two non-adjacent pairs with one common neighbor each: the pair
+    whose witness is the low-degree center must outscore the pair whose
+    witness is the hub, even though n_common ties."""
+    from epiteam_network_etl_functions_spark.operators.graphstats import (
+        adamic_adar_scores,
+    )
+
+    # hub 1 (degree 5) witnesses (4, 5); quiet node 7 (degree 2)
+    # witnesses (6, 8)
+    g = _edges(
+        spark,
+        [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (2, 3), (5, 6), (6, 7), (7, 8)],
+    )
+    got = {
+        (r.a_id, r.b_id): r
+        for r in adamic_adar_scores(g).collect()
+    }
+    hub_pair, quiet_pair = got[(4, 5)], got[(6, 8)]
+    assert hub_pair.n_common == quiet_pair.n_common == 1
+    assert quiet_pair.aa_nano > hub_pair.aa_nano

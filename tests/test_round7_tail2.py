@@ -166,3 +166,46 @@ def test_basket_pairs_match_direct_recount(spark):
     floor = min(got.values())
     better = [p for p, n in support.items() if n > floor]
     assert all(p in got for p in better)
+
+
+def test_frame_sample_conservation(spark):
+    """Every doc with text emits exactly ceil(ceil(len/64) / every_n)
+    frames, indices are multiples of the stride, and n_frames equals the
+    total chunk count before sampling."""
+    import math
+
+    from epiteam_network_etl_functions_spark.workload.multimodal import (
+        FRAME_EVERY_N,
+        frame_sample_catalog,
+    )
+
+    rows = frame_sample_catalog(spark, PARITY_SF_DIR).collect()
+    assert rows
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    lens = {
+        r.doc_id: len(r.text.encode())
+        for r in spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet").collect()
+    }
+    for doc_id, frames in per_doc.items():
+        nc = math.ceil(lens[doc_id] / 64)
+        assert len(frames) == math.ceil(nc / FRAME_EVERY_N)
+        for fr in frames:
+            assert fr.frame_idx % FRAME_EVERY_N == 0
+            assert fr.n_frames == nc
+
+
+def test_resized_payload_is_size_faithful(spark):
+    from epiteam_network_etl_functions_spark.workload.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        resized_payload_digest,
+    )
+
+    rows = resized_payload_digest(spark, PARITY_SF_DIR).collect()
+    assert rows
+    want = min(3 * RESIZE_W * RESIZE_H, 1 << 20)
+    for r in rows:
+        assert (r.width, r.height, r.n_bytes) == (RESIZE_W, RESIZE_H, want)
+        assert len(r.body_md5) == 32

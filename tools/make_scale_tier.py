@@ -8,7 +8,16 @@ fresh device population (user_id + 100000*rep), so devices per
 hot cell can do at 100 TB. Documents get per-replica suffixes so near-dup
 groups span replicas.
 
-Usage: python tools/make_scale_tier.py N [out_dir]   (default /tmp/tier{N}x)
+Usage: python tools/make_scale_tier.py N [out_dir] [--horizontal]
+
+--horizontal flips events replication to the REALISTIC growth direction:
+each replica's events get a per-replica cell namespace (event_type
+suffixed with the replica id), so the co-location graph gains N-fold
+nodes and edges at FIXED degree — more cities, not denser cells. The
+default (density) direction keeps one shared cell namespace, growing
+devices per (cell, bucket) N-fold: degrees inflate ~N and any
+degree-quadratic operator (wedge joins) inflates ~N^2. Measure both:
+density bounds the skew story, horizontal bounds the throughput story.
 """
 
 from __future__ import annotations
@@ -20,18 +29,27 @@ import duckdb
 
 
 def main() -> None:
-    n = int(sys.argv[1])
+    args = [a for a in sys.argv[1:] if a != "--horizontal"]
+    horizontal = "--horizontal" in sys.argv[1:]
+    n = int(args[0])
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/tier{n}x"
+    out = args[1] if len(args) > 1 else (
+        f"/tmp/tier{n}xh" if horizontal else f"/tmp/tier{n}x"
+    )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    etype = (
+        "concat(e.event_type, '#', CAST(r.rep AS VARCHAR))"
+        if horizontal
+        else "e.event_type"
+    )
     con.execute(
         f"""
         COPY (
             SELECT e.event_id + 10000000 * r.rep AS event_id,
                    e.user_id + 100000 * r.rep AS user_id,
-                   e.ts, e.event_type, e.value, e.props
+                   e.ts, {etype} AS event_type, e.value, e.props
             FROM read_parquet('{src}/events.parquet') e
             CROSS JOIN (SELECT unnest(range({n})) AS rep) r
         ) TO '{out}/events.parquet' (FORMAT parquet)
