@@ -227,6 +227,8 @@ DEFERRED: tuple[str, ...] = (
     "frame_sample_catalog",
     "resized_payload_digest",
     "adamic_adar_links",
+    "ivf_recall_audit",
+    "quality_signal_correlation",
 )
 
 

@@ -2404,3 +2404,135 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "quality_signal_correlation",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CAST(round(round(1.0 - len(list_distinct(
+                        list_transform(range(1, len(t)),
+                            i -> t[i] || '_' || t[i+1]))) * 1.0
+                        / (len(t) - 1), 6) * 1e6) AS BIGINT) AS rep6
+        FROM toks WHERE len(t) >= 2
+    ),
+    cchars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        FROM documents
+    ),
+    cfreq AS (
+        SELECT doc_id, ch, count(*) AS c FROM cchars
+        WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    ctot AS (SELECT doc_id, sum(c) AS n FROM cfreq GROUP BY doc_id),
+    ent AS (
+        SELECT f.doc_id,
+               CAST(round(round(-sum((f.c * 1.0 / t.n)
+                                     * ln(f.c * 1.0 / t.n)), 6) * 1e6)
+                    AS BIGINT) AS ent6
+        FROM cfreq f JOIN ctot t ON t.doc_id = f.doc_id
+        GROUP BY f.doc_id
+    ),
+    sig AS (
+        SELECT r.doc_id, r.n_tokens AS x, e.ent6 AS y, r.rep6 AS z
+        FROM rep r JOIN ent e ON e.doc_id = r.doc_id
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+               sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz,
+               sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz
+        FROM sig
+    )
+    SELECT * FROM (
+                  SELECT 'n_tokens' AS signal_a, 'entropy' AS signal_b,
+                         CAST(n AS BIGINT) AS n_docs,
+                         round(CAST(n*sxy - sx*sy AS DOUBLE)
+                               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+                             AS pearson_r
+                  FROM m
+        UNION ALL SELECT 'n_tokens', 'rep_ratio', CAST(n AS BIGINT),
+                         round(CAST(n*sxz - sx*sz AS DOUBLE)
+                               / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                  * sqrt(CAST(n*szz - sz*sz AS DOUBLE))), 6)
+                  FROM m
+        UNION ALL SELECT 'entropy', 'rep_ratio', CAST(n AS BIGINT),
+                         round(CAST(n*syz - sy*sz AS DOUBLE)
+                               / (sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+                                  * sqrt(CAST(n*szz - sz*sz AS DOUBLE))), 6)
+                  FROM m
+    )
+    """,
+)
+def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy audit of the quality-gate signals: the Pearson
+    correlation matrix between token count, character entropy, and
+    bigram repetition across the corpus — highly correlated signals are
+    redundant gates (a mixture builder keeps one), anti-correlated ones
+    carve different corners. Determinism: each float signal is first
+    ROUNDED to its certified 6-dp form (the exact values
+    doc_char_entropy / doc_repetition publish), then quantized to
+    integer micro-units, so the correlation runs on exact integers —
+    moment sums and their products in DECIMAL(38,0) (the
+    products-of-sums overflow lesson from colocation_assortativity;
+    DuckDB's HUGEINT is exact natively) with ONE identical double
+    expression per pair at the end. Plan: one map-only signal
+    projection, one 10-accumulator scalar aggregate, a 3-row stack —
+    the whole corpus reduces to one row however large it is."""
+    from ..operators.text import bigram_repetition_ratio, char_entropy_nats
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sig = d.where(F.size(toks) >= 2).select(
+        F.size(toks).cast("long").alias("x"),
+        F.round(char_entropy_nats(F.col("text")) * 1e6)
+        .cast("long")
+        .alias("y"),
+        F.round(bigram_repetition_ratio(toks) * 1e6).cast("long").alias("z"),
+    )
+    dec = "decimal(38,0)"
+    m = sig.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("z").cast(dec)).alias("sz"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast(dec)).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast(dec)).alias("syz"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast(dec)).alias("szz"),
+    )
+
+    def _r(sab: str, sa: str, sb: str, saa: str, sbb: str):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        da = F.sqrt((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double"))
+        db = F.sqrt((F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double"))
+        return F.round(num / (da * db), 6)
+
+    pairs = [
+        ("n_tokens", "entropy", _r("sxy", "sx", "sy", "sxx", "syy")),
+        ("n_tokens", "rep_ratio", _r("sxz", "sx", "sz", "sxx", "szz")),
+        ("entropy", "rep_ratio", _r("syz", "sy", "sz", "syy", "szz")),
+    ]
+    # one explode over an array of structs, NOT a 3-way union of the same
+    # aggregate — the union form re-derives the corpus-wide aggregate per
+    # branch (3 scans at 100 TB); this is the stack() idiom check_rules uses
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("signal_a"),
+                F.lit(b).alias("signal_b"),
+                F.col("n").cast("bigint").alias("n_docs"),
+                r.alias("pearson_r"),
+            )
+            for a, b, r in pairs
+        ]
+    )
+    return m.select(F.explode(structs).alias("s")).select("s.*")

@@ -672,3 +672,145 @@ def semantic_bucket_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "bucket", cos.alias("cosine"))
         .where(F.col("cosine") >= SEMDEDUP_COS)
     )
+
+
+RECALL_PROBE_IDS = (42, 123, 250, 375, 499)
+
+
+@query(
+    "ivf_recall_audit",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id IN {RECALL_PROBE_IDS}
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id,
+               round({_DOT.format(a='e.embedding', b='p.qe')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='p.qe', b='p.qe')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.query_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= {K}
+    ),
+    seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS se
+        FROM embeddings WHERE vec_id < {N_SEEDS}
+    ),
+    sscored AS (
+        SELECT e.vec_id, s.centroid_id,
+               round({_DOT.format(a='e.embedding', b='s.se')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='s.se', b='s.se')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+            ) AS rn FROM sscored
+        ) WHERE rn = 1
+    ),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id, s.cosine,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY s.cosine DESC, s.vec_id ASC
+                   ) AS rn
+            FROM scored s
+            JOIN assign a ON a.vec_id = s.vec_id
+            JOIN assign aq ON aq.vec_id = s.query_id
+                          AND aq.centroid_id = a.centroid_id
+        ) WHERE rn <= {K}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           (SELECT count(*) FROM ivf i2 WHERE i2.query_id = e.query_id)
+               AS n_ivf,
+           count(i.vec_id) AS n_overlap,
+           round(count(i.vec_id) * 1.0 / count(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN calibration audit — the similarity-search counterpart of
+    minhash_jaccard_calibration: for {len(RECALL_PROBE_IDS)} fixed probe
+    vectors, recall@{K} of the IVF single-cluster probe against the exact
+    brute-force top-{K}. This is the measurement that sizes nprobe /
+    seed count before a 100 TB index commits to them: low recall here
+    means more probes or finer coarse quantization, not a broken index.
+    Both top-k cuts rank on the 6-dp-rounded cosine with a vec_id
+    tie-break, so the cut is cross-engine identical; the probe-side scan
+    is one corpus pass scoring all probes at once (broadcast probe
+    literals), never one job per query."""
+    e = _emb(spark, sf_dir)
+    probes = e.where(F.col("vec_id").isin(*RECALL_PROBE_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qe"),
+    )
+    corpus = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qe")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+    seeds = e.where(F.col("vec_id") < N_SEEDS)
+    assign = ivf_assign(e, seeds, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    qassign = assign.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    ivf = (
+        scored.join(assign, "vec_id")
+        .join(F.broadcast(qassign), "query_id")
+        .where(F.col("centroid_id") == F.col("q_centroid"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+    n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        exact.join(ivf.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_overlap"),
+        )
+        .join(F.broadcast(n_ivf), "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_ivf", F.lit(0)).alias("n_ivf"),
+            "n_overlap",
+            F.round(F.col("n_overlap") * 1.0 / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -209,3 +209,58 @@ def test_resized_payload_is_size_faithful(spark):
     for r in rows:
         assert (r.width, r.height, r.n_bytes) == (RESIZE_W, RESIZE_H, want)
         assert len(r.body_md5) == 32
+
+
+def test_ivf_recall_bounds(spark):
+    """recall = n_overlap/n_exact in [0,1]; the IVF side can never return
+    more than K rows, and overlap can't exceed either side."""
+    from epiteam_network_etl_functions_spark.workload.vectors import (
+        K,
+        RECALL_PROBE_IDS,
+        ivf_recall_audit,
+    )
+
+    rows = ivf_recall_audit(spark, PARITY_SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(RECALL_PROBE_IDS)
+    for r in rows:
+        assert 0 < r.n_exact <= K
+        assert 0 <= r.n_ivf <= K
+        assert r.n_overlap <= min(r.n_exact, r.n_ivf)
+        assert 0.0 <= r.recall <= 1.0
+
+
+def test_quality_signal_correlation_matches_numpy(spark):
+    """The moment-sum Pearson r must equal numpy's corrcoef on the same
+    quantized signals (independent accumulation path)."""
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.workload.text import (
+        quality_signal_correlation,
+    )
+
+    got = {
+        (r.signal_a, r.signal_b): r.pearson_r
+        for r in quality_signal_correlation(spark, PARITY_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{PARITY_SF_DIR}/documents.parquet").collect()
+    import math
+    from collections import Counter
+
+    xs, ys, zs = [], [], []
+    for d in docs:
+        t = [w for w in d.text.split(" ") if w]
+        if len(t) < 2:
+            continue
+        xs.append(len(t))
+        chars = [c for c in d.text]
+        freq = Counter(chars)
+        n = len(chars)
+        ent = -sum((c / n) * math.log(c / n) for c in freq.values())
+        ys.append(round(round(ent, 6) * 1e6))
+        grams = [f"{t[i]}_{t[i+1]}" for i in range(len(t) - 1)]
+        rep = 1.0 - len(set(grams)) / len(grams)
+        zs.append(round(round(rep, 6) * 1e6))
+    c = np.corrcoef(np.array([xs, ys, zs], dtype=np.float64))
+    assert abs(got[("n_tokens", "entropy")] - c[0, 1]) < 1e-6
+    assert abs(got[("n_tokens", "rep_ratio")] - c[0, 2]) < 1e-6
+    assert abs(got[("entropy", "rep_ratio")] - c[1, 2]) < 1e-6
