@@ -2100,6 +2100,48 @@ def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- round-7 tail 2: sketch calibration, containment, index, LM ------------
 
 
+def _lsh_pair_stats(spark: SparkSession, sf_dir: str):
+    """Shared kernel for the pairwise shingle-set audits: LSH candidate
+    pairs with their exact intersection and set sizes — (stats, sigs,
+    cands, caches) where stats = (a_id, b_id, inter, na, nb) restricted
+    to inter >= 1 (the EXACT integer gate, mirroring the oracles' inner
+    intersection join — a rounded-float gate would diverge on pairs whose
+    Jaccard rounds to 0.000000 at huge union sizes). Shingle sets gather
+    once per candidate doc; shuffle_hash pinned for the same
+    size-misestimate reason as jaccard_verify. Callers must unpersist the
+    returned caches after materializing their result."""
+    sh = _shingled(spark, sf_dir).cache()
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
+    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
+    cands = lsh_candidate_pairs(bands, "doc_id").cache()
+    cand_ids = (
+        cands.select(F.col("a_id").alias("doc_id"))
+        .union(cands.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("__set"))
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    stats = (
+        cands.join(sa.hint("shuffle_hash"), "a_id")
+        .join(sb.hint("shuffle_hash"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            F.size("__sa").alias("na"),
+            F.size("__sb").alias("nb"),
+        )
+        .where(F.col("inter") >= 1)
+    )
+    return stats, sigs, cands, (sh, cands)
+
+
 @query(
     "minhash_jaccard_calibration",
     oracle=f"""
@@ -2141,16 +2183,9 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     debugging dedup output. Both sides are candidate-bounded joins (LSH
     keeps it non-quadratic); the signature comparison is 16 integer
     equality tests per pair. Zero-intersection band-collision pairs are
-    excluded on both engines (inner intersection join)."""
-    from ..operators.dedup import jaccard_verify
-
-    sh = _shingled(spark, sf_dir).cache()
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
-    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    cands = lsh_candidate_pairs(bands, "doc_id").cache()
-    exact = jaccard_verify(cands, sh, "doc_id", threshold=0.0).where(
-        F.col("jaccard") > 0
-    )
+    excluded on both engines by the exact integer inter >= 1 gate
+    (_lsh_pair_stats), never a rounded-float comparison."""
+    stats, sigs, cands, caches = _lsh_pair_stats(spark, sf_dir)
     matches = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
@@ -2164,17 +2199,20 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(matches / float(N_HASHES), 6).alias("est_jaccard"),
         )
     )
-    out = exact.join(est, ["a_id", "b_id"]).select(
+    exact_j = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")),
+        6,
+    )
+    out = stats.join(est, ["a_id", "b_id"]).select(
         "a_id",
         "b_id",
         "est_jaccard",
-        F.col("jaccard").alias("exact_jaccard"),
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
-            "abs_err"
-        ),
+        exact_j.alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - exact_j), 6).alias("abs_err"),
     )
-    sh.unpersist()
-    cands.unpersist()
+    for frame in caches:
+        frame.unpersist()
     return out
 
 
@@ -2206,39 +2244,22 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over distinct 3-gram shingle sets, at 0.5 — catches a short document
     embedded inside a long one (quotes, concatenated crawls, boilerplate
     wrappers), which symmetric Jaccard dilutes below any usable threshold.
-    Candidates come from the same LSH banding as near_dup_pairs, the
-    shingle sets gather once per candidate doc (array_intersect per pair),
-    and the score is a ratio of exact integers — same scale shape as
-    jaccard_verify, different decision rule."""
-    sh = _shingled(spark, sf_dir).cache()
-    sigs = minhash_signatures(sh, "doc_id", n_hashes=N_HASHES)
-    bands = lsh_bands(sigs, "doc_id", N_HASHES, BAND_SIZE)
-    cands = lsh_candidate_pairs(bands, "doc_id").cache()
-    cand_ids = (
-        cands.select(F.col("a_id").alias("doc_id"))
-        .union(cands.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        sh.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("__set"))
-    )
-    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("__set").alias("__sa"))
-    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("__set").alias("__sb"))
-    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    Candidates come from the same LSH banding as near_dup_pairs via the
+    shared _lsh_pair_stats kernel (one shingle-set gather, array_intersect
+    per pair), and the score is a ratio of exact integers — same scale
+    shape as jaccard_verify, different decision rule."""
+    stats, _, _, caches = _lsh_pair_stats(spark, sf_dir)
     cont = F.round(
-        inter.cast("double") / F.least(F.size("__sa"), F.size("__sb")), 6
+        F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb")), 6
     )
     out = (
-        cands.join(sa.hint("shuffle_hash"), "a_id")
-        .join(sb.hint("shuffle_hash"), "b_id")
-        .select("a_id", "b_id", cont.alias("containment"))
+        stats.select("a_id", "b_id", cont.alias("containment"))
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
-    sh.unpersist()
-    cands.unpersist()
+    for frame in caches:
+        frame.unpersist()
     return out
+
 
 
 POSTING_MIN_DF = 3
@@ -2279,6 +2300,9 @@ def posting_list_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap), then a k-bounded TakeOrderedAndProject. CSV-string postings
     keep the differential hash engine-neutral."""
     d = _docs(spark, sf_dir)
+    # per-row array_distinct IS the (doc, term) dedup — doc_id is unique
+    # per input row, so a trailing .distinct() would only re-shuffle the
+    # corpus-sized exploded table for nothing
     td = d.select(
         "doc_id",
         F.explode(
@@ -2286,7 +2310,7 @@ def posting_list_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.split(F.col("text"), " "), lambda x: x != "")
             )
         ).alias("term"),
-    ).distinct()
+    )
     pl = td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.array_join(

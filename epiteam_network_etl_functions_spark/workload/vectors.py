@@ -783,9 +783,15 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ivf_assign(e, seeds, "vec_id", "embedding").select(
         "vec_id", "centroid_id"
     )
-    qassign = assign.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("centroid_id").alias("q_centroid"),
+    # only the PROBES' assignments broadcast (5 rows) — broadcasting the
+    # full assignment table would ship a corpus-sized build to every
+    # executor (the size-misestimate hazard jaccard_verify pins against)
+    qassign = (
+        assign.where(F.col("vec_id").isin(*RECALL_PROBE_IDS))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
     )
     ivf = (
         scored.join(assign, "vec_id")

@@ -61,7 +61,7 @@ def main() -> None:
             SELECT d.doc_id + 1000000 * r.rep AS doc_id,
                    concat(d.text, ' shard', CAST(r.rep AS VARCHAR)) AS text,
                    d.lang, d.source,
-                   d.n_chars + 7 + CAST(length(CAST(r.rep AS VARCHAR)) AS BIGINT)
+                   d.n_chars + 6 + CAST(length(CAST(r.rep AS VARCHAR)) AS BIGINT)
                        AS n_chars
             FROM read_parquet('{src}/documents.parquet') d
             CROSS JOIN (SELECT unnest(range({n})) AS rep) r
