@@ -229,6 +229,16 @@ DEFERRED: tuple[str, ...] = (
     "adamic_adar_links",
     "ivf_recall_audit",
     "quality_signal_correlation",
+    "part_size_price_regression",
+    "nation_trade_balance",
+    "customer_ltv_deciles",
+    "session_duration_histogram",
+    "dau_wau_stickiness",
+    "first_touch_attribution",
+    "corpus_growth_curve",
+    "tokenization_fertility_by_lang",
+    "knn_label_agreement",
+    "vec_quantization_error",
 )
 
 

@@ -1766,3 +1766,169 @@ def value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("autocorr"),
         )
     )
+
+
+@query(
+    "session_duration_histogram",
+    oracle=f"""
+    WITH {_SESSION_CTE.strip()},
+    durs AS (
+        SELECT user_id, session_id,
+               (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+                   AS duration_secs
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT CAST(duration_secs // 600 AS BIGINT) AS bucket_10min,
+           count(*) AS n_sessions,
+           min(duration_secs) AS min_secs,
+           max(duration_secs) AS max_secs
+    FROM durs GROUP BY bucket_10min
+    """,
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-length distribution in 10-minute buckets — the engagement
+    histogram behind session-quality dashboards, COMPOSED on the certified
+    sessionizer (same lag + running-sum construction as user_sessions;
+    this query certifies the composition, the duration arithmetic is
+    exact integer seconds). Bucketing is integer floor-division so the
+    histogram key is exact; the second aggregate reduces to
+    |buckets| rows however many sessions exist."""
+    e = _events(spark, sf_dir)
+    s = sessionize(e, "user_id", "ts", "event_id", gap_seconds=SESSION_GAP_S)
+    durs = session_stats(s, "user_id", "ts").select(
+        F.col("duration_secs")
+    )
+    return (
+        durs.select(
+            F.expr("duration_secs div 600").cast("bigint").alias("bucket_10min"),
+            "duration_secs",
+        )
+        .groupBy("bucket_10min")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("duration_secs").alias("min_secs"),
+            F.max("duration_secs").alias("max_secs"),
+        )
+    )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d
+        JOIN du u ON u.day > d.day - 7 AND u.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           a.dau, w.wau,
+           round(a.dau * 1.0 / w.wau, 6) AS stickiness
+    FROM dau a JOIN wau w ON w.day = a.day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness — the engagement ratio product
+    teams track daily. Sliding-window COUNT DISTINCT can't run as a
+    window function (distinct isn't decomposable over frames), so the
+    trailing week materializes as a bounded self-join: distinct
+    (day, user) rows join the day spine on a 7-day band — candidate
+    volume is |days| x avg-DAU, i.e. 7x the distinct table, NOT the
+    fact. At 100 TB the distinct (day, user) table is the pre-aggregated
+    input (days partition key); an HLL-sketch union variant
+    (approx_count_distinct over merged day sketches) is the documented
+    swap when exactness yields."""
+    e = _events(spark, sf_dir)
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    d = days.alias("d")
+    u = du.alias("u")
+    wau = (
+        d.join(
+            u,
+            (F.col("u.day") > F.date_sub(F.col("d.day"), 7))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS first_type FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.first_type,
+           count(*) AS n_users,
+           CAST(count(c.user_id) AS BIGINT) AS n_converted,
+           round(count(c.user_id) * 1.0 / count(*), 6) AS conversion_rate
+    FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id
+    GROUP BY f.first_type
+    """,
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: users grouped by their FIRST event type,
+    with the fraction who ever purchase — the acquisition-channel
+    conversion report (here event_type stands in for the channel). The
+    first-touch is the W4 winner kernel on (ts, event_id) order
+    (WindowGroupLimit prunes to one row per user before the shuffle);
+    conversion is a distinct semi-side LEFT-joined so never-converting
+    channels still report 0. Output is |event_types| rows."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("__conv", F.lit(1))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("__conv").alias("n_converted"),
+            F.round(F.count("__conv") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+    )

@@ -2560,3 +2560,97 @@ def quality_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return m.select(F.explode(structs).alias("s")).select("s.*")
+
+
+@query(
+    "corpus_growth_curve",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    firsts AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM dsh GROUP BY shingle
+    ),
+    news AS (
+        SELECT first_doc AS doc_id, count(*) AS n_new
+        FROM firsts GROUP BY first_doc
+    )
+    SELECT doc_id, n_new,
+           CAST(sum(n_new) OVER (
+               ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_vocab
+    FROM news
+    """,
+)
+def corpus_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: per document (in doc_id order),
+    how many 3-gram shingles appear for the FIRST time, and the running
+    distinct-shingle total — the saturation diagnostic that tells a
+    corpus builder when additional data stops adding novelty (flat curve
+    = crawl exhausted / duplication dominating). First occurrence is a
+    min(doc_id) aggregate on the shingle key (one shuffle, map-side
+    combined); the running sum is a single global-order window over the
+    |docs|-sized n_new table — same per-shard-at-scale note as
+    doc_pack_bins (ingestion order is the natural shard key). Docs whose
+    shingles are all previously seen contribute no row (n_new >= 1 by
+    construction on both engines)."""
+    sh = _shingled(spark, sf_dir)
+    from pyspark.sql import Window
+
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    news = firsts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return news.select(
+        "doc_id",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+# BPE-ish pre-tokenizer (same character-class reduction as
+# props_bpe_tokens, identical under Java regex and RE2).
+_FERT_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@query(
+    "tokenization_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_words,
+               len(regexp_extract_all(text, '{_FERT_PAT}')) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+           round(sum(n_bpe) * 1.0 / sum(n_words), 6) AS fertility
+    FROM t WHERE n_words > 0
+    GROUP BY lang
+    """,
+)
+def tokenization_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit by language: BPE-ish tokens per
+    whitespace word — the metric that decides whether a tokenizer taxes
+    some languages with more tokens per word (cost and context-budget
+    skew; high-fertility languages get fewer effective words per context
+    window). Fertility is a ratio of exact integer sums per language
+    (never a mean of per-doc ratios, which would weight short docs up);
+    the token counts are map-only regexp projections that pipeline with
+    the scan."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_FERT_PAT), 0))
+    t = d.select(
+        "lang", n_words.alias("n_words"), n_bpe.alias("n_bpe")
+    ).where(F.col("n_words") > 0)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+    )

@@ -1938,3 +1938,187 @@ def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BASKET_TOP_K)
     )
+
+
+@query(
+    "part_size_price_regression",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(p_size AS BIGINT) AS x,
+               {_SQL_CENTS.format(c='p_retailprice')} AS y
+        FROM part
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6)
+               AS slope_per_size,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6)
+               AS intercept_dollars
+    FROM m
+    """,
+)
+def part_size_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ordinary least squares — price-vs-size regression over
+    the part catalog (the does-size-drive-price audit; the same one-pass
+    moment-sum kernel fits ANY y-on-x at 100 TB). Exact integer moments
+    (size, cents) accumulate in DECIMAL(38,0) — the products-of-sums
+    overflow discipline from colocation_assortativity — then slope and
+    intercept are each ONE double expression, so both engines divide the
+    same exact integers. Map-side-combined scalar aggregate: the fact
+    reduces to five numbers however many parts exist."""
+    p = _t(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    s = p.select(
+        F.col("p_size").cast("long").alias("x"),
+        _cents("p_retailprice").alias("y"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.round(slope / 100.0, 6).alias("slope_per_size"),
+        F.round(intercept / 100.0, 6).alias("intercept_dollars"),
+    )
+
+
+@query(
+    "nation_trade_balance",
+    oracle=f"""
+    WITH sup AS (
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                    * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                    AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS supply_revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    ),
+    dem AS (
+        SELECT n.n_name AS nation,
+               sum({_SQL_CENTS.format(c='o.o_totalprice')}) / 100.0
+                   AS demand_spend
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT coalesce(s.nation, d.nation) AS nation,
+           coalesce(s.supply_revenue, 0.0) AS supply_revenue,
+           coalesce(d.demand_spend, 0.0) AS demand_spend,
+           round(coalesce(s.supply_revenue, 0.0)
+                 - coalesce(d.demand_spend, 0.0), 6) AS balance
+    FROM sup s FULL OUTER JOIN dem d ON d.nation = s.nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-fact reconciliation: per nation, revenue SUPPLIED (lineitem
+    through supplier) vs demand SPENT (orders through customer), with the
+    net balance — the cross-fact consistency report a warehouse runs to
+    catch pipeline drift between independently-loaded facts. Each side is
+    a broadcast-dim star aggregate over its own fact (no fact-fact join);
+    the FULL OUTER join runs on the 25-row nation aggregates. Exact-cents
+    sums; balance subtracts two identically-derived doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(_revenue_col()).cast("double") / 1000000.0).alias(
+                "supply_revenue"
+            )
+        )
+    )
+    dem = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(_cents("o_totalprice")) / 100.0).alias("demand_spend"))
+    )
+    return (
+        sup.join(dem, "nation", "full_outer")
+        .select(
+            "nation",
+            F.coalesce("supply_revenue", F.lit(0.0)).alias("supply_revenue"),
+            F.coalesce("demand_spend", F.lit(0.0)).alias("demand_spend"),
+            F.round(
+                F.coalesce("supply_revenue", F.lit(0.0))
+                - F.coalesce("demand_spend", F.lit(0.0)),
+                6,
+            ).alias("balance"),
+        )
+    )
+
+
+@query(
+    "customer_ltv_deciles",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey, sum({_SQL_CENTS.format(c='o_totalprice')}) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+        SELECT o_custkey, cents,
+               ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC) AS decile
+        FROM spend
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           min(cents) / 100.0 AS min_spend,
+           max(cents) / 100.0 AS max_spend,
+           sum(cents) / 100.0 AS total_spend
+    FROM tiled GROUP BY decile
+    """,
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: per-customer exact-cents spend,
+    ntile(10) banding, and per-band boundaries + totals — the LTV
+    segmentation report behind every retention/marketing split. ntile's
+    bin edges depend only on row ORDER, so the window order carries the
+    custkey tie-break (the ntile-totality rule, DETERMINISM.md) and both
+    engines band identically even on tied spends. One customer-keyed
+    aggregate, one global-order window over customer-sized (not
+    fact-sized) rows — at 100 TB the window input is |customers| and a
+    range-partitioned sort; the decile aggregate is 10 rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.min("cents") / 100.0).alias("min_spend"),
+            (F.max("cents") / 100.0).alias("max_spend"),
+            (F.sum("cents") / 100.0).alias("total_spend"),
+        )
+    )

@@ -820,3 +820,162 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+        FROM embeddings WHERE vec_id IN {RECALL_PROBE_IDS}
+    ),
+    scored AS (
+        SELECT p.query_id, p.q_label, e.vec_id, e.label,
+               round({_DOT.format(a='e.embedding', b='p.qe')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='p.qe', b='p.qe')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.query_id
+    ),
+    topk AS (
+        SELECT query_id, q_label, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= {K}
+    )
+    SELECT query_id, CAST(max(q_label) AS BIGINT) AS label,
+           count(*) AS k,
+           CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same,
+           round(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS agreement
+    FROM topk GROUP BY query_id
+    """,
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality sanity: for each probe vector, the fraction of
+    its exact top-{K} cosine neighbors sharing its label — the
+    neighborhood-purity score that validates an embedding space before
+    ANY downstream use (low agreement means the labels and the geometry
+    disagree; dedup/ANN thresholds tuned on such a space are noise).
+    Same one-pass all-probes scoring and deterministic rounded-cosine
+    k-cut as ivf_recall_audit."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = _emb(spark, sf_dir)
+    probes = e.where(F.col("vec_id").isin(*RECALL_PROBE_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        as_double(F.col("embedding")).alias("qe"),
+    )
+    corpus = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qe")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= K
+    )
+    same = F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+    return topk.groupBy("query_id").agg(
+        F.max("q_label").cast("bigint").alias("label"),
+        F.count(F.lit(1)).alias("k"),
+        same.cast("bigint").alias("n_same"),
+        F.round(same * 1.0 / F.count(F.lit(1)), 6).alias("agreement"),
+    )
+
+
+@query(
+    "vec_quantization_error",
+    oracle=f"""
+    WITH m AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(maxabs, 6) AS maxabs,
+           round(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> (CAST(embedding[i] AS DOUBLE)
+                     - round(127 * CAST(embedding[i] AS DOUBLE) / maxabs)
+                       * maxabs / 127)
+                    * (CAST(embedding[i] AS DOUBLE)
+                       - round(127 * CAST(embedding[i] AS DOUBLE) / maxabs)
+                         * maxabs / 127)))), 6) AS l2_err,
+           round(sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+               i -> (CAST(embedding[i] AS DOUBLE)
+                     - round(127 * CAST(embedding[i] AS DOUBLE) / maxabs)
+                       * maxabs / 127)
+                    * (CAST(embedding[i] AS DOUBLE)
+                       - round(127 * CAST(embedding[i] AS DOUBLE) / maxabs)
+                         * maxabs / 127))))
+                 / {_NORM.format(a='embedding', b='embedding')}, 6)
+               AS rel_err
+    FROM m WHERE maxabs > 0
+    """,
+)
+def vec_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization audit: per vector, the L2
+    reconstruction error of round-to-127-grid quantization (the standard
+    8-bit ANN/storage compression) absolute and relative to the vector's
+    norm — the measurement that decides whether an index can store int8
+    and re-rank in float. Map-only array arithmetic, zero shuffles; the
+    per-component round is exact on both engines (HALF_UP and
+    half-away-from-zero agree at every sign because both round away from
+    zero), and the residual fold is the same ordered array sum the
+    certified norm kernel uses."""
+    e = _emb(spark, sf_dir)
+    v = as_double(F.col("embedding"))
+    # internal name __maxabs, NOT maxabs: the output select aliases a
+    # ROUNDED maxabs, and Spark's lateral column alias resolution would
+    # otherwise bind the lambda's F.col("maxabs") to that rounded alias —
+    # silently quantizing against the 6-dp scale (caught by the oracle:
+    # 43/500 rows off by 1e-6)
+    d = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("__maxabs"),
+    ).where(F.col("__maxabs") > 0)
+    resid = F.zip_with(
+        F.col("v"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * 127 / F.col("__maxabs"))
+            * F.col("__maxabs")
+            / 127,
+        ),
+        lambda x, q: (x - q) * (x - q),
+    )
+    l2_err = F.sqrt(
+        F.aggregate(resid, F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.round(F.col("__maxabs"), 6).alias("maxabs"),
+        F.round(l2_err, 6).alias("l2_err"),
+        F.round(l2_err / norm, 6).alias("rel_err"),
+    )

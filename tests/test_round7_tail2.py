@@ -264,3 +264,137 @@ def test_quality_signal_correlation_matches_numpy(spark):
     assert abs(got[("n_tokens", "entropy")] - c[0, 1]) < 1e-6
     assert abs(got[("n_tokens", "rep_ratio")] - c[0, 2]) < 1e-6
     assert abs(got[("entropy", "rep_ratio")] - c[1, 2]) < 1e-6
+
+
+def test_regression_matches_numpy(spark):
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        part_size_price_regression,
+    )
+
+    row = part_size_price_regression(spark, PARITY_SF_DIR).collect()[0]
+    p = spark.read.parquet(f"{PARITY_SF_DIR}/part.parquet").select(
+        "p_size", "p_retailprice"
+    ).collect()
+    x = np.array([r.p_size for r in p], dtype=np.float64)
+    y = np.array([round(r.p_retailprice * 100) for r in p], dtype=np.float64)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_parts == len(p)
+    assert abs(row.slope_per_size - slope / 100.0) < 1e-5
+    assert abs(row.intercept_dollars - intercept / 100.0) < 1e-4
+
+
+def test_trade_balance_reconciles_totals(spark):
+    """Summed supply equals total lineitem revenue; summed demand equals
+    total order value (every supplier/customer has a nation)."""
+    from pyspark.sql import functions as F2
+
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        _cents,
+        _revenue_col,
+        _t,
+        nation_trade_balance,
+    )
+
+    rows = nation_trade_balance(spark, PARITY_SF_DIR).collect()
+    li = _t(spark, PARITY_SF_DIR, "lineitem")
+    o = _t(spark, PARITY_SF_DIR, "orders")
+    want_supply = (
+        li.agg((F2.sum(_revenue_col()).cast("double") / 1e6).alias("r"))
+        .collect()[0]
+        .r
+    )
+    want_demand = (
+        o.agg((F2.sum(_cents("o_totalprice")) / 100.0).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert abs(sum(r.supply_revenue for r in rows) - want_supply) < 1e-4
+    assert abs(sum(r.demand_spend for r in rows) - want_demand) < 1e-4
+
+
+def test_ltv_deciles_partition_customers(spark):
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        customer_ltv_deciles,
+    )
+
+    rows = sorted(
+        customer_ltv_deciles(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust
+    # decile value ranges are non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_spend <= b.min_spend + 1e-9
+
+
+def test_stickiness_bounds_and_last_day(spark):
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        dau_wau_stickiness,
+    )
+
+    rows = dau_wau_stickiness(spark, PARITY_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_first_touch_covers_all_users(spark):
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        first_touch_attribution,
+    )
+
+    rows = first_touch_attribution(spark, PARITY_SF_DIR).collect()
+    n_users = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+
+
+def test_growth_curve_is_monotone_and_totals_vocab(spark):
+    from epiteam_network_etl_functions_spark.workload.text import (
+        _shingled,
+        corpus_growth_curve,
+    )
+
+    rows = sorted(
+        corpus_growth_curve(spark, PARITY_SF_DIR).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r.n_new >= 1
+        cum += r.n_new
+        assert r.cum_vocab == cum
+    vocab = _shingled(spark, PARITY_SF_DIR).select("shingle").distinct().count()
+    assert cum == vocab
+
+
+def test_quantization_error_small_relative(spark):
+    """Int8 quantization of 64-dim unit-ish vectors has small relative
+    error (each residual <= maxabs/254), and rel_err >= 0."""
+    from epiteam_network_etl_functions_spark.workload.vectors import (
+        vec_quantization_error,
+    )
+
+    rows = vec_quantization_error(spark, PARITY_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rel_err < 0.05
+        assert 0.0 <= r.l2_err
