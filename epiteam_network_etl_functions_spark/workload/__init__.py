@@ -239,6 +239,19 @@ DEFERRED: tuple[str, ...] = (
     "tokenization_fertility_by_lang",
     "knn_label_agreement",
     "vec_quantization_error",
+    "bridge_cells_report",
+    "device_mobility_entropy",
+    "meeting_count_histogram",
+    "hourly_anomaly_zscore",
+    "user_lifecycle_stages",
+    "error_burst_windows",
+    "value_winsorized_stats",
+    "doc_prefix_dup_groups",
+    "doc_numeric_density",
+    "corpus_token_budget_planner",
+    "inventory_value_abc",
+    "supplier_herfindahl",
+    "customer_nation_pareto",
 )
 
 

@@ -1136,3 +1136,141 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("aa_nano") / 1e9, 6).alias("aa_score"),
         )
     )
+
+
+@query(
+    "bridge_cells_report",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()},
+    occ AS (
+        SELECT event_type, tw, count(*) AS n FROM presence
+        GROUP BY event_type, tw
+    )
+    SELECT event_type,
+           CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pair_meetings,
+           CAST(max(n) AS BIGINT) AS peak_occupancy,
+           count(*) AS n_buckets
+    FROM occ GROUP BY event_type
+    """,
+)
+def bridge_cells_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superspreader-venue report: per cell, the total PAIR-MEETINGS it
+    generates (sum over time buckets of C(occupancy, 2)) plus peak
+    occupancy — the ranking that tells an epidemic model which locations
+    drive contact volume (and a capacity planner where the flagship
+    join's quadratic output concentrates: these exact counts ARE the
+    per-cell join cost, so this query is also the skew forecast for
+    colocation_pairs). Two narrow aggregates over deduped presence —
+    the pair volume is COUNTED from occupancy integers, never
+    materialized as pairs."""
+    p = _bucketed_presence(spark, sf_dir).distinct()
+    occ = p.groupBy("event_type", "tw").agg(F.count(F.lit(1)).alias("n"))
+    return occ.groupBy("event_type").agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias(
+            "pair_meetings"
+        ),
+        F.max("n").cast("bigint").alias("peak_occupancy"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@query(
+    "device_mobility_entropy",
+    oracle="""
+    WITH visits AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(c) AS n FROM visits GROUP BY user_id),
+    terms AS (
+        SELECT v.user_id, t.n,
+               CAST(round(c * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                   AS clnc_nano
+        FROM visits v JOIN tot t ON t.user_id = v.user_id
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           count(*) AS n_cells,
+           round(ln(CAST(max(n) AS DOUBLE))
+                 - sum(clnc_nano) / (max(n) * 1e9), 6) AS entropy_nats
+    FROM terms GROUP BY user_id
+    """,
+)
+def device_mobility_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-device mobility entropy over visited cells — the predictability
+    measure of the human-mobility literature (low entropy = routine
+    movement, high = erratic; the reference's home-inference confidence
+    is its argmax cousin). Shannon entropy decomposes as
+    ln(n) - (1/n)·Σ c·ln(c), so each c·ln(c) term quantizes to integer
+    nanos BEFORE the per-device sum (transcendental-then-quantize,
+    DETERMINISM.md — the aggregation-order-proof form; c >= 1 keeps
+    every term >= 0) and the one ln(n) sits outside the aggregate.
+    Two map-side-combined aggregates on the (user, cell) key."""
+    e = _events(spark, sf_dir)
+    visits = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clnc_nano = F.round(
+        F.col("c") * F.log(F.col("c").cast("double")) * 1e9
+    ).cast("long")
+    per_user = visits.select(
+        "user_id", "c", clnc_nano.alias("clnc_nano")
+    ).groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("clnc_nano").alias("sum_nano"),
+    )
+    ent = F.round(
+        F.log(F.col("n_events").cast("double"))
+        - F.col("sum_nano") / (F.col("n_events") * 1e9),
+        6,
+    )
+    return per_user.select(
+        "user_id", "n_events", "n_cells", ent.alias("entropy_nats")
+    )
+
+
+@query(
+    "meeting_count_histogram",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()},
+    pair_buckets AS (
+        SELECT DISTINCT a.user_id AS a_user_id, b.user_id AS b_user_id,
+               a.tw
+        FROM presence a JOIN presence b USING (event_type, tw)
+        WHERE a.user_id < b.user_id
+    ),
+    weighted AS (
+        SELECT a_user_id, b_user_id, count(*) AS n_meetings
+        FROM pair_buckets GROUP BY a_user_id, b_user_id
+    )
+    SELECT n_meetings, count(*) AS n_pairs
+    FROM weighted GROUP BY n_meetings
+    """,
+)
+def meeting_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-weight distribution: how many device pairs met exactly k
+    distinct time buckets — the histogram that separates one-off passes
+    (k=1 noise mass) from sustained contacts, and the empirical input to
+    choosing colocation_pair_persistence's k>=2 cut. Same deduped
+    single-shuffle pair join as the persistence query, then a histogram
+    aggregate that reduces the pair-sized table to |k| rows (exact
+    integers end to end)."""
+    p = _bucketed_presence(spark, sf_dir).distinct()
+    a, b = p.alias("a"), p.hint("shuffle_hash").alias("b")
+    pair_buckets = (
+        a.join(b, on=["event_type", "tw"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("a_user_id"),
+            F.col("b.user_id").alias("b_user_id"),
+            "tw",
+        )
+        .distinct()
+    )
+    weighted = pair_buckets.groupBy("a_user_id", "b_user_id").agg(
+        F.count(F.lit(1)).alias("n_meetings")
+    )
+    return weighted.groupBy("n_meetings").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

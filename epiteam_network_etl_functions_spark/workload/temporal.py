@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import catalog
 from ..operators.asof import asof_join_backward
+from ..operators.timebucket import bucket_sql
 from ..operators.sessions import session_stats, sessionize
 from ..session import prep
 from . import query
@@ -1929,6 +1930,229 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__conv").alias("n_converted"),
             F.round(F.count("__conv") * 1.0 / F.count(F.lit(1)), 6).alias(
                 "conversion_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "hourly_anomaly_zscore",
+    oracle="""
+    WITH grid AS (
+        SELECT t.event_type, h.hour
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(24)) AS hour) h
+    ),
+    counts AS (
+        SELECT event_type, hour(ts) AS hour, count(*) AS c
+        FROM events GROUP BY event_type, hour(ts)
+    ),
+    filled AS (
+        SELECT g.event_type, g.hour, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c
+          ON c.event_type = g.event_type AND c.hour = g.hour
+    ),
+    m AS (
+        SELECT event_type, sum(c) AS s, sum(c*c) AS q
+        FROM filled GROUP BY event_type
+    )
+    SELECT f.event_type, CAST(f.hour AS BIGINT) AS hour,
+           CAST(f.c AS BIGINT) AS n_events,
+           round((f.c - m.s / 24.0)
+                 / sqrt(CAST(24 * m.q - m.s * m.s AS DOUBLE)) * 24.0,
+                 6) AS zscore
+    FROM filled f JOIN m ON m.event_type = f.event_type
+    """,
+)
+def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day anomaly scores: each (type, hour) count standardized
+    against that type's 24-hour profile — the load-anomaly view an
+    on-call dashboard renders (|z| > 2 rows are the alert candidates).
+    Missing hours zero-fill via a generated type x 24 grid so the
+    profile is over all 24 hours, not just observed ones. The z-score
+    assembles from exact integer moment sums (s, q over exactly 24
+    values) with one identical double expression — population sigma =
+    sqrt(24q - s^2)/24, so z = (c - s/24)·24/sqrt(24q - s^2); the
+    standardization is locked by the sum-zero / square-sum-24 test."""
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = e.select("event_type").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    grid = types.crossJoin(F.broadcast(hours))
+    filled = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    m = filled.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("q")
+    )
+    z = F.round(
+        (F.col("c") - F.col("s") / 24.0)
+        / F.sqrt((24 * F.col("q") - F.col("s") * F.col("s")).cast("double"))
+        * 24.0,
+        6,
+    )
+    return (
+        filled.join(m, "event_type")
+        .select(
+            "event_type",
+            F.col("hour").cast("bigint").alias("hour"),
+            F.col("c").cast("bigint").alias("n_events"),
+            z.alias("zscore"),
+        )
+    )
+
+
+LIFECYCLE_ACTIVE_D = 0
+LIFECYCLE_LAPSING_D = 1
+
+
+@query(
+    "user_lifecycle_stages",
+    oracle=f"""
+    WITH last_seen AS (
+        SELECT user_id, max(CAST(ts AS DATE)) AS last_day FROM events
+        GROUP BY user_id
+    ),
+    horizon AS (SELECT max(CAST(ts AS DATE)) AS end_day FROM events),
+    staged AS (
+        SELECT CASE
+                 WHEN end_day - last_day <= {LIFECYCLE_ACTIVE_D} THEN 'active'
+                 WHEN end_day - last_day <= {LIFECYCLE_LAPSING_D} THEN 'lapsing'
+                 ELSE 'churned'
+               END AS stage
+        FROM last_seen CROSS JOIN horizon
+    )
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+)
+def user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifecycle segmentation: active (seen ON the data
+    horizon day), lapsing (within {LIFECYCLE_LAPSING_D} day), churned
+    (older) — cuts sized to the synthetic feed's dense cadence; a
+    production feed widens them — the retention staging
+    every growth dashboard opens with. The horizon is a scalar-agg
+    cross join (the engine's W1 pattern — never an eager collect), the
+    stage cut is an exact integer day difference, and the output is 3
+    rows from one user-keyed aggregate."""
+    e = _events(spark, sf_dir)
+    last_seen = e.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day")
+    )
+    horizon = e.agg(F.max(F.to_date("ts")).alias("end_day"))
+    gap = F.datediff(F.col("end_day"), F.col("last_day"))
+    stage = (
+        F.when(gap <= LIFECYCLE_ACTIVE_D, "active")
+        .when(gap <= LIFECYCLE_LAPSING_D, "lapsing")
+        .otherwise("churned")
+    )
+    return (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "error_burst_windows",
+    oracle=f"""
+    WITH errs AS (
+        SELECT {bucket_sql('events', 'ts')} AS tw, count(*) AS c
+        FROM events WHERE event_type = 'error'
+        GROUP BY tw
+    ),
+    tot AS (SELECT sum(c) AS s, count(*) AS nb FROM errs)
+    SELECT e.tw, CAST(e.c AS BIGINT) AS n_errors
+    FROM errs e CROSS JOIN tot
+    WHERE e.c * tot.nb > 2 * tot.s
+    """,
+)
+def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detector: 10-minute buckets whose error count exceeds
+    2x the per-bucket average — the paging condition of an alerting
+    pipeline, as a batch query. The threshold comparison is EXACT
+    integer cross-multiplication (c·n_buckets > 2·total), never a float
+    average — so a bucket sitting exactly ON the threshold can't flip
+    between engines (the knife-edge discipline). One filtered bucket
+    aggregate + a scalar-agg cross join."""
+    from .mobility import _bucket_origin_us
+    from ..operators.timebucket import with_time_bucket  # noqa: F811
+
+    e = _events(spark, sf_dir).where(F.col("event_type") == "error")
+    b = with_time_bucket(
+        e, "ts", 600, origin_us=_bucket_origin_us(spark, sf_dir)
+    )
+    errs = b.groupBy("tw").agg(F.count(F.lit(1)).alias("c"))
+    tot = errs.agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        errs.crossJoin(F.broadcast(tot))
+        .where(F.col("c") * F.col("nb") > 2 * F.col("s"))
+        .select("tw", F.col("c").cast("bigint").alias("n_errors"))
+    )
+
+
+@query(
+    "value_winsorized_stats",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type,
+               CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+        SELECT event_type,
+               CAST(round(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
+               CAST(round(quantile_cont(v, 0.95)) AS BIGINT) AS hi
+        FROM vm GROUP BY event_type
+    )
+    SELECT vm.event_type,
+           count(*) AS n,
+           round(cuts.lo / 1e6, 6) AS p5,
+           round(cuts.hi / 1e6, 6) AS p95,
+           round(sum(least(greatest(vm.v, cuts.lo), cuts.hi))
+                 / (count(*) * 1e6), 6) AS winsorized_mean
+    FROM vm JOIN cuts ON cuts.event_type = vm.event_type
+    GROUP BY vm.event_type, cuts.lo, cuts.hi
+    """,
+)
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean: values clamped to their type's [p5, p95]
+    before averaging (winsorization — the robust stat a metrics pipeline
+    reports when heavy tails poison plain means). Determinism chain:
+    values quantize to integer micros FIRST, the exact continuous
+    percentile interpolates on those integers (the order_value_median
+    contract) and re-rounds to an integer cut, the clamp is pure integer
+    least/greatest, and the mean divides one exact integer sum — no
+    float enters until the final division. Two aggregates on the type
+    key (percentile needs the group's values; the documented
+    approx-sketch swap applies when groups outgrow executors)."""
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    vm = e.select(
+        "event_type", F.round(F.col("value") * 1e6).cast("long").alias("v")
+    )
+    cuts = vm.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("v"), F.lit(0.05))).cast("long").alias("lo"),
+        F.round(F.percentile(F.col("v"), F.lit(0.95))).cast("long").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        vm.join(cuts, "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clamped).alias("csum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("lo") / 1e6, 6).alias("p5"),
+            F.round(F.col("hi") / 1e6, 6).alias("p95"),
+            F.round(F.col("csum") / (F.col("n") * 1e6), 6).alias(
+                "winsorized_mean"
             ),
         )
     )

@@ -2654,3 +2654,138 @@ def tokenization_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
             "fertility"
         ),
     )
+
+
+PREFIX_DUP_CHARS = 64
+
+
+@query(
+    "doc_prefix_dup_groups",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, md5(substr(text, 1, {PREFIX_DUP_CHARS})) AS ph
+        FROM documents WHERE length(text) >= {PREFIX_DUP_CHARS}
+    )
+    SELECT ph AS prefix_hash,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM p GROUP BY ph HAVING count(*) >= 2
+    """,
+)
+def doc_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups: documents whose first
+    {PREFIX_DUP_CHARS} characters hash identically — the
+    boilerplate-header detector (templated intros, mirrored pages with
+    divergent tails) that exact whole-text dedup misses and shingle
+    Jaccard underweights. One digest projection + one hash-keyed count
+    with a min-id keeper, the exact_dedup_groups shape on a prefix
+    grain; docs shorter than the prefix are excluded on both engines
+    (a short doc's whole text is not a 'prefix')."""
+    d = _docs(spark, sf_dir)
+    p = d.where(F.length("text") >= PREFIX_DUP_CHARS).select(
+        "doc_id",
+        F.md5(
+            F.substring(F.col("text"), 1, PREFIX_DUP_CHARS).cast("binary")
+        ).alias("prefix_hash"),
+    )
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "doc_numeric_density",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+                AS BIGINT) AS n_numeric,
+           round(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+                 * 1.0 / len(toks), 6) AS numeric_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def doc_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density — the Gopher-family symbol/number gate
+    (tables, serial dumps, and price lists score high and get routed to
+    structured-data handling instead of the text mixture). Map-only JVM
+    array arithmetic (filter + regexp per token), ratio of exact
+    integers; pipelines with the scan at any corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_num = F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$")))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            n_num.cast("bigint").alias("n_numeric"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_numeric",
+            F.round(F.col("n_numeric") * 1.0 / F.col("n_tokens"), 6).alias(
+                "numeric_ratio"
+            ),
+        )
+    )
+
+
+SEQ_LEN = 512
+
+
+@query(
+    "corpus_token_budget_planner",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tok) / {SEQ_LEN}.0) AS BIGINT) AS packed_seqs,
+           CAST(sum(CAST(ceil(n_tok / {SEQ_LEN}.0) AS BIGINT)) AS BIGINT)
+               AS naive_seqs,
+           round(1.0 - sum(n_tok)
+                 / (sum(CAST(ceil(n_tok / {SEQ_LEN}.0) AS BIGINT))
+                    * {SEQ_LEN}.0), 6) AS naive_padding_waste
+    FROM t GROUP BY source
+    """,
+)
+def corpus_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget planning per source: total tokens, the packed
+    sequence count (ceil(total/{SEQ_LEN}) — the doc_pack_bins lower
+    bound) vs the naive one-doc-per-sequence count, and the padding
+    fraction naive batching wastes — the arithmetic that justifies
+    running the packer at all, per data source. One map-only token
+    count + one source-keyed aggregate of exact integers; ceil on an
+    integer/constant ratio is engine-identical."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    t = d.select("source", n_tok.alias("n_tok"))
+    naive = F.sum(F.ceil(F.col("n_tok") / float(SEQ_LEN)).cast("long"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("n_tok") / float(SEQ_LEN)).cast("bigint").alias(
+            "packed_seqs"
+        ),
+        naive.cast("bigint").alias("naive_seqs"),
+        F.round(
+            1.0 - F.sum("n_tok") / (naive * float(SEQ_LEN)), 6
+        ).alias("naive_padding_waste"),
+    )

@@ -2122,3 +2122,204 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("total_spend"),
         )
     )
+
+
+@query(
+    "inventory_value_abc",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                   * (10000 - {_SQL_BP.format(c='l_discount')})
+                   AS HUGEINT)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (
+                   ORDER BY rev DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING
+               ) AS cum,
+               sum(rev) OVER () AS total
+        FROM pr
+    ),
+    banded AS (
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS band,
+               rev, total
+        FROM ranked
+    )
+    SELECT band, count(*) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) / 1000000.0 AS band_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+               AS revenue_share
+    FROM banded GROUP BY band
+    """,
+)
+def inventory_value_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by lifetime revenue,
+    banded at the classic 80%/95% cumulative cuts — the Pareto report
+    every inventory planner starts from (A parts get daily counts, C
+    parts annual). The band cut is EXACT integer cross-multiplication
+    (cum·100 <= total·80 on decimal revenue units) so a part exactly on
+    a boundary lands identically on both engines; the running share is
+    one part-keyed window ordered by (rev, partkey) — totally ordered,
+    so the cumulative sum is deterministic. Window input is part-sized,
+    not fact-sized."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(_revenue_col()).alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pr.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(wt).alias("total"),
+    )
+    band = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(band.alias("band"), "rev", "total")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev").cast("double") / 1000000.0).alias("band_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "supplier_herfindahl",
+    oracle=f"""
+    WITH sr AS (
+        SELECT s.s_nationkey,
+               sum(CAST({_SQL_CENTS.format(c='l.l_extendedprice')}
+                   * (10000 - {_SQL_BP.format(c='l.l_discount')})
+                   AS HUGEINT)) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY l.l_suppkey, s.s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           round(CAST(sum(rev * rev) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)),
+                 6) AS hhi
+    FROM sr JOIN nation n ON n.n_nationkey = sr.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue within each nation (1/n = perfectly even, 1.0 =
+    monopoly) — the supply-risk metric a procurement team tracks. HHI
+    = sum(rev_i^2)/total^2 assembles entirely from EXACT integer
+    revenue sums (decimal accumulators; rev^2 is the products-of-sums
+    frontier again) with one double division at the end. Two aggregates:
+    supplier-keyed revenue, then nation-keyed moment sums — both
+    map-side combined, broadcast nation dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum(_revenue_col()).alias("rev"))
+    )
+    return (
+        sr.join(F.broadcast(n), sr.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("rev") * F.col("rev")).cast("double")
+                / (
+                    F.sum("rev").cast("double")
+                    * F.sum("rev").cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "customer_nation_pareto",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               sum({_SQL_CENTS.format(c='o.o_totalprice')}) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY cents DESC, o_custkey ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM spend
+    )
+    SELECT n.n_name AS nation,
+           CAST(max(n_cust) AS BIGINT) AS n_customers,
+           sum(cents) / 100.0 AS total_spend,
+           sum(CASE WHEN rn * 5 <= n_cust THEN cents ELSE 0 END) / 100.0
+               AS top20_spend,
+           round(sum(CASE WHEN rn * 5 <= n_cust THEN cents ELSE 0 END)
+                 * 1.0 / sum(cents), 6) AS top20_share
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def customer_nation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per market: the revenue share held by the top
+    20% of customers in each nation — the 80/20 check behind account
+    prioritization. The top-20% membership is EXACT integer arithmetic
+    (rank·5 <= n, no float fraction), the rank order carries the custkey
+    tie-break, and spends are exact cents; one customer-keyed aggregate,
+    one nation-partitioned window over customer-sized rows, one
+    25-row rollup with the broadcast nation dim."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cents").desc(), F.col("o_custkey").asc()
+    )
+    wc = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_cust"),
+    )
+    top = F.sum(
+        F.when(F.col("rn") * 5 <= F.col("n_cust"), F.col("cents")).otherwise(0)
+    )
+    return (
+        ranked.join(F.broadcast(n), ranked.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("total_spend"),
+            (top / 100.0).alias("top20_spend"),
+            F.round(top * 1.0 / F.sum("cents"), 6).alias("top20_share"),
+        )
+    )

@@ -398,3 +398,136 @@ def test_quantization_error_small_relative(spark):
     for r in rows:
         assert 0.0 <= r.rel_err < 0.05
         assert 0.0 <= r.l2_err
+
+
+def test_bridge_cells_equal_pair_join_volume(spark):
+    """Counted pair_meetings must equal the materialized pair-bucket join
+    volume (the skew-forecast claim), summed over cells."""
+    from epiteam_network_etl_functions_spark.workload.mobility import (
+        _bucketed_presence,
+        bridge_cells_report,
+    )
+
+    rows = bridge_cells_report(spark, PARITY_SF_DIR).collect()
+    p = _bucketed_presence(spark, PARITY_SF_DIR).distinct()
+    a, b = p.alias("a"), p.alias("b")
+    joined = (
+        a.join(b, ["event_type", "tw"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .count()
+    )
+    assert sum(r.pair_meetings for r in rows) == joined
+
+
+def test_mobility_entropy_bounds(spark):
+    """0 <= H <= ln(n_cells); single-cell devices score exactly 0."""
+    import math
+
+    from epiteam_network_etl_functions_spark.workload.mobility import (
+        device_mobility_entropy,
+    )
+
+    rows = device_mobility_entropy(spark, PARITY_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-6 <= r.entropy_nats <= math.log(r.n_cells) + 1e-6
+        if r.n_cells == 1:
+            assert r.entropy_nats == 0.0
+
+
+def test_meeting_histogram_totals_match_persistence(spark):
+    from epiteam_network_etl_functions_spark.workload.mobility import (
+        colocation_pair_persistence,
+        meeting_count_histogram,
+    )
+
+    hist = {
+        r.n_meetings: r.n_pairs
+        for r in meeting_count_histogram(spark, PARITY_SF_DIR).collect()
+    }
+    persistent = colocation_pair_persistence(spark, PARITY_SF_DIR).count()
+    assert sum(n for k, n in hist.items() if k >= 2) == persistent
+
+
+def test_hourly_zscores_standardized(spark):
+    """Per type: 24 rows, z-scores sum to ~0 and square-sum to ~24."""
+    from collections import defaultdict
+
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        hourly_anomaly_zscore,
+    )
+
+    rows = hourly_anomaly_zscore(spark, PARITY_SF_DIR).collect()
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(r.zscore)
+    for t, zs in per_type.items():
+        assert len(zs) == 24
+        assert abs(sum(zs)) < 1e-3
+        assert abs(sum(z * z for z in zs) - 24) < 1e-2
+
+
+def test_lifecycle_covers_all_users(spark):
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        user_lifecycle_stages,
+    )
+
+    rows = user_lifecycle_stages(spark, PARITY_SF_DIR).collect()
+    n_users = (
+        spark.read.parquet(f"{PARITY_SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+
+
+def test_winsorized_mean_between_cuts(spark):
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        value_winsorized_stats,
+    )
+
+    for r in value_winsorized_stats(spark, PARITY_SF_DIR).collect():
+        assert r.p5 <= r.winsorized_mean <= r.p95
+
+
+def test_abc_bands_partition_revenue(spark):
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        inventory_value_abc,
+    )
+
+    rows = {r.band: r for r in inventory_value_abc(spark, PARITY_SF_DIR).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-5
+    # A-band share is at most 80% by construction (cut is <=)
+    assert rows["A"].revenue_share <= 0.80 + 1e-9
+
+
+def test_herfindahl_bounds(spark):
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        supplier_herfindahl,
+    )
+
+    for r in supplier_herfindahl(spark, PARITY_SF_DIR).collect():
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_pareto_share_bounds(spark):
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        customer_nation_pareto,
+    )
+
+    for r in customer_nation_pareto(spark, PARITY_SF_DIR).collect():
+        assert 0.0 <= r.top20_share <= 1.0
+        assert r.top20_spend <= r.total_spend + 1e-9
+
+
+def test_token_budget_packed_lower_bound(spark):
+    from epiteam_network_etl_functions_spark.workload.text import (
+        corpus_token_budget_planner,
+    )
+
+    for r in corpus_token_budget_planner(spark, PARITY_SF_DIR).collect():
+        assert r.packed_seqs <= r.naive_seqs
+        assert 0.0 <= r.naive_padding_waste < 1.0
