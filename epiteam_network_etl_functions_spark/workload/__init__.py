@@ -252,6 +252,11 @@ DEFERRED: tuple[str, ...] = (
     "inventory_value_abc",
     "supplier_herfindahl",
     "customer_nation_pareto",
+    "value_first_digit_benford",
+    "purchase_interpurchase_gaps",
+    "source_vocab_overlap",
+    "embedding_dim_variance",
+    "order_value_vs_lines",
 )
 
 

@@ -2156,3 +2156,120 @@ def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "value_first_digit_benford",
+    oracle="""
+    WITH vm AS (
+        SELECT CAST(round(value * 1e6) AS BIGINT) AS v FROM events
+        WHERE value IS NOT NULL AND round(value * 1e6) >= 1
+    ),
+    digits AS (
+        SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM vm
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT d.digit,
+           count(*) AS n_values,
+           round(count(*) * 1.0 / max(tot.n), 6) AS observed_freq,
+           round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 6) AS benford_freq
+    FROM digits d CROSS JOIN tot
+    GROUP BY d.digit
+    """,
+)
+def value_first_digit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column — the classic
+    fabricated-data / instrumentation-bug screen: natural multi-scale
+    measurements put ~30.1% of first digits at 1, a uniform RNG puts
+    ~11%, and the gap between observed_freq and benford_freq is the
+    signal (the synthetic feed here is uniform, so the flat profile is
+    the expected finding). The first digit comes from the STRING of the
+    micro-quantized INTEGER — never from float formatting, which
+    engines render differently; the Benford reference frequency is one
+    identical ln expression per digit. Map-only projection + 9-row
+    aggregate + scalar-agg total."""
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    vm = e.select(F.round(F.col("value") * 1e6).cast("long").alias("v")).where(
+        F.col("v") >= 1
+    )
+    digits = vm.select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.round(F.col("n_values") * 1.0 / F.col("n"), 6).alias(
+                "observed_freq"
+            ),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+            ).alias("benford_freq"),
+        )
+    )
+
+
+@query(
+    "purchase_interpurchase_gaps",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT user_id, (epoch_us(ts) - prev_us) // 3600000000 AS gap_h
+        FROM p WHERE prev_us IS NOT NULL
+    )
+    SELECT count(*) AS n_gaps,
+           count(DISTINCT user_id) AS n_repeat_buyers,
+           CAST(round(quantile_cont(gap_h, 0.5)) AS BIGINT) AS median_gap_h,
+           CAST(round(quantile_cont(gap_h, 0.9)) AS BIGINT) AS p90_gap_h
+    FROM gaps
+    """,
+)
+def purchase_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: the distribution of hours between a
+    user's consecutive purchases — the repurchase-cycle metric behind
+    replenishment reminders and churn-risk windows. Gaps are exact
+    integer hours (floor-divided epoch micros; lag over the
+    (ts, event_id)-ordered per-user window), and the summary quantiles
+    interpolate on those integers then re-round — so the only floats
+    are two engine-identical interpolations. One filtered window + one
+    scalar aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                (
+                    F.unix_micros("ts")
+                    - F.lag(F.unix_micros("ts")).over(w)
+                )
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 3600000000").alias("gap_h"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.countDistinct("user_id").alias("n_repeat_buyers"),
+        F.round(F.percentile("gap_h", F.lit(0.5))).cast("bigint").alias(
+            "median_gap_h"
+        ),
+        F.round(F.percentile("gap_h", F.lit(0.9))).cast("bigint").alias(
+            "p90_gap_h"
+        ),
+    )

@@ -2789,3 +2789,68 @@ def corpus_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("n_tok") / (naive * float(SEQ_LEN)), 6
         ).alias("naive_padding_waste"),
     )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+        FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.i AS BIGINT) AS n_shared,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between data sources — the
+    mixture-design lens that chunk-level leakage misses: two sources can
+    share no verbatim chunks yet cover the same vocabulary (redundant
+    for diversity) or be near-disjoint (each earns its mixture weight).
+    Distinct (source, term) once, a term-keyed self-join whose output
+    is bounded by |sources|² pairs per term-match (sources are few;
+    the term join is the only shuffle), exact integer set algebra."""
+    d = _docs(spark, sf_dir)
+    st = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+        ).alias("term"),
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "term")
+    b = st.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("i").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )

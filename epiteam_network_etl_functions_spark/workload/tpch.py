@@ -2323,3 +2323,48 @@ def customer_nation_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top * 1.0 / F.sum("cents"), 6).alias("top20_share"),
         )
     )
+
+
+@query(
+    "order_value_vs_lines",
+    oracle=f"""
+    WITH ol AS (
+        SELECT o.o_orderkey, count(*) AS n_lines,
+               max({_SQL_CENTS.format(c='o.o_totalprice')}) AS cents
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    )
+    SELECT n_lines,
+           count(*) AS n_orders,
+           round(sum(cents) / 100.0 / count(*), 6) AS avg_value,
+           min(cents) / 100.0 AS min_value,
+           max(cents) / 100.0 AS max_value
+    FROM ol GROUP BY n_lines
+    """,
+)
+def order_value_vs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size-vs-value profile: average order value keyed by the
+    number of lines in the order — the does-bigger-basket-mean-bigger-
+    spend curve (linear: independent items; superlinear: bundling).
+    Orderkey-spine join (co-partitioned with the keyed cache/bucket
+    layout), order-keyed count with the order value carried as max()
+    (constant per group — never re-joined), then a ~7-row profile
+    aggregate of exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ol = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max(_cents("o_totalprice")).alias("cents"),
+        )
+    )
+    return ol.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 6).alias(
+            "avg_value"
+        ),
+        (F.min("cents") / 100.0).alias("min_value"),
+        (F.max("cents") / 100.0).alias("max_value"),
+    )

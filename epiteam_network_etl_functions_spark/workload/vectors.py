@@ -979,3 +979,63 @@ def vec_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_err, 6).alias("l2_err"),
         F.round(l2_err / norm, 6).alias("rel_err"),
     )
+
+
+@query(
+    "embedding_dim_variance",
+    oracle="""
+    WITH comp AS (
+        SELECT u.pos, CAST(round(u.val * 1e6) AS BIGINT) AS vm
+        FROM (
+            SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> struct_pack(pos := i,
+                                    val := CAST(embedding[i] AS DOUBLE)))) AS u
+            FROM embeddings
+        )
+    ),
+    m AS (
+        SELECT pos, count(*) AS n, sum(vm) AS s, sum(vm * vm) AS q
+        FROM comp GROUP BY pos
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           round(CAST(n * q - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 6)
+               AS variance
+    FROM m
+    ORDER BY variance DESC, pos ASC
+    LIMIT 16
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking (top 16) — the PCA-lite diagnostic
+    with an EXACT oracle (the eigensolve itself is rows-only by nature;
+    this is its differentially-certifiable cousin): low-variance
+    dimensions are pruning candidates before quantization/indexing.
+    Components micro-quantize to integers, per-dimension population
+    variance assembles from exact moment sums (n·q - s² — products of
+    sums, decimal accumulators), and the top-k cut orders on the exact
+    integer numerator scaled by a constant, with a pos tie-break."""
+    e = _emb(spark, sf_dir)
+    dec = "decimal(38,0)"
+    comp = e.select(
+        F.posexplode(as_double(F.col("embedding")))
+    ).select(
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("col") * 1e6).cast("long").alias("vm"),
+    )
+    m = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("vm").cast(dec)).alias("s"),
+        F.sum((F.col("vm") * F.col("vm")).cast(dec)).alias("q"),
+    )
+    var = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    ) / 1e12
+    return (
+        m.select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(var, 6).alias("variance"),
+        )
+        .orderBy(F.col("variance").desc(), F.col("pos").asc())
+        .limit(16)
+    )

@@ -531,3 +531,81 @@ def test_token_budget_packed_lower_bound(spark):
     for r in corpus_token_budget_planner(spark, PARITY_SF_DIR).collect():
         assert r.packed_seqs <= r.naive_seqs
         assert 0.0 <= r.naive_padding_waste < 1.0
+
+
+def test_benford_frequencies_sum_to_one(spark):
+    import math
+
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        value_first_digit_benford,
+    )
+
+    rows = value_first_digit_benford(spark, PARITY_SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        want = round(math.log(1 + 1 / r.digit) / math.log(10), 6)
+        assert abs(r.benford_freq - want) < 1e-9
+
+
+def test_interpurchase_gaps_ordered_quantiles(spark):
+    from epiteam_network_etl_functions_spark.workload.temporal import (
+        purchase_interpurchase_gaps,
+    )
+
+    r = purchase_interpurchase_gaps(spark, PARITY_SF_DIR).collect()[0]
+    assert r.n_gaps >= r.n_repeat_buyers >= 1
+    assert 0 <= r.median_gap_h <= r.p90_gap_h
+
+
+def test_vocab_overlap_symmetric_bounds(spark):
+    from epiteam_network_etl_functions_spark.workload.text import (
+        source_vocab_overlap,
+    )
+
+    rows = source_vocab_overlap(spark, PARITY_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_shared >= 1
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_dim_variance_matches_numpy(spark):
+    import numpy as np
+
+    from epiteam_network_etl_functions_spark.workload.vectors import (
+        embedding_dim_variance,
+    )
+
+    rows = embedding_dim_variance(spark, PARITY_SF_DIR).collect()
+    assert len(rows) == 16
+    emb = np.array(
+        [
+            [round(float(x) * 1e6) for x in r.embedding]
+            for r in spark.read.parquet(
+                f"{PARITY_SF_DIR}/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    var = emb.var(axis=0) / 1e12
+    order = sorted(
+        range(emb.shape[1]), key=lambda i: (-round(var[i], 6), i)
+    )[:16]
+    assert [r.pos for r in rows] == [i + 1 for i in order]
+    for r in rows:
+        assert abs(r.variance - var[r.pos - 1]) < 1e-5
+
+
+def test_order_value_lines_covers_all_orders(spark):
+    from epiteam_network_etl_functions_spark.workload.tpch import (
+        order_value_vs_lines,
+    )
+
+    rows = order_value_vs_lines(spark, PARITY_SF_DIR).collect()
+    li = spark.read.parquet(f"{PARITY_SF_DIR}/lineitem.parquet")
+    n_orders = li.select("l_orderkey").distinct().count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.min_value <= r.avg_value <= r.max_value
