@@ -257,6 +257,14 @@ DEFERRED: tuple[str, ...] = (
     "source_vocab_overlap",
     "embedding_dim_variance",
     "order_value_vs_lines",
+    # -- round-7 second continuation (collocation/retrieval/segmentation
+    # batch; beyond the 50-slot round-8 prefix, so these wait for the
+    # round-9 rotation unless a slot frees) --
+    "pmi_collocations",
+    "bm25_keyword_search",
+    "mutual_knn_pairs",
+    "customer_rfm_segments",
+    "near_dup_cluster_source_mix",
 )
 
 

@@ -1650,10 +1650,12 @@ def doc_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "near_dup_cluster_sizes",
-    oracle=f"""
-    WITH RECURSIVE {_DSH_CTE.strip()},
+# PPJoin-pairs -> recursive-reachability connected components, shared by
+# every cluster-level oracle (chains after _DSH_CTE under WITH RECURSIVE;
+# `comp` maps each clustered doc_id `id` to its component label `m` = the
+# component's min doc_id — the same deterministic label the Spark
+# connected_components operator converges to).
+_CC_COMP_CTES = f"""
     sizes AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
     dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
     ranked AS (
@@ -1696,7 +1698,15 @@ def doc_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.src, r.lbl FROM reach r
         JOIN edges e ON e.dst = r.id WHERE r.lbl < e.src
     ),
-    comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id),
+    comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+""".strip()
+
+
+@query(
+    "near_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_DSH_CTE.strip()},
+    {_CC_COMP_CTES},
     csz AS (SELECT m, count(*) AS sz FROM comp GROUP BY m)
     SELECT sz AS cluster_size, count(*) AS n_clusters
     FROM csz GROUP BY sz
@@ -2852,5 +2862,309 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")), 6
             ).alias("jaccard"),
+        )
+    )
+
+
+# ---- collocation / retrieval family (round-7 continuation, round-9 tier) --
+
+# PMI census parameters: a bigram must occur at least this often to be
+# scored (rare pairs have unstable PMI), and the census keeps the top-k.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 40
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n_pair FROM occ GROUP BY w1, w2),
+    u AS (
+        SELECT tok, count(*) AS c FROM (
+            SELECT unnest(t) AS tok FROM toks
+        ) GROUP BY tok
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM occ) AS nb,
+               (SELECT CAST(sum(c) AS BIGINT) FROM u) AS nt
+    )
+    SELECT c2.w1, c2.w2, c2.n_pair,
+           round(ln((c2.n_pair * 1.0 * tot.nt * tot.nt)
+                    / (tot.nb * 1.0 * ua.c * ub.c)), 6) AS pmi
+    FROM c2
+    JOIN u ua ON ua.tok = c2.w1
+    JOIN u ub ON ub.tok = c2.w2
+    CROSS JOIN tot
+    WHERE c2.n_pair >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token COLLOCATIONS by pointwise mutual information —
+    the phrase-mining census (corpus_top_bigrams finds frequent pairs;
+    PMI finds pairs frequent RELATIVE to their parts, i.e. multi-word
+    expressions worth protecting from tokenizer splits or template
+    boilerplate worth stripping). pmi = ln(p(ab) / (p(a)p(b))) with
+    all four counts exact integers; the single expression
+    (n_pair·nt·nt)/(nb·c_a·c_b) is evaluated with the same
+    left-associated order on both engines, so the one ln sits on a
+    bit-identical double and round(...,6) absorbs its <=1-ulp libm
+    spread. Plan: one bigram explode feeding the pair aggregate, one
+    token explode feeding the unigram aggregate (both map-side
+    combined), totals folded in as a scalar-agg crossJoin (no eager
+    count()), then two vocabulary-keyed joins — vocabulary-sized
+    tables shuffle at 100 TB and broadcast at bench SF, same plan.
+    The >= {PMI_MIN_COUNT}-count gate bounds the scored set; the
+    top-{PMI_TOP_K} is a TakeOrderedAndProject on the rounded score
+    with a full lexical tie-break, so the selected set is
+    deterministic."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    occ = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    u = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = occ.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    ua = u.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = u.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * 1.0 * F.col("nt") * F.col("nt"))
+            / (F.col("nb") * 1.0 * F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        c2.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
+
+
+# BM25 retrieval parameters (Robertson/Sparck-Jones defaults) and a fixed
+# keyword query drawn from the synthetic corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "stream", "hash")
+BM25_TOP_K = 20
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok AS term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+        )
+        WHERE tok IN ('join', 'stream', 'hash')
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) AS sc
+        FROM tf
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    ),
+    pivoted AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0) AS s1,
+               coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0) AS s2,
+               coalesce(sum(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(s1 + s2 + s3, 6) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical-search
+    counterpart to the embedding kNN family (corpus curation uses it to
+    pull topic slices; eval pipelines use it as the sparse retriever
+    baseline). Standard Robertson BM25 with k1={BM25_K1}, b={BM25_B}
+    and a fixed {len(BM25_TERMS)}-term query. Determinism: per-term
+    scores are summed in a FIXED textual order (s_join + s_stream +
+    s_hash via conditional pivots, never an arbitrary-order SUM over a
+    float group), tf/df/dl are exact integers, avgdl is the same single
+    division on both engines, and the one ln-per-term sits on an exact
+    ratio so round(...,6) absorbs libm spread. Plan: token explode
+    filtered to the query terms BEFORE the tf aggregate (the filter
+    prunes ~the whole corpus vocabulary map-side), a 3-row df aggregate
+    and 2-scalar stats aggregate folded in by broadcast crossJoin, one
+    doc-keyed join to lengths, then a TakeOrderedAndProject top-k. At
+    100 TB the term filter is the whole story: only rows containing
+    query terms survive the explode stage, so the shuffled state is
+    O(matching docs), and a real deployment swaps the literal term list
+    for a broadcast query table at the same shape."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sc = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", sc.alias("sc"))
+    )
+    def _term_sum(t: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("sc"))), F.lit(0.0)
+        )
+
+    pivoted = scored.groupBy("doc_id").agg(
+        _term_sum("join").alias("s1"),
+        _term_sum("stream").alias("s2"),
+        _term_sum("hash").alias("s3"),
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            F.round(F.col("s1") + F.col("s2") + F.col("s3"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+@query(
+    "near_dup_cluster_source_mix",
+    oracle=f"""
+    WITH RECURSIVE {_DSH_CTE.strip()},
+    {_CC_COMP_CTES}
+    SELECT c.m AS cluster_rep,
+           count(*) AS cluster_size,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(CASE WHEN count(DISTINCT d.source) > 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS cross_source
+    FROM comp c JOIN documents d ON d.doc_id = c.id
+    GROUP BY c.m
+    """,
+)
+def near_dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters annotated with how many SOURCES they span —
+    the cluster-level contamination lens chunk-level leakage misses: a
+    cluster confined to one source is internal boilerplate (dedup
+    freely), while a cross-source cluster is syndicated/mirrored content
+    whose removal changes the mixture weights
+    (cross_source_chunk_leakage tells you THAT chunks leak; this tells
+    you which duplicate FAMILIES do). Same PPJoin -> distributed
+    connected-components chain as near_dup_cluster_sizes — the
+    component label is the cluster's min doc_id on both engines, so
+    per-cluster rows compare exactly — then one doc_id-keyed join back
+    to the documents dimension for source attribution. The join ships
+    only clustered doc_ids (near-dup members, a small fraction of the
+    corpus), and countDistinct(source) is bounded by the source
+    cardinality, so the added cost over the sizes report is one narrow
+    shuffle."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).cache()
+    pairs = jaccard_verify(
+        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    shingled.unpersist()
+    cands.unpersist()
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("node_id"), "source"
+    )
+    return (
+        comp.join(d, "node_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .select(
+            F.col("component_id").alias("cluster_rep"),
+            "cluster_size",
+            "n_sources",
+            F.when(F.col("n_sources") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("cross_source"),
         )
     )

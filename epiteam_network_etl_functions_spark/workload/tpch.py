@@ -2368,3 +2368,88 @@ def order_value_vs_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("cents") / 100.0).alias("min_value"),
         (F.max("cents") / 100.0).alias("max_value"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_date,
+               count(*) AS f,
+               sum({_SQL_CENTS.format(c='o_totalprice')}) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    binned AS (
+        SELECT ntile(4) OVER (ORDER BY date_diff('day', last_date, a.mx) ASC,
+                              o_custkey ASC) AS r_bin,
+               ntile(4) OVER (ORDER BY f DESC, o_custkey ASC) AS f_bin,
+               ntile(4) OVER (ORDER BY m DESC, o_custkey ASC) AS m_bin,
+               f, m
+        FROM per_cust CROSS JOIN anchor a
+    )
+    SELECT CAST(r_bin AS VARCHAR) || '-' || CAST(f_bin AS VARCHAR)
+               || '-' || CAST(m_bin AS VARCHAR) AS segment,
+           count(*) AS n_customers,
+           round(sum(f) * 1.0 / count(*), 6) AS avg_orders,
+           round(sum(m) / 100.0 / count(*), 6) AS avg_monetary
+    FROM binned GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-base census (reference A2/W4 family composed:
+    per-entity rollup -> global quantile binning -> segment profile).
+    Each dimension ntiles into quartiles under a TOTAL order (metric +
+    custkey tie-break), so bin assignment is deterministic on both
+    engines; recency anchors to the corpus max order date via a
+    scalar-agg crossJoin (no wall clock, no eager collect), and money
+    stays in exact integer cents until the final division. Plan: one
+    orders groupBy (map-side combined), then three window functions —
+    note they are GLOBAL ntiles, i.e. single-partition sorts over the
+    per-customer rollup (n_customers rows, not n_orders). That is fine
+    to ~10⁸ customers on one executor's sort; past that the documented
+    swap is percentile-threshold binning (approx_percentile cutoffs
+    broadcast back, the value_quartile_labels pattern) which bins in a
+    map-only pass at the cost of exactness at the boundaries."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(_cents("o_totalprice")).alias("m"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    binned = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.ntile(4)
+        .over(
+            Window.orderBy(
+                F.datediff(F.col("mx"), F.col("last_date")).asc(),
+                F.col("o_custkey").asc(),
+            )
+        )
+        .alias("r_bin"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("f").desc(), F.col("o_custkey").asc()))
+        .alias("f_bin"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("m").desc(), F.col("o_custkey").asc()))
+        .alias("m_bin"),
+        "f",
+        "m",
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_bin").cast("string"),
+        F.col("f_bin").cast("string"),
+        F.col("m_bin").cast("string"),
+    )
+    return binned.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("f") * 1.0 / F.count(F.lit(1)), 6).alias("avg_orders"),
+        F.round(F.sum("m") / 100.0 / F.count(F.lit(1)), 6).alias(
+            "avg_monetary"
+        ),
+    )

@@ -1039,3 +1039,103 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("variance").desc(), F.col("pos").asc())
         .limit(16)
     )
+
+
+MUTUAL_K = 5
+
+
+@query(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               a.label AS q_label, b.label AS n_label,
+               round({_DOT.format(a='a.embedding', b='b.embedding')}
+                     / ({_NORM.format(a='a.embedding', b='a.embedding')}
+                        * {_NORM.format(a='b.embedding', b='b.embedding')}),
+                     6) AS cosine
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    nbrs AS (
+        SELECT qid, nid, q_label, n_label, cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cosine DESC, nid ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= {MUTUAL_K}
+    )
+    SELECT x.qid AS vec_id_a, x.nid AS vec_id_b, x.cosine,
+           CAST(CASE WHEN x.q_label = x.n_label THEN 1 ELSE 0 END AS BIGINT)
+               AS same_label
+    FROM nbrs x JOIN nbrs y ON y.qid = x.nid AND y.nid = x.qid
+    WHERE x.qid < x.nid
+    """,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL nearest-neighbor pairs: (a, b) such that b is in a's
+    exact cosine top-{MUTUAL_K} AND a is in b's — the high-precision
+    subset of the kNN graph (mutual edges are the standard seed for
+    SemDeDup-style semantic dedup and for clustering, because one-sided
+    neighbors of a hub vector are mostly noise). Determinism: cosine
+    rounds to 6dp BEFORE the rank (same sequential fold both engines),
+    rank ties break on neighbor id, the mutuality join is exact set
+    algebra, and a < b canonicalizes each pair once. Plan: one
+    self-crossJoin scores all pairs, a per-query window takes the
+    top-{MUTUAL_K}, then the k-bounded neighbor list (n·k rows) joins
+    itself on the reversed key — the expensive stage is the scoring
+    pass, and at 100 TB it swaps for the RP-LSH / IVF candidate
+    generator (semantic_bucket_dups / ivf_probe_knn) feeding the SAME
+    window + reciprocal join, which only ever sees n·k rows."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("va"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("vb"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "q_label",
+            "n_label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    nbrs = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MUTUAL_K)
+        .select("qid", "nid", "q_label", "n_label", "cosine")
+    )
+    rev = nbrs.select(
+        F.col("qid").alias("nid"), F.col("nid").alias("qid")
+    )
+    return (
+        nbrs.join(rev, ["qid", "nid"])
+        .where(F.col("qid") < F.col("nid"))
+        .select(
+            F.col("qid").alias("vec_id_a"),
+            F.col("nid").alias("vec_id_b"),
+            "cosine",
+            F.when(F.col("q_label") == F.col("n_label"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("same_label"),
+        )
+    )
