@@ -265,6 +265,10 @@ DEFERRED: tuple[str, ...] = (
     "mutual_knn_pairs",
     "customer_rfm_segments",
     "near_dup_cluster_source_mix",
+    "event_value_welch_test",
+    "wait_time_survival_curve",
+    "rrf_hybrid_search",
+    "customer_er_blocking_pairs",
 )
 
 

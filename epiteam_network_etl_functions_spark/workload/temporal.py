@@ -2273,3 +2273,230 @@ def purchase_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_h"
         ),
     )
+
+
+@query(
+    "event_value_welch_test",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(v) AS DOUBLE) / count(*) / 1e6 AS mean,
+               CAST(count(*) * sum(CAST(v AS HUGEINT) * v)
+                    - CAST(sum(v) AS HUGEINT) * sum(v) AS DOUBLE)
+                   / (count(*) * (count(*) - 1.0)) / 1e12 AS var
+        FROM vm GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.mean - b.mean, 6) AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t,
+           round((a.var / a.n + b.var / b.n)
+                 * (a.var / a.n + b.var / b.n)
+                 / ((a.var / a.n) * (a.var / a.n) / (a.n - 1.0)
+                    + (b.var / b.n) * (b.var / b.n) / (b.n - 1.0)),
+                 6) AS welch_df
+    FROM m a JOIN m b ON a.event_type < b.event_type
+    """,
+)
+def event_value_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise WELCH two-sample t statistics between event types' value
+    distributions — the experiment-analysis kernel (an A/B readout is
+    exactly this: unequal-variance mean comparison plus the
+    Welch–Satterthwaite degrees of freedom that calibrate the p-value).
+    Determinism: values micro-quantize to integers, per-type mean and
+    sample variance assemble from EXACT moment sums (n·Σv² - (Σv)² in
+    decimal/HUGEINT — the products-of-sums discipline, DETERMINISM.md),
+    and the t/df formulas are written with identical association on both
+    engines so every double op is bit-mirrored before the final
+    round(...,6). Plan: one map-side-combined moments aggregate (5 rows
+    out however large the fact), then a broadcast self-join over the
+    handful of types — the fact is touched once; this is the same
+    one-pass profile as events_quality_report with a statistical head."""
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    vm = F.round(F.col("value") * 1e6).cast("long")
+    m = e.select("event_type", vm.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec)).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 1e6
+    var = (
+        (F.col("n").cast(dec) * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / (F.col("n") * (F.col("n") - 1.0))
+        / 1e12
+    )
+    m = m.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb), 6
+            ).alias("welch_t"),
+            F.round(
+                (sa + sb)
+                * (sa + sb)
+                / (
+                    sa * sa / (F.col("n_a") - 1.0)
+                    + sb * sb / (F.col("n_b") - 1.0)
+                ),
+                6,
+            ).alias("welch_df"),
+        )
+    )
+
+
+# Kaplan-Meier axis resolution: waits bucket to whole minutes (bounds the
+# curve to max-gap-minutes rows at any corpus size).
+SURVIVAL_BUCKET_US = 60_000_000
+
+
+@query(
+    "wait_time_survival_curve",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS next_us
+        FROM events
+    ),
+    horizon AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+    obs AS (
+        SELECT CASE WHEN next_us IS NULL
+                    THEN (end_us - ts_us) // {SURVIVAL_BUCKET_US}
+                    ELSE (next_us - ts_us) // {SURVIVAL_BUCKET_US}
+               END AS lifetime,
+               CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS observed
+        FROM seq CROSS JOIN horizon
+    ),
+    hist AS (
+        SELECT lifetime, count(*) AS c, sum(observed) AS d
+        FROM obs GROUP BY lifetime
+    ),
+    risk AS (
+        SELECT lifetime, d,
+               sum(c) OVER (ORDER BY lifetime DESC) AS n_risk
+        FROM hist
+    ),
+    km AS (
+        SELECT lifetime, d, n_risk,
+               sum(CASE WHEN d < n_risk THEN CAST(round(
+                   ln((n_risk - d) * 1.0 / n_risk) * 1e9) AS BIGINT)
+                   ELSE 0 END) OVER (ORDER BY lifetime ASC) AS lognano,
+               max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY lifetime ASC) AS hit_zero
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(lifetime AS BIGINT) AS t_minutes,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE round(exp(lognano / 1e9), 6) END AS survival
+    FROM km
+    """,
+)
+def wait_time_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve of the WAIT between consecutive user
+    events (whole minutes), right-censoring each user's final wait at the
+    observation horizon — the time-to-next-event estimator behind churn
+    and re-engagement models (KM uses completed AND still-open waits
+    together without the bias of dropping the open ones; the mean of
+    inter_event_gaps silently conditions on a next event existing).
+    Determinism: each factor ln(1 - d/n) sits on an exact integer ratio,
+    quantizes to integer NANOS before the cumulative sum
+    (quantize-then-accumulate, DETERMINISM.md — a float cumulative
+    product would drift with accumulation order), and the single exp
+    lands under round(...,6); a step where the whole risk set dies pins
+    survival to exactly 0.0 on both engines rather than exp(-inf). Plan:
+    one lead() pass over the per-user sequence (the certified
+    inter-event window), horizon as a scalar-agg crossJoin, one
+    histogram aggregate, then windows over the WAIT-HISTOGRAM axis — at
+    most max-gap-minutes rows however many events — so the 'global'
+    windows are trivially single-partition; the heavy lifting is the
+    per-user window, which shuffles the fact once on user_id."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(wu).alias("next_us"),
+    )
+    horizon = e.agg(F.max(F.unix_micros("ts")).alias("end_us"))
+    obs = seq.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("next_us").isNull(),
+            F.expr(f"(end_us - ts_us) div {SURVIVAL_BUCKET_US}"),
+        )
+        .otherwise(F.expr(f"(next_us - ts_us) div {SURVIVAL_BUCKET_US}"))
+        .alias("lifetime"),
+        F.when(F.col("next_us").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    hist = obs.groupBy("lifetime").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("observed").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("lifetime").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "lifetime", "d", F.sum("c").over(w_desc).alias("n_risk")
+    ).where(F.col("d") > 0)
+    w_asc = Window.orderBy(F.col("lifetime").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nano = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk"))
+            * 1e9
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    km = risk.select(
+        "lifetime",
+        "d",
+        "n_risk",
+        F.sum(nano).over(w_asc).alias("lognano"),
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_asc)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        F.col("lifetime").cast("bigint").alias("t_minutes"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lognano") / 1e9), 6))
+        .alias("survival"),
+    )

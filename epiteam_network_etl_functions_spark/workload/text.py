@@ -2988,10 +2988,11 @@ BM25_TERMS = ("join", "stream", "hash")
 BM25_TOP_K = 20
 
 
-@query(
-    "bm25_keyword_search",
-    oracle=f"""
-    WITH toks AS (
+# The full BM25 scoring chain (toks -> ... -> pivoted), shared by the
+# keyword-search oracle and the RRF hybrid-fusion oracle (vectors
+# workload). `pivoted` holds (doc_id, s1, s2, s3) per matching doc.
+_BM25_CTES = f"""
+    toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
     ),
@@ -3007,7 +3008,7 @@ BM25_TOP_K = 20
         GROUP BY doc_id, tok
     ),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
+    scored_bm25 AS (
         SELECT tf.doc_id, tf.term,
                ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
                * (tf.tf * ({BM25_K1} + 1.0))
@@ -3023,31 +3024,28 @@ BM25_TOP_K = 20
                coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0) AS s1,
                coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0) AS s2,
                coalesce(sum(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
-        FROM scored GROUP BY doc_id
+        FROM scored_bm25 GROUP BY doc_id
     )
-    SELECT doc_id, round(s1 + s2 + s3, 6) AS bm25
-    FROM pivoted
-    ORDER BY bm25 DESC, doc_id ASC
-    LIMIT {BM25_TOP_K}
-    """,
-)
-def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval over the corpus — the lexical-search
-    counterpart to the embedding kNN family (corpus curation uses it to
-    pull topic slices; eval pipelines use it as the sparse retriever
-    baseline). Standard Robertson BM25 with k1={BM25_K1}, b={BM25_B}
-    and a fixed {len(BM25_TERMS)}-term query. Determinism: per-term
-    scores are summed in a FIXED textual order (s_join + s_stream +
-    s_hash via conditional pivots, never an arbitrary-order SUM over a
-    float group), tf/df/dl are exact integers, avgdl is the same single
-    division on both engines, and the one ln-per-term sits on an exact
-    ratio so round(...,6) absorbs libm spread. Plan: token explode
-    filtered to the query terms BEFORE the tf aggregate (the filter
-    prunes ~the whole corpus vocabulary map-side), a 3-row df aggregate
-    and 2-scalar stats aggregate folded in by broadcast crossJoin, one
-    doc-keyed join to lengths, then a TakeOrderedAndProject top-k. At
-    100 TB the term filter is the whole story: only rows containing
-    query terms survive the explode stage, so the shuffled state is
+""".strip()
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching >= 1 query term, bm25
+    rounded to 6dp — the shared scoring kernel behind
+    bm25_keyword_search (which registers this + top-k, see below) and
+    the RRF hybrid fusion (vectors workload). Standard Robertson BM25
+    with k1={BM25_K1}, b={BM25_B} and a fixed {len(BM25_TERMS)}-term
+    query. Determinism: per-term scores are summed in a FIXED textual
+    order (s_join + s_stream + s_hash via conditional pivots, never an
+    arbitrary-order SUM over a float group), tf/df/dl are exact
+    integers, avgdl is the same single division on both engines, and
+    the one ln-per-term sits on an exact ratio so round(...,6) absorbs
+    libm spread. Plan: token explode filtered to the query terms BEFORE
+    the tf aggregate (the filter prunes ~the whole corpus vocabulary
+    map-side), a 3-row df aggregate and 2-scalar stats aggregate folded
+    in by broadcast crossJoin, one doc-keyed join to lengths. At 100 TB
+    the term filter is the whole story: only rows containing query
+    terms survive the explode stage, so the shuffled state is
     O(matching docs), and a real deployment swaps the literal term list
     for a broadcast query table at the same shape."""
     d = _docs(spark, sf_dir)
@@ -3095,11 +3093,32 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _term_sum("stream").alias("s2"),
         _term_sum("hash").alias("s3"),
     )
+    return pivoted.select(
+        "doc_id",
+        F.round(F.col("s1") + F.col("s2") + F.col("s3"), 6).alias("bm25"),
+    )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, round(s1 + s2 + s3, 6) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the lexical-search
+    counterpart to the embedding kNN family (corpus curation uses it to
+    pull topic slices; eval pipelines use it as the sparse retriever
+    baseline). Scoring kernel (and its determinism + 100 TB argument)
+    in :func:`bm25_scores`; this registers the retrieval surface: a
+    TakeOrderedAndProject top-{BM25_TOP_K} on the rounded score with
+    doc_id tie-break."""
     return (
-        pivoted.select(
-            "doc_id",
-            F.round(F.col("s1") + F.col("s2") + F.col("s3"), 6).alias("bm25"),
-        )
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
     )

@@ -1139,3 +1139,127 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("same_label"),
         )
     )
+
+
+# Reciprocal-rank-fusion parameters (Cormack et al.'s k=60 constant); the
+# lexical and semantic lists fuse to depth RRF_DEPTH and the report keeps
+# the top RRF_TOP_K. doc_id and vec_id share an id space in the testdata
+# (one embedding per document), which is what makes hybrid search joinable.
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOP_K = 20
+
+
+@query(
+    "rrf_hybrid_search",
+    oracle=None,  # assembled below to reuse the BM25 CTE chain from .text
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion: the BM25 lexical list
+    (bm25_scores, text workload) and the embedding cosine list (the
+    knn_bruteforce probe) each rank to depth {RRF_DEPTH}, then fuse as
+    rrf = 1/({RRF_K}+r_lex) + 1/({RRF_K}+r_sem) — the standard sparse+
+    dense combination every RAG/eval stack runs, scored here entirely as
+    relational algebra. Determinism: both input ranks order on ROUNDED
+    scores with id tie-breaks (total orders), absent ranks report as -1
+    sentinels and contribute exactly 0.0, and the two reciprocal terms
+    add in fixed textual order before the final round. Plan: each list
+    is k-bounded BEFORE fusion (TakeOrdered to {RRF_DEPTH}, then a
+    single-partition rank over {RRF_DEPTH} rows — never a global rank
+    over the corpus), so the fusion join touches at most 2·{RRF_DEPTH}
+    rows regardless of corpus size; the expensive stages are the two
+    retrievals themselves, each already argued at scale
+    (bm25_scores / knn_bruteforce)."""
+    from pyspark.sql import Window
+
+    from .text import bm25_scores
+
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn(
+            "rl",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rl")
+    )
+    e = _emb(spark, sf_dir)
+    qrow = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(as_double(F.col("embedding")).alias("v"))
+        .head()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"query vec {QUERY_VEC_ID} not found in embeddings at {sf_dir}"
+        )
+    sem = (
+        cosine_topk_lit(
+            e, qrow[0], "vec_id", "embedding",
+            exclude_id=QUERY_VEC_ID, k=RRF_DEPTH,
+        )
+        .withColumn(
+            "rs",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("sem_id"), "rs")
+    )
+    fused = lex.join(
+        sem, lex["doc_id"] == sem["sem_id"], "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("sem_id")).alias("doc_id"),
+        F.coalesce(F.col("rl"), F.lit(-1)).cast("bigint").alias("lex_rank"),
+        F.coalesce(F.col("rs"), F.lit(-1)).cast("bigint").alias("sem_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rs")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP_K)
+
+
+# The RRF oracle reuses the BM25 CTE chain verbatim (imported from the
+# text workload, which defines the lexical side) plus the knn probe shape.
+def _register_rrf_oracle() -> None:
+    from . import ORACLES
+    from .text import _BM25_CTES
+
+    ORACLES["rrf_hybrid_search"] = f"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id, rl FROM (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY round(s1 + s2 + s3, 6) DESC, doc_id ASC) AS rl
+            FROM pivoted
+        ) WHERE rl <= {RRF_DEPTH}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    sem AS (
+        SELECT vec_id, rs FROM (
+            SELECT e.vec_id, row_number() OVER (
+                ORDER BY round({_DOT.format(a='e.embedding', b='q.qe')}
+                      / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                         * {_NORM.format(a='q.qe', b='q.qe')}), 6) DESC,
+                      e.vec_id ASC) AS rs
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ) WHERE rs <= {RRF_DEPTH}
+    )
+    SELECT coalesce(lex.doc_id, sem.vec_id) AS doc_id,
+           CAST(coalesce(lex.rl, -1) AS BIGINT) AS lex_rank,
+           CAST(coalesce(sem.rs, -1) AS BIGINT) AS sem_rank,
+           round(coalesce(1.0 / ({RRF_K} + lex.rl), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + sem.rs), 0.0), 6) AS rrf
+    FROM lex FULL JOIN sem ON sem.vec_id = lex.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {RRF_TOP_K}
+    """
+
+
+_register_rrf_oracle()
