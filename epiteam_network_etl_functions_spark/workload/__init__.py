@@ -193,73 +193,72 @@ DEMOTED: tuple[str, ...] = (
     "retention_cohorts",
     "daily_new_users",
     "value_minmax_scaled",
+    # -- driver-green round 7 (CORRECTNESS_r07 50/50; rotated out so the
+    # 59 held-out DEFERRED queries float into the round-8 prefix) --
+    "colocation_degree_distribution",
+    "colocation_pair_persistence",
+    "part_supplier_census",
+    "ship_latency_histogram",
+    "orders_backlog_depth",
+    "customer_repeat_rate",
+    "part_price_band_census",
+    "order_lines_distribution",
+    "supplier_load_balance",
+    "orders_weekday_profile",
+    "orders_quarter_growth",
+    "brand_type_revenue_rank",
+    "fulfillment_lag_by_priority",
+    "first_order_cohort_value",
+    "segment_value_matrix",
+    "supplier_nation_summary",
+    "region_revenue_share",
+    "corpus_funnel",
+    "contamination_by_source",
+    "lsh_ppjoin_consistency",
+    "doc_length_zscore",
+    "lang_source_matrix",
+    "doc_shingle_novelty",
+    "minhash_band_load",
+    "language_confusion_matrix",
+    "source_quality_profile",
+    "token_zipf_head",
+    "chunk_position_dup_rate",
+    "doc_quality_grid",
+    "near_dup_cluster_sizes",
+    "source_mix_weights",
+    "dedup_bytes_by_source",
+    "token_len_distribution",
+    "source_lang_diversity",
+    "shingle_df_histogram",
+    "doc_hapax_ratio",
+    "vec_sparsity_profile",
+    "vec_component_range",
+    "simhash_hamming_pairs",
+    "event_type_user_overlap",
+    "user_activity_gini",
+    "purchase_conversion_funnel",
+    "session_bounce_rate",
+    "value_quartile_labels",
+    "events_since_last_error",
+    "events_dow_hour_heatmap",
+    "device_day_coverage",
+    "night_owl_share",
+    "pings_home_stability",
+    "device_rg_percentiles",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",
     "pca_explained_variance",
 )
 
-# Registered AFTER the round-7 prefix snapshot filled all 50 slots:
-# deliberately held out of the prefix so they don't evict a query whose
-# only certification chance is this round. They sit between the fresh
-# prefix and DEMOTED; when the round-7 prefix rotates into DEMOTED next
-# round, delete this tuple and they float into the round-8 prefix.
+# Round-8 rotation: the 50 round-7-deferred oracle-backed queries now fill
+# the 50-slot prefix exactly (every other registered query sits in DEMOTED
+# or this tuple). DEFERRED holds (a) the 9-query round-7 second-continuation
+# residual — first in line for the round-9 prefix — and (b) anything newly
+# registered in round 8, appended below as it lands so it never evicts a
+# query whose only certification chance is this round.
 DEFERRED: tuple[str, ...] = (
-    "nation_year_profit",
-    "markov_transition_probs",
-    "user_burstiness",
-    "cross_source_chunk_leakage",
-    "packing_fill_report",
-    "centroid_pair_distances",
-    "colocation_assortativity",
-    "returnflag_priority_counts",
-    "per_source_doc_sample",
-    "value_autocorr_lag1",
-    # -- round-7 continuation tail (registered after the second prefix
-    # snapshot; float into the round-8 prefix with the rest) --
-    "minhash_jaccard_calibration",
-    "shingle_containment_pairs",
-    "posting_list_heads",
-    "bigram_surprisal",
-    "semantic_bucket_dups",
-    "common_neighbor_links",
-    "part_basket_pairs",
-    "frame_sample_catalog",
-    "resized_payload_digest",
-    "adamic_adar_links",
-    "ivf_recall_audit",
-    "quality_signal_correlation",
-    "part_size_price_regression",
-    "nation_trade_balance",
-    "customer_ltv_deciles",
-    "session_duration_histogram",
-    "dau_wau_stickiness",
-    "first_touch_attribution",
-    "corpus_growth_curve",
-    "tokenization_fertility_by_lang",
-    "knn_label_agreement",
-    "vec_quantization_error",
-    "bridge_cells_report",
-    "device_mobility_entropy",
-    "meeting_count_histogram",
-    "hourly_anomaly_zscore",
-    "user_lifecycle_stages",
-    "error_burst_windows",
-    "value_winsorized_stats",
-    "doc_prefix_dup_groups",
-    "doc_numeric_density",
-    "corpus_token_budget_planner",
-    "inventory_value_abc",
-    "supplier_herfindahl",
-    "customer_nation_pareto",
-    "value_first_digit_benford",
-    "purchase_interpurchase_gaps",
-    "source_vocab_overlap",
-    "embedding_dim_variance",
-    "order_value_vs_lines",
-    # -- round-7 second continuation (collocation/retrieval/segmentation
-    # batch; beyond the 50-slot round-8 prefix, so these wait for the
-    # round-9 rotation unless a slot frees) --
+    # -- round-7 second continuation residual (certify in round 9) --
     "pmi_collocations",
     "bm25_keyword_search",
     "mutual_knn_pairs",
