@@ -194,12 +194,17 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
     the standard sklearn formulation).
 
-    Plan shape: a SINGLE pass — one shuffle for per-(doc, term) counts, one
-    shuffle on term where document frequency is computed as a partition-wide
-    window count (no self-join, so the tokenize/explode/groupBy subtree is
-    never evaluated twice, and no vocabulary-sized broadcast — a 100 TB
-    corpus has a broadcast-breaking vocabulary), then a per-document window
-    over at most |vocab(doc)| rows. When ``n_docs`` is None (the default)
+    Plan shape: per-(doc, term) counts are computed MAP-SIDE inside each
+    row — sort the token array and run-length encode it with zip_with
+    (pure codegen'd expressions, no UDF), so the raw token stream never
+    crosses the wire and there is no (doc, term) aggregation exchange at
+    all. The only shuffles are (1) one on term, where document frequency
+    is a partition-wide window count (no self-join, and no
+    vocabulary-sized broadcast — a 100 TB corpus has a broadcast-breaking
+    vocabulary), and (2) the per-document top-k window over at most
+    |vocab(doc)| rows. Both exchanges carry already-combined (doc, term,
+    tf) rows, which is the floor of what any plan must move for this
+    query. When ``n_docs`` is None (the default)
     the corpus size is folded into the SAME plan as a scalar aggregate
     broadcast back onto the term counts (the engine's W1 global-aggregate
     idiom, plans/mobility.daily_home_winners) — no eager driver-side
@@ -220,10 +225,37 @@ def tfidf_top_terms(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
         df = df.repartition(max(8, sc.defaultParallelism // 4))
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
-    ).where(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Row-local run-length encoding of the sorted token array: emits one
+    # (term, tf) struct per distinct term of the document without any
+    # exchange (the map-side combine an explode+groupBy would only reach
+    # after shuffling the full token stream).
+    toks = F.array_sort(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - F.lit(1)),
+        lambda i: (i == F.lit(0))
+        | (F.element_at("__toks", i + 1) != F.element_at("__toks", i)),
+    )
+    nexts = F.concat(
+        F.slice(F.col("__starts"), F.lit(2), F.size("__starts")),
+        F.array(F.size("__toks")),
+    )
+    entries = F.zip_with(
+        F.col("__starts"),
+        nexts,
+        lambda s, nx: F.struct(
+            F.element_at("__toks", s + 1).alias("term"),
+            (nx - s).cast("long").alias("tf"),
+        ),
+    )
+    tf = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .where(F.size("__toks") > 0)
+        .withColumn("__starts", starts)
+        .select(F.col(id_col), F.explode(entries).alias("__e"))
+        .select(id_col, F.col("__e.term").alias("term"), F.col("__e.tf").alias("tf"))
+    )
     if n_docs is None:
         n_scalar = df.agg(F.count(F.lit(1)).alias("__n_docs"))
         tf = tf.crossJoin(F.broadcast(n_scalar))

@@ -2290,6 +2290,7 @@ def purchase_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(sum(v) AS HUGEINT) * sum(v) AS DOUBLE)
                    / (count(*) * (count(*) - 1.0)) / 1e12 AS var
         FROM vm GROUP BY event_type
+        HAVING count(*) >= 2
     )
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            a.n AS n_a, b.n AS n_b,
@@ -2334,7 +2335,13 @@ def event_value_welch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n") * (F.col("n") - 1.0))
         / 1e12
     )
-    m = m.select("event_type", "n", mean.alias("mean"), var.alias("var"))
+    # n >= 2 guard: a single-row type would put n*(n-1) = 0 in the
+    # sample-variance denominator, and 0/0 double semantics differ across
+    # engines (Spark NaN vs DuckDB's configurable NULL/error) — degenerate
+    # groups are excluded from the pairwise test on BOTH sides.
+    m = m.where(F.col("n") >= 2).select(
+        "event_type", "n", mean.alias("mean"), var.alias("var")
+    )
     a = m.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("n_a"),

@@ -2987,10 +2987,22 @@ BM25_B = 0.75
 BM25_TERMS = ("join", "stream", "hash")
 BM25_TOP_K = 20
 
+# Single source of truth for the query-term surface: the SQL IN-list, the
+# per-term pivot columns (both engines), and the fixed-order final sum are
+# ALL generated from BM25_TERMS, so editing the term list cannot
+# desynchronize the oracle from the Spark side.
+_BM25_IN_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+_BM25_PIVOT_SQL = ",\n               ".join(
+    f"coalesce(sum(CASE WHEN term = '{t}' THEN sc END), 0.0) AS s{i + 1}"
+    for i, t in enumerate(BM25_TERMS)
+)
+# e.g. "s1 + s2 + s3" — imported by the RRF hybrid-fusion oracle too.
+_BM25_SUM_SQL = " + ".join(f"s{i + 1}" for i in range(len(BM25_TERMS)))
+
 
 # The full BM25 scoring chain (toks -> ... -> pivoted), shared by the
 # keyword-search oracle and the RRF hybrid-fusion oracle (vectors
-# workload). `pivoted` holds (doc_id, s1, s2, s3) per matching doc.
+# workload). `pivoted` holds (doc_id, s1..sN) per matching doc.
 _BM25_CTES = f"""
     toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -3004,7 +3016,7 @@ _BM25_CTES = f"""
         SELECT doc_id, tok AS term, count(*) AS tf FROM (
             SELECT doc_id, unnest(t) AS tok FROM toks
         )
-        WHERE tok IN ('join', 'stream', 'hash')
+        WHERE tok IN {_BM25_IN_SQL}
         GROUP BY doc_id, tok
     ),
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -3021,9 +3033,7 @@ _BM25_CTES = f"""
     ),
     pivoted AS (
         SELECT doc_id,
-               coalesce(sum(CASE WHEN term = 'join' THEN sc END), 0.0) AS s1,
-               coalesce(sum(CASE WHEN term = 'stream' THEN sc END), 0.0) AS s2,
-               coalesce(sum(CASE WHEN term = 'hash' THEN sc END), 0.0) AS s3
+               {_BM25_PIVOT_SQL}
         FROM scored_bm25 GROUP BY doc_id
     )
 """.strip()
@@ -3089,21 +3099,22 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pivoted = scored.groupBy("doc_id").agg(
-        _term_sum("join").alias("s1"),
-        _term_sum("stream").alias("s2"),
-        _term_sum("hash").alias("s3"),
+        *[
+            _term_sum(t).alias(f"s{i + 1}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
     )
-    return pivoted.select(
-        "doc_id",
-        F.round(F.col("s1") + F.col("s2") + F.col("s3"), 6).alias("bm25"),
-    )
+    total = F.col("s1")
+    for i in range(1, len(BM25_TERMS)):
+        total = total + F.col(f"s{i + 1}")
+    return pivoted.select("doc_id", F.round(total, 6).alias("bm25"))
 
 
 @query(
     "bm25_keyword_search",
     oracle=f"""
     WITH {_BM25_CTES}
-    SELECT doc_id, round(s1 + s2 + s3, 6) AS bm25
+    SELECT doc_id, round({_BM25_SUM_SQL}, 6) AS bm25
     FROM pivoted
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {BM25_TOP_K}

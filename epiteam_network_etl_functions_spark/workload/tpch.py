@@ -129,7 +129,16 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join -> grouped revenue -> top-k
     (reference O3 top-k + J-family). The revenue ordering key is an exact
     integer sum, so the top-k cut is deterministic across engines; the
-    orderkey tie-break makes it total."""
+    orderkey tie-break makes it total.
+
+    Lineitem is pre-aggregated to per-order revenue BEFORE touching
+    orders: the grouping key (o_orderkey) is functionally determined by
+    the join key, so folding the sum below the join shrinks the join
+    input from line-level to order-level rows, the aggregation gets
+    map-side combine on the narrow (orderkey, revenue) pair, and the
+    orders join reuses the groupBy's hash(orderkey) partitioning — at
+    100 TB only orders re-exchanges, never lineitem twice. The final
+    grouped-then-sorted top-k becomes a plain TakeOrderedAndProject."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
@@ -137,22 +146,20 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
     )
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-            _revenue_col().alias("rev_c"),
-        )
+    per_order = li.groupBy("l_orderkey").agg(
+        (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue")
     )
+    building = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
     return (
-        joined.groupBy("o_orderkey", "orderdate", "o_orderpriority")
-        .agg((F.sum("rev_c").cast("double") / 1000000.0).alias("revenue"))
+        per_order.join(building, per_order.l_orderkey == building.o_orderkey)
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
     )
 
 
@@ -376,18 +383,35 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-items revenue per customer, top-20 with an
-    exact-integer ordering key + custkey tie-break."""
+    exact-integer ordering key + custkey tie-break.
+
+    Two-level pre-aggregation: lineitem folds to per-order partials
+    (exact DECIMAL cents + item count) before the orders join, so the
+    join input shrinks from line-level to order-level and the groupBy's
+    hash(orderkey) partitioning is reused by the join — only orders
+    re-exchanges. The per-customer rollup then sums order-level partials
+    (sum-of-sums and count-of-counts are exact), and the customer
+    dimension attaches AFTER the rollup onto at most |customers|
+    aggregated rows instead of every returned line (planner picks
+    broadcast vs shuffle by size — no hard-coded hint, since at 100 TB
+    customer outgrows the broadcast threshold)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(_revenue_col()).alias("rev_part"),
+        F.count(F.lit(1)).alias("cnt_part"),
+    )
+    per_cust = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
         .agg(
-            (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("lost_revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("rev_part").cast("double") / 1000000.0).alias("lost_revenue"),
+            F.sum("cnt_part").alias("n_items"),
         )
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "lost_revenue", "n_items")

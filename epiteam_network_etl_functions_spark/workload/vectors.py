@@ -1228,14 +1228,14 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text workload, which defines the lexical side) plus the knn probe shape.
 def _register_rrf_oracle() -> None:
     from . import ORACLES
-    from .text import _BM25_CTES
+    from .text import _BM25_CTES, _BM25_SUM_SQL
 
     ORACLES["rrf_hybrid_search"] = f"""
     WITH {_BM25_CTES},
     lex AS (
         SELECT doc_id, rl FROM (
             SELECT doc_id, row_number() OVER (
-                ORDER BY round(s1 + s2 + s3, 6) DESC, doc_id ASC) AS rl
+                ORDER BY round({_BM25_SUM_SQL}, 6) DESC, doc_id ASC) AS rl
             FROM pivoted
         ) WHERE rl <= {RRF_DEPTH}
     ),

@@ -7,7 +7,6 @@ RRF fusion arithmetic from the two input rankings, and ER pair symmetry
 from __future__ import annotations
 
 import math
-from collections import Counter
 
 from pyspark.sql import functions as F
 
@@ -165,7 +164,6 @@ def test_er_pairs_blocked_and_thresholded(spark):
         assert r.lev == lev(name_a, name_b) <= ER_LEV_MAX
         seen.add((r.custkey_a, r.custkey_b))
     # exhaustive within-block recount at this SF
-    by_nation: Counter = Counter()
     keys = sorted(cust)
     expect = set()
     for i, ka in enumerate(keys):

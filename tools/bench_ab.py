@@ -36,8 +36,14 @@ def _run(cmd: list[str]) -> dict:
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "local"
+    # Load stamp BEFORE the run: 1/5/15-min loadavg at sample time, so a
+    # reader can mechanically pick the idle-host samples (loadavg1 < ~1)
+    # out of a set instead of guessing which were taken during a pytest
+    # storm (VM drift has flipped the aggregate ratio by 25%+ before).
+    load_before = os.getloadavg()
     spark = _run([sys.executable, "bench.py"])
     duck = _run([sys.executable, "tools/duckdb_bench.py"])
+    load_after = os.getloadavg()
 
     common = sorted(set(spark["queries"]) & set(duck["queries"]))
     rows = []
@@ -52,6 +58,8 @@ def main() -> None:
         "duckdb_total": round(d_tot, 3),
         "ratio": round(s_tot / d_tot, 3) if d_tot else None,
         "sf": spark.get("sf"),
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
         "queries": {
             q: {"spark": s, "duckdb": d, "ratio": r} for q, s, d, r in rows
         },
