@@ -217,6 +217,50 @@ def lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(bands, "doc_id")
 
 
+def _materialize_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """THE cache/unpersist choreography, in one place: eagerly materialize
+    a (small, report-sized) result via localCheckpoint — lineage cut, so
+    the returned frame no longer references the cached subtrees — THEN
+    release the caches that backed its computation. Doing these two steps
+    in the right order is the whole point: returning a lazy result after
+    unpersisting silently de-caches a plan that still needs the cache, and
+    the multi-branch subtree replays once per branch at collect time (the
+    bug class this helper retires — two calibration queries shipped that
+    way). Callers whose kernel already checkpoints internally
+    (connected_components) can pass its output here too; the extra
+    checkpoint of an already-materialized frame is cheap and keeps one
+    discipline."""
+    out = result.localCheckpoint()
+    for frame in caches:
+        frame.unpersist()
+    return out
+
+
+def _ppjoin_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PPJoin -> connected-components chain: cached distinct
+    shingles (the verify joins reference them from multiple branches),
+    cached prefix-filter candidates, exact Jaccard verification at
+    JACCARD_THRESHOLD, then distributed min-label components. The
+    component kernel localCheckpoints its labels eagerly, so by the time
+    this returns the caches are safely released — callers
+    (fuzzy_dedup_components, near_dup_cluster_sizes,
+    near_dup_cluster_source_mix) only shape the label frame."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).cache()
+    pairs = jaccard_verify(
+        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    shingled.unpersist()
+    cands.unpersist()
+    return comp
+
+
 def _near_dup_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, tuple[DataFrame, ...]]:
@@ -303,11 +347,12 @@ def dedup_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components_star
 
     pairs, cached = _near_dup_pipeline(spark, sf_dir)
-    labels = connected_components_star(pairs, a_col="a_id", b_col="b_id")
-    # labels are localCheckpointed by the component kernel — the upstream
-    # caches would otherwise leak one copy per invocation
-    for frame in cached:
-        frame.unpersist()
+    # labels are localCheckpointed by the component kernel; the shared
+    # choreography releases the upstream caches, which would otherwise
+    # leak one copy per invocation
+    labels = _materialize_release(
+        connected_components_star(pairs, a_col="a_id", b_col="b_id"), *cached
+    )
     return labels.select(
         F.col("node_id").alias("doc_id"),
         F.col("component_id").alias("keeper_id"),
@@ -844,23 +889,7 @@ def fuzzy_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark kernel is differentially checked end-to-end. Near-dup graphs
     are short-diameter by construction (components are tight similarity
     cliques), so rounds stay ~log-diameter at any corpus size."""
-    from ..operators.components import connected_components
-    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
-
-    shingled = _shingled(spark, sf_dir).cache()
-    cands = prefix_filter_candidates(
-        shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).cache()
-    pairs = jaccard_verify(
-        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
-    comp = connected_components(pairs, "a_id", "b_id")
-    # connected_components localCheckpoints its label state eagerly, so the
-    # returned frame no longer depends on these inputs — release them rather
-    # than pinning executor storage for the session (caller contract
-    # mirrors dedup._near_dup_pipeline).
-    shingled.unpersist()
-    cands.unpersist()
+    comp = _ppjoin_component_labels(spark, sf_dir)
     return comp.select(
         F.col("node_id").alias("doc_id"),
         "component_id",
@@ -1243,16 +1272,20 @@ def lsh_ppjoin_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    lsh_pairs = jaccard_verify(
-        lsh_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id").localCheckpoint()
+    lsh_pairs = _materialize_release(
+        jaccard_verify(
+            lsh_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+        ).select("a_id", "b_id")
+    )
     exact_cands = prefix_filter_candidates(
         shingled, "doc_id", threshold=JACCARD_THRESHOLD
     )
-    exact_pairs = jaccard_verify(
-        exact_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id").localCheckpoint()
-    shingled.unpersist()
+    exact_pairs = _materialize_release(
+        jaccard_verify(
+            exact_cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+        ).select("a_id", "b_id"),
+        shingled,
+    )
     nl = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
     ne = exact_pairs.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = (
@@ -1721,19 +1754,7 @@ def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the closure with a recursive CTE. Only documents appearing
     in at least one near-dup pair form clusters (singletons are not
     clusters), identically on both sides."""
-    from ..operators.components import connected_components
-    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
-
-    shingled = _shingled(spark, sf_dir).cache()
-    cands = prefix_filter_candidates(
-        shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).cache()
-    pairs = jaccard_verify(
-        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
-    comp = connected_components(pairs, "a_id", "b_id")
-    shingled.unpersist()
-    cands.unpersist()
+    comp = _ppjoin_component_labels(spark, sf_dir)
     return (
         comp.groupBy("component_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -2221,9 +2242,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_j.alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - exact_j), 6).alias("abs_err"),
     )
-    for frame in caches:
-        frame.unpersist()
-    return out
+    return _materialize_release(out, *caches)
 
 
 CONTAINMENT_THRESHOLD = 0.5
@@ -2266,9 +2285,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.select("a_id", "b_id", cont.alias("containment"))
         .where(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
-    for frame in caches:
-        frame.unpersist()
-    return out
+    return _materialize_release(out, *caches)
 
 
 
@@ -3165,19 +3182,7 @@ def near_dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), and countDistinct(source) is bounded by the source
     cardinality, so the added cost over the sizes report is one narrow
     shuffle."""
-    from ..operators.components import connected_components
-    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
-
-    shingled = _shingled(spark, sf_dir).cache()
-    cands = prefix_filter_candidates(
-        shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).cache()
-    pairs = jaccard_verify(
-        cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
-    ).select("a_id", "b_id")
-    comp = connected_components(pairs, "a_id", "b_id")
-    shingled.unpersist()
-    cands.unpersist()
+    comp = _ppjoin_component_labels(spark, sf_dir)
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("node_id"), "source"
     )
