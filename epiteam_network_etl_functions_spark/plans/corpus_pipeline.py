@@ -66,7 +66,25 @@ def gate_quality(
 ) -> DataFrame:
     """Gopher-family quality gate: token-count floor, bigram-repetition
     ceiling, char-entropy floor. All three are per-row JVM array
-    arithmetic (operators/text kernels) — map-only, fuses with the scan."""
+    arithmetic (operators/text kernels) — map-only, fuses with the scan.
+
+    Scan fan-out (the tfidf_top_terms rule, with a twist): the per-row
+    entropy/bigram work expands far beyond the compressed bytes, so a
+    corpus that is a handful of parquet splits runs this gate on as many
+    tasks. A bare repartition() does NOT fix it — Catalyst pushes the
+    deterministic gate predicates through the exchange down to the
+    narrow scan stage (measured: 115 s either way at the 10x tier, where
+    one 5.8 MB file gave 2 splits on 32 cores, vs ~6 s once the work
+    actually lands on 32 tasks). The barrier must be hard: when the
+    input's split count is far below the cluster parallelism, the
+    repartitioned raw docs are localCheckpointed (an RDD boundary no
+    filter can sink below) and the gate evaluates on the fanned-out
+    copy — measured 115 s -> 8 s. The checkpoint materializes only the
+    raw input slice, and at production scale the input has thousands of
+    splits so neither the shuffle nor the checkpoint ever happens."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
     toks = tokens_col(text_col)
     rep = bigram_repetition_ratio(toks)
     ent = char_entropy_nats(F.col(text_col))

@@ -271,6 +271,11 @@ DEFERRED: tuple[str, ...] = (
     # -- registered in round 8 (held out of the round-8 prefix) --
     "mutual_knn_bucketed",
     "mutual_knn_recall_audit",
+    "device_od_matrix",
+    "cell_dwell_quantiles",
+    "value_mad_by_type",
+    "value_ks_test_pairs",
+    "stopword_ratio_by_source",
 )
 
 

@@ -854,3 +854,147 @@ def device_rg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("rg", F.lit(0.5)), 6).alias("median_rg"),
         F.round(F.percentile("rg", F.lit(0.75)), 6).alias("p75"),
     )
+
+
+@query(
+    "device_od_matrix",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings
+    ),
+    pos AS (
+        SELECT caid, cdmx_datetime, min(cell) AS cell
+        FROM pc GROUP BY caid, cdmx_datetime
+    ),
+    seq AS (
+        SELECT caid, cell, lag(cell) OVER (
+            PARTITION BY caid ORDER BY cdmx_datetime ASC
+        ) AS prev_cell
+        FROM pos
+    )
+    SELECT prev_cell AS from_cell, cell AS to_cell, count(*) AS n_trips
+    FROM seq
+    WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+    GROUP BY prev_cell, cell
+    ORDER BY n_trips DESC, from_cell ASC, to_cell ASC
+    LIMIT 50
+    """,
+)
+def device_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix — the classic mobility product the
+    reference's co-location network sits NEXT to (trip flows between
+    cells, aggregated over devices): consecutive device positions become
+    directed (from_cell -> to_cell) transitions, counted and top-k'd.
+    Determinism: a device's position per timestamp is the MIN cell over
+    that timestamp's pings (a total collapse, so the lag order is the
+    unique (caid, ts) key — never an arbitrary tie among same-ts pings);
+    self-transitions are excluded; the top-50 orders on (n_trips DESC,
+    from_cell, to_cell) — a total order. Plan: one (caid, ts) aggregate,
+    one caid-clustered window (both on the user spine partitioning the
+    warm cache already provides), one pair groupBy, and a
+    TakeOrderedAndProject head — every exchange carries combined rows;
+    the OD pair space is bounded by realized transitions, never cells²."""
+    from pyspark.sql import Window
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
+    seq = pos.select(
+        "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
+    )
+    return (
+        seq.where(
+            F.col("prev_cell").isNotNull()
+            & (F.col("prev_cell") != F.col("cell"))
+        )
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"),
+            F.col("cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .orderBy(
+            F.desc("n_trips"), F.asc("from_cell"), F.asc("to_cell")
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "cell_dwell_quantiles",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings
+    ),
+    pos AS (
+        SELECT caid, cdmx_datetime, min(cell) AS cell
+        FROM pc GROUP BY caid, cdmx_datetime
+    ),
+    seq AS (
+        SELECT caid, cell, cdmx_datetime, lead(cdmx_datetime) OVER (
+            PARTITION BY caid ORDER BY cdmx_datetime ASC
+        ) AS next_ts
+        FROM pos
+    ),
+    dw AS (
+        SELECT cell,
+               (epoch_us(next_ts) - epoch_us(cdmx_datetime)) // 60000000
+                   AS mins
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT cell, count(*) AS n_dwells,
+           CAST(round(quantile_cont(mins, 0.5)) AS BIGINT) AS p50_min,
+           CAST(round(quantile_cont(mins, 0.9)) AS BIGINT) AS p90_min
+    FROM dw GROUP BY cell
+    ORDER BY n_dwells DESC, cell ASC
+    LIMIT 100
+    """,
+)
+def cell_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell dwell-time distribution: the time from each device
+    position to its NEXT position, attributed to the cell it was in —
+    the stop-duration signal behind home/work inference and visit
+    modeling (a cell where devices linger differs from one they transit).
+    Semantics stated plainly: dwell = gap to next ping, not merged
+    same-cell runs (the simple estimator; runs-merging is a trivial
+    follow-on window). Determinism: positions collapse to min-cell per
+    (caid, ts) exactly as device_od_matrix, gaps floor-divide exact
+    epoch micros to integer minutes, and the two quantiles interpolate
+    over integers then re-round to BIGINT (the
+    purchase_interpurchase_gaps discipline); top-100 cells order on
+    (n_dwells DESC, cell) — total. Plan: same two caid-spine stages as
+    the OD matrix, then one cell groupBy with exact percentiles; at
+    100 TB the percentile state is per-cell and the head is k-bounded."""
+    from pyspark.sql import Window
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
+    seq = pos.select(
+        "caid",
+        "cell",
+        "cdmx_datetime",
+        F.lead("cdmx_datetime").over(w).alias("next_ts"),
+    )
+    dw = seq.where(F.col("next_ts").isNotNull()).select(
+        "cell",
+        F.expr(
+            "(unix_micros(next_ts) - unix_micros(cdmx_datetime))"
+            " div 60000000"
+        ).alias("mins"),
+    )
+    return (
+        dw.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dwells"),
+            F.round(F.percentile("mins", F.lit(0.5)))
+            .cast("bigint")
+            .alias("p50_min"),
+            F.round(F.percentile("mins", F.lit(0.9)))
+            .cast("bigint")
+            .alias("p90_min"),
+        )
+        .orderBy(F.desc("n_dwells"), F.asc("cell"))
+        .limit(100)
+    )

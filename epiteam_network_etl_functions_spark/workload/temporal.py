@@ -2507,3 +2507,154 @@ def wait_time_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("lognano") / 1e9), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "value_mad_by_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(min(m.med), 6) AS median_value,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the ROBUST scale
+    estimator (value_winsorized_stats trims, value_outliers z-scores;
+    MAD is the one that survives arbitrarily heavy tails, and
+    1.4826 x MAD is the standard robust sigma). Two exact-percentile
+    passes: the per-type median (the proven value_quantiles
+    interpolation identity: Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition), a
+    broadcast of the 5-row median table back onto the fact for the
+    absolute deviations, then the median of deviations. Plan: the fact
+    is touched twice by necessity (MAD is a nested median — not
+    one-pass computable exactly); both touches are type-keyed aggregates
+    with per-type percentile state, and the mid-table broadcast is
+    type-cardinality-sized. At 100 TB swap the outer exact percentile
+    for percentile_approx; exact is kept for the differential gate."""
+    e = _events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = e.select("event_type", "value").join(F.broadcast(med), "event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(
+            F.expr("percentile(abs(value - med), 0.5)"), 6
+        ).alias("mad"),
+    )
+
+
+@query(
+    "value_ks_test_pairs",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events
+    ),
+    tn AS (SELECT event_type, count(*) AS n FROM vm GROUP BY event_type),
+    cnts AS (
+        SELECT event_type, v, count(*) AS c FROM vm GROUP BY event_type, v
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, a.n AS na, b.event_type AS tb, b.n AS nb
+        FROM tn a JOIN tn b ON a.event_type < b.event_type
+    ),
+    inc AS (
+        SELECT p.ta, p.tb, p.na, p.nb, c.v,
+               sum(CASE WHEN c.event_type = p.ta THEN c.c ELSE 0 END) AS ia,
+               sum(CASE WHEN c.event_type = p.tb THEN c.c ELSE 0 END) AS ib
+        FROM pairs p JOIN cnts c ON c.event_type IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb, p.na, p.nb, c.v
+    ),
+    cum AS (
+        SELECT ta, tb, na, nb,
+               sum(ia) OVER (PARTITION BY ta, tb ORDER BY v ASC) AS ca,
+               sum(ib) OVER (PARTITION BY ta, tb ORDER BY v ASC) AS cb
+        FROM inc
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_d
+    FROM cum GROUP BY ta, tb, na, nb
+    """,
+)
+def value_ks_test_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KOLMOGOROV-SMIRNOV statistics between event
+    types' value distributions — the nonparametric companion to
+    event_value_welch_test (Welch compares means; KS compares WHOLE
+    distributions: D = sup |ECDF_a - ECDF_b|, the drift metric
+    data-quality monitors alarm on). Determinism end-to-end: values
+    micro-quantize to integers (which also makes the ECDF grid finite —
+    the binned-ECDF lever at scale), per-(pair, v) increment counts are
+    exact integers grouped BEFORE the cumulative window (so ties
+    contribute atomically and the running counts are evaluated only at
+    distinct grid points), the two ECDFs are ratios of exact integers
+    (identical IEEE division), and the sup is a max — no interpolation
+    anywhere. Plan: one type-keyed count, one (type, v) count, a
+    nested-loop attach of the C(5,2)=10-row pair table (broadcast — the
+    pair table is type-cardinality², never data-sized), a pair-keyed
+    grid aggregate, one pair-partitioned cumulative window, and a 10-row
+    max. Window state per pair is the merged distinct-value grid —
+    linear in the quantized support, not in rows."""
+    e = _events(spark, sf_dir)
+    vm = e.select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("v"),
+    )
+    tn = vm.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cnts = vm.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    a = tn.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    b = tn.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("ta") < F.col("tb"))
+    inc = (
+        cnts.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "na", "nb", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("ta"), F.col("c"))
+                .otherwise(0)
+            ).alias("ia"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("tb"), F.col("c"))
+                .otherwise(0)
+            ).alias("ib"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy(F.asc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = inc.select(
+        "ta",
+        "tb",
+        "na",
+        "nb",
+        F.sum("ia").over(w).alias("ca"),
+        F.sum("ib").over(w).alias("cb"),
+    )
+    return cum.groupBy("ta", "tb", "na", "nb").agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") * 1.0 / F.col("na")
+                    - F.col("cb") * 1.0 / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_d")
+    ).select(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"), "ks_d"
+    )

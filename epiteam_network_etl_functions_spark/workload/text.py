@@ -3203,3 +3203,66 @@ def near_dup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_source"),
         )
     )
+
+
+# Function-word stopword list for the ratio signal — generated into both
+# engines' predicates from this one constant (the BM25_TERMS discipline).
+STOPWORDS = ("a", "the")
+_STOP_IN_SQL = "(" + ", ".join(f"'{t}'" for t in STOPWORDS) + ")"
+
+
+@query(
+    "stopword_ratio_by_source",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               len(list_filter(toks, x -> x IN {_STOP_IN_SQL})) AS n_stop,
+               len(toks) AS n_tok
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(sum(n_stop) * 1.0 / sum(n_tok), 6) AS stop_ratio,
+           round(quantile_cont(n_stop * 1.0 / n_tok, 0.9), 6)
+               AS p90_doc_ratio
+    FROM per_doc GROUP BY source
+    """,
+)
+def stopword_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword (function-word) share per source domain — the Gopher-rule
+    quality signal the gate family doesn't yet report standalone: real
+    prose carries a stable stopword fraction; keyword-stuffed or
+    boilerplate text sits far below it, and a SOURCE whose aggregate
+    ratio collapses is a crawl-quality incident. Two numbers per source:
+    the aggregate token-weighted ratio (a ratio of exact integer sums —
+    deterministic division) and the p90 of per-doc ratios (each per-doc
+    ratio is an exact int/int division, identical IEEE on both engines;
+    the interpolation identity is the proven value_quantiles one).
+    Plan: map-only token filtering fused with the scan (the stopword
+    membership test is a per-row array filter against a tiny literal
+    list), then one source-keyed aggregate — at 100 TB this is a single
+    pass with map-side combine; the percentile state is per-source."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_doc = d.select(
+        "source",
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_list, x))
+        ).alias("n_stop"),
+        F.size(toks).alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_stop") * 1.0 / F.sum("n_tok"), 6).alias(
+            "stop_ratio"
+        ),
+        F.round(
+            F.expr("percentile(n_stop * 1.0 / n_tok, 0.9)"), 6
+        ).alias("p90_doc_ratio"),
+    )
