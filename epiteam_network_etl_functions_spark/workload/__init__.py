@@ -276,6 +276,12 @@ DEFERRED: tuple[str, ...] = (
     "value_mad_by_type",
     "value_ks_test_pairs",
     "stopword_ratio_by_source",
+    "near_dup_threshold_sweep",
+    "source_heaps_law",
+    "event_transition_entropy",
+    "supplier_part_jaccard",
+    "label_cosine_separation",
+    "commute_matrix",
 )
 
 

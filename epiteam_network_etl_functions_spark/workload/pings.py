@@ -998,3 +998,79 @@ def cell_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dwells"), F.asc("cell"))
         .limit(100)
     )
+
+
+@query(
+    "commute_matrix",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, {_cell_sql()} AS cell,
+               hour(cdmx_datetime) AS h
+        FROM pings
+    ),
+    home AS (
+        SELECT caid, cell FROM (
+            SELECT caid, cell, row_number() OVER (
+                PARTITION BY caid ORDER BY count(*) DESC, cell ASC
+            ) AS rn
+            FROM pc WHERE h >= 22 OR h < 6
+            GROUP BY caid, cell
+        ) WHERE rn = 1
+    ),
+    work AS (
+        SELECT caid, cell FROM (
+            SELECT caid, cell, row_number() OVER (
+                PARTITION BY caid ORDER BY count(*) DESC, cell ASC
+            ) AS rn
+            FROM pc WHERE h >= 9 AND h < 17
+            GROUP BY caid, cell
+        ) WHERE rn = 1
+    )
+    SELECT h.cell AS home_cell, w.cell AS work_cell,
+           count(*) AS n_devices
+    FROM home h JOIN work w USING (caid)
+    WHERE h.cell <> w.cell
+    GROUP BY h.cell, w.cell
+    ORDER BY n_devices DESC, home_cell ASC, work_cell ASC
+    LIMIT 30
+    """,
+)
+def commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home->work COMMUTE MATRIX: each device's night-window winner cell
+    (home, the reference's own home heuristic) joined to its work-hours
+    winner cell (9-17), flows counted and top-30'd — the mobility product
+    transit planning and epidemic commuting matrices are built from
+    (the reference's contact matrix is the CO-presence analog; this is
+    the directed anchor-pair analog). Both winners are the certified
+    A2/W4 kernel (count-desc, cell-asc total order); devices missing
+    either window drop on both engines (inner join); same-cell anchors
+    are excluded. Plan: two filtered (caid, cell) aggregates + two
+    caid-clustered winner windows off ONE derived-pings scan branch, a
+    caid equi-join, a pair groupBy, and a TakeOrderedAndProject — all on
+    the user spine; flow-pair space is bounded by realized anchor pairs,
+    never cells squared."""
+    from ..operators.winners import top1_per_key
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    p = p.withColumn("h", F.hour("cdmx_datetime"))
+
+    def winner(filtered: DataFrame, out: str) -> DataFrame:
+        scored = filtered.groupBy("caid", "cell").agg(
+            F.count(F.lit(1)).alias("score")
+        )
+        w = top1_per_key(scored, ["caid"], [F.desc("score"), F.asc("cell")])
+        return w.select("caid", F.col("cell").alias(out))
+
+    home = winner(p.where((F.col("h") >= 22) | (F.col("h") < 6)), "home_cell")
+    work = winner(p.where((F.col("h") >= 9) & (F.col("h") < 17)), "work_cell")
+    return (
+        home.join(work, "caid")
+        .where(F.col("home_cell") != F.col("work_cell"))
+        .groupBy("home_cell", "work_cell")
+        .agg(F.count(F.lit(1)).alias("n_devices"))
+        .orderBy(
+            F.desc("n_devices"), F.asc("home_cell"), F.asc("work_cell")
+        )
+        .limit(30)
+    )

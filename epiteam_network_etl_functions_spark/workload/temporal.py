@@ -2658,3 +2658,93 @@ def value_ks_test_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("ta").alias("type_a"), F.col("tb").alias("type_b"), "ks_d"
     )
+
+
+@query(
+    "event_transition_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS next_type
+        FROM events
+    ),
+    tc AS (
+        SELECT event_type, next_type, count(*) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    tot AS (
+        SELECT event_type, sum(c) AS n_trans FROM tc GROUP BY event_type
+    ),
+    top AS (
+        SELECT event_type, next_type AS top_next FROM (
+            SELECT tc.*, row_number() OVER (
+                PARTITION BY event_type ORDER BY c DESC, next_type ASC
+            ) AS rn FROM tc
+        ) WHERE rn = 1
+    )
+    SELECT t.event_type,
+           CAST(t.n_trans AS BIGINT) AS n_trans,
+           round(-sum((tc.c * 1.0 / t.n_trans)
+                      * ln(tc.c * 1.0 / t.n_trans)), 6) AS entropy,
+           min(p.top_next) AS top_next
+    FROM tc
+    JOIN tot t ON t.event_type = tc.event_type
+    JOIN top p ON p.event_type = tc.event_type
+    GROUP BY t.event_type, t.n_trans
+    """,
+)
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successor-distribution SHANNON ENTROPY per event type — the
+    information-theoretic head on the Markov chain
+    (markov_transition_probs gives the matrix; this collapses each row
+    to one number: how predictable the next step is, plus the modal
+    successor). A type with near-zero entropy is a deterministic funnel
+    edge; maximal entropy means the type carries no sequence signal.
+    Determinism: successor counts are exact integers over the
+    (ts, event_id)-ordered per-user lead; probabilities are exact
+    int/int divisions; the entropy sum runs over at most
+    |event_type| <= 5 terms whose reorder drift is ~1e-16, absorbed by
+    round(...,6) (the value_quantiles argument class); the modal
+    successor breaks count ties on the type name. Plan: one user-spine
+    window, one (type, next) aggregate whose output is type²-bounded,
+    then 5-row joins."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    tc = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = tc.groupBy("event_type").agg(F.sum("c").alias("n_trans"))
+    wt = Window.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("next_type")
+    )
+    top = (
+        tc.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("next_type").alias("top_next"))
+    )
+    p = F.col("c") * 1.0 / F.col("n_trans")
+    return (
+        tc.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(top), "event_type")
+        .groupBy("event_type", "n_trans")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.min("top_next").alias("top_next"),
+        )
+        .select(
+            "event_type",
+            F.col("n_trans").cast("bigint").alias("n_trans"),
+            "entropy",
+            "top_next",
+        )
+    )

@@ -3266,3 +3266,162 @@ def stopword_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(n_stop * 1.0 / n_tok, 0.9)"), 6
         ).alias("p90_doc_ratio"),
     )
+
+
+# Jaccard bands for the dedup threshold sweep, as integer percents so the
+# group key is exact on both engines.
+SWEEP_BANDS_PCT = (30, 50, 70, 90)
+
+
+@query(
+    "near_dup_threshold_sweep",
+    oracle=f"""
+    WITH {_DSH_CTE.strip()},
+    sizes AS (SELECT doc_id, count(*) AS nd FROM dsh GROUP BY doc_id),
+    dfq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+    ranked AS (
+        SELECT d.doc_id, d.shingle, s.nd,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY q.df ASC, d.shingle ASC) AS rn
+        FROM dsh d JOIN dfq q USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= nd - ceil({JACCARD_THRESHOLD} * nd) + 1
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM pfx a JOIN pfx b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.a_id, c.b_id, count(*) AS i
+        FROM cands c
+        JOIN dsh da ON da.doc_id = c.a_id
+        JOIN dsh db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+        GROUP BY c.a_id, c.b_id
+    ),
+    jac AS (
+        SELECT i.a_id, i.b_id,
+               round(i.i * 1.0 / (a.nd + b.nd - i.i), 6) AS j
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.a_id
+        JOIN sizes b ON b.doc_id = i.b_id
+        WHERE round(i.i * 1.0 / (a.nd + b.nd - i.i), 6)
+              >= {JACCARD_THRESHOLD}
+    ),
+    hits AS (
+        SELECT b.threshold_pct, j.a_id, j.b_id
+        FROM (SELECT unnest({list(SWEEP_BANDS_PCT)}) AS threshold_pct) b
+        JOIN jac j ON j.j >= b.threshold_pct / 100.0
+    ),
+    ds AS (
+        SELECT threshold_pct, a_id AS d FROM hits
+        UNION ALL
+        SELECT threshold_pct, b_id FROM hits
+    )
+    SELECT p.threshold_pct, p.n_pairs, q.n_docs
+    FROM (SELECT threshold_pct, count(*) AS n_pairs
+          FROM hits GROUP BY threshold_pct) p
+    JOIN (SELECT threshold_pct, count(DISTINCT d) AS n_docs
+          FROM ds GROUP BY threshold_pct) q
+    USING (threshold_pct)
+    """,
+)
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SWEEP — the tuning report run before committing a
+    jaccard cutoff to a 100 TB dedup pass: pair and affected-doc counts
+    at each candidate threshold, from ONE exact PPJoin verification at
+    the loosest band (0.3). Every higher band is a filter over the same
+    exactly-scored pair set (PPJoin at 0.3 has zero false negatives, so
+    the >=0.5/0.7/0.9 counts are complete by superset), so the sweep
+    costs one candidate-bounded pass, not one pass per threshold.
+    Determinism: jaccard is the rounded ratio of exact integers; bands
+    are integer percents compared via an exact /100.0; a band with zero
+    pairs drops from BOTH engines' output identically (inner joins).
+    Plan: shared cached-shingle choreography (_materialize_release),
+    then a 4-literal band explode over the k-bounded verified pairs."""
+    from ..operators.dedup import jaccard_verify, prefix_filter_candidates
+
+    shingled = _shingled(spark, sf_dir).cache()
+    cands = prefix_filter_candidates(
+        shingled, "doc_id", threshold=JACCARD_THRESHOLD
+    ).cache()
+    pairs = _materialize_release(
+        jaccard_verify(
+            cands, shingled, "doc_id", threshold=JACCARD_THRESHOLD
+        ),
+        shingled,
+        cands,
+    )
+    bands = spark.createDataFrame(
+        [(p,) for p in SWEEP_BANDS_PCT], ["threshold_pct"]
+    )
+    hits = pairs.join(
+        F.broadcast(bands),
+        F.col("jaccard") >= F.col("threshold_pct") / 100.0,
+    )
+    n_pairs = hits.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ds = hits.select("threshold_pct", F.col("a_id").alias("d")).unionAll(
+        hits.select("threshold_pct", F.col("b_id").alias("d"))
+    )
+    n_docs = ds.groupBy("threshold_pct").agg(
+        F.countDistinct("d").alias("n_docs")
+    )
+    return n_pairs.join(n_docs, "threshold_pct")
+
+
+@query(
+    "source_heaps_law",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    ),
+    m AS (
+        SELECT source, count(*) AS total_tokens,
+               count(DISTINCT term) AS distinct_terms
+        FROM toks GROUP BY source
+    )
+    SELECT source, total_tokens, distinct_terms,
+           round(ln(distinct_terms) / ln(total_tokens), 6)
+               AS heaps_exponent
+    FROM m
+    """,
+)
+def source_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) profile per source: total tokens T,
+    distinct terms V, and the empirical exponent ln V / ln T — the
+    curve a tokenizer-budget plan reads (natural text sits near
+    V ~ T^0.5-0.6; a source whose exponent collapses is template spam,
+    one that approaches 1 is ID/hash noise — both are dedup/filter
+    candidates before they waste vocabulary). Exact integer counts, one
+    log ratio rounded at 6dp (identical libm inputs). Plan: explode +
+    one source-keyed aggregate with a distinct on (source, term) — the
+    vocabulary-keyed shuffle every distinct-count carries; at 100 TB
+    swap the exact distinct for HLL (approx_count_distinct) at the same
+    plan shape."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    m = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_terms"),
+    )
+    return m.select(
+        "source",
+        "total_tokens",
+        "distinct_terms",
+        F.round(
+            F.log("distinct_terms") / F.log("total_tokens"), 6
+        ).alias("heaps_exponent"),
+    )

@@ -1424,3 +1424,134 @@ def _register_rrf_oracle() -> None:
 
 
 _register_rrf_oracle()
+
+
+@query(
+    "label_cosine_separation",
+    oracle="""
+    WITH uq AS (
+        SELECT label,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                            / sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) * 1e6) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    counts AS (SELECT label, count(*) AS n FROM uq GROUP BY label),
+    comp AS (
+        SELECT label, u.pos AS pos, u.v AS v FROM (
+            SELECT label,
+                   unnest(list_transform(range(1, len(q) + 1),
+                          i -> struct_pack(pos := i, v := q[i]))) AS u
+            FROM uq
+        )
+    ),
+    dims AS (
+        SELECT label, pos,
+               sum(CAST(v AS HUGEINT)) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS qq
+        FROM comp GROUP BY label, pos
+    ),
+    intra AS (
+        SELECT label, sum(s * s) AS s2, sum(qq) AS qq
+        FROM dims GROUP BY label
+    ),
+    gdim AS (SELECT pos, sum(s) AS st FROM dims GROUP BY pos),
+    agg AS (
+        SELECT
+            (SELECT sum(n) FROM counts) AS n_all,
+            (SELECT count(*) FROM counts) AS nl,
+            (SELECT sum(st * st) FROM gdim) AS s2_all,
+            (SELECT sum(qq) FROM intra) AS qq_all,
+            (SELECT sum(s2) FROM intra) AS s2_intra,
+            (SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2) FROM counts)
+                AS n_intra_pairs
+    )
+    SELECT CAST(n_all AS BIGINT) AS n_vectors,
+           CAST(nl AS BIGINT) AS n_labels,
+           round(CAST(s2_intra - qq_all AS DOUBLE) / 2
+                 / CAST(n_intra_pairs AS DOUBLE) / 1e12, 6)
+               AS mean_intra_cosine,
+           round(CAST(s2_all - s2_intra AS DOUBLE) / 2
+                 / CAST(n_all * (n_all - 1) // 2 - n_intra_pairs AS DOUBLE)
+                 / 1e12, 6) AS mean_inter_cosine,
+           round(CAST(s2_intra - qq_all AS DOUBLE) / 2
+                 / CAST(n_intra_pairs AS DOUBLE) / 1e12
+                 - CAST(s2_all - s2_intra AS DOUBLE) / 2
+                 / CAST(n_all * (n_all - 1) // 2 - n_intra_pairs AS DOUBLE)
+                 / 1e12, 6) AS separation
+    FROM agg
+    """,
+)
+def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra- vs inter-label mean cosine — the cluster-separation
+    diagnostic (are the labels real structure?) computed WITHOUT any
+    pairwise join: for unit vectors the sum of pairwise dots inside a
+    group is (||sum u||^2 - sum ||u||^2) / 2, so per-label and global
+    per-dimension SUMS are sufficient statistics and the whole metric is
+    one posexplode + two keyed aggregates — O(n d), never n^2 (the same
+    algebraic folding as embedding_gram/assortativity). Determinism:
+    vectors unit-normalize with the proven sequential-fold norm, then
+    micro-quantize to integers, so every sum/square is exact
+    (HUGEINT / DECIMAL(38,0) — the products-of-sums overflow
+    discipline); the only doubles are the final mirrored divisions.
+    Output: one row with vector/label counts, mean intra-label cosine,
+    mean inter-label cosine, and their gap."""
+    from ..operators.similarity import as_double, l2_norm
+
+    dec = "decimal(38,0)"
+    e = _emb(spark, sf_dir)
+    d = e.select(
+        "label", as_double(F.col("embedding")).alias("v")
+    ).withColumn("__n", l2_norm(F.col("v")))
+    d = d.select(
+        "label",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x / F.col("__n") * 1e6).cast("long"),
+        ).alias("q"),
+    )
+    counts = d.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    comp = d.select("label", F.posexplode("q"))
+    dims = comp.groupBy("label", "pos").agg(
+        F.sum(F.col("col").cast(dec)).alias("s"),
+        F.sum((F.col("col").cast(dec) * F.col("col")).cast(dec)).alias("qq"),
+    )
+    intra = dims.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast(dec)).alias("s2"),
+        F.sum("qq").alias("qq"),
+    )
+    glob = dims.groupBy("pos").agg(F.sum("s").alias("st"))
+    c_agg = counts.agg(
+        F.sum("n").alias("n_all"),
+        F.count(F.lit(1)).alias("nl"),
+        F.expr("sum(n * (n - 1) div 2)").alias("n_intra_pairs"),
+    )
+    i_agg = intra.agg(
+        F.sum("s2").alias("s2_intra"), F.sum("qq").alias("qq_all")
+    )
+    g_agg = glob.agg(
+        F.sum((F.col("st") * F.col("st")).cast(dec)).alias("s2_all")
+    )
+    one = c_agg.crossJoin(F.broadcast(i_agg)).crossJoin(F.broadcast(g_agg))
+    intra_mean = (
+        (F.col("s2_intra") - F.col("qq_all")).cast("double")
+        / 2
+        / F.col("n_intra_pairs").cast("double")
+        / 1e12
+    )
+    inter_pairs = (
+        F.expr("n_all * (n_all - 1) div 2") - F.col("n_intra_pairs")
+    )
+    inter_mean = (
+        (F.col("s2_all") - F.col("s2_intra")).cast("double")
+        / 2
+        / inter_pairs.cast("double")
+        / 1e12
+    )
+    return one.select(
+        F.col("n_all").cast("bigint").alias("n_vectors"),
+        F.col("nl").cast("bigint").alias("n_labels"),
+        F.round(intra_mean, 6).alias("mean_intra_cosine"),
+        F.round(inter_mean, 6).alias("mean_inter_cosine"),
+        F.round(intra_mean - inter_mean, 6).alias("separation"),
+    )
