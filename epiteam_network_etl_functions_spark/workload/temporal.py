@@ -2723,23 +2723,28 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = seq.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("c")
     )
-    tot = tc.groupBy("event_type").agg(F.sum("c").alias("n_trans"))
-    wt = Window.partitionBy("event_type").orderBy(
-        F.desc("c"), F.asc("next_type")
-    )
-    top = (
-        tc.withColumn("rn", F.row_number().over(wt))
-        .where(F.col("rn") == 1)
-        .select("event_type", F.col("next_type").alias("top_next"))
+    # n_trans and the modal successor are both windows over the SAME tiny
+    # (type, next) count table, so the expensive user-spine subtree is
+    # evaluated exactly once (the join formulation re-derived tc per
+    # consumer — plan-audit lead); both windows share the event_type
+    # clustering, so this costs one type-keyed exchange total.
+    wt = Window.partitionBy("event_type")
+    wr = wt.orderBy(F.desc("c"), F.asc("next_type"))
+    tc = tc.select(
+        "event_type",
+        "next_type",
+        "c",
+        F.sum("c").over(wt).alias("n_trans"),
+        F.row_number().over(wr).alias("rn"),
     )
     p = F.col("c") * 1.0 / F.col("n_trans")
     return (
-        tc.join(F.broadcast(tot), "event_type")
-        .join(F.broadcast(top), "event_type")
-        .groupBy("event_type", "n_trans")
+        tc.groupBy("event_type", "n_trans")
         .agg(
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-            F.min("top_next").alias("top_next"),
+            F.min(
+                F.when(F.col("rn") == 1, F.col("next_type"))
+            ).alias("top_next"),
         )
         .select(
             "event_type",

@@ -2584,10 +2584,16 @@ def supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge-join discipline of operators/graphstats). Jaccard is a
     rounded ratio of exact distinct counts; the top-k orders on
     (jaccard DESC, supp_a, supp_b) — total."""
+    from .text import _materialize_release
+
     li = _t(spark, sf_dir, "lineitem")
+    # the distinct (supplier, part) table feeds four branches (both
+    # self-join sides + both size lookups): cache it for the one
+    # evaluation, release after the k-bounded result materializes
+    # (plan-audit lead: 4 re-derivations uncached)
     sp = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().cache()
     sizes = sp.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
     a = sp.select(F.col("s").alias("supp_a"), "p")
     b = sp.select(F.col("s").alias("supp_b"), "p")
@@ -2600,7 +2606,7 @@ def supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = sizes.select(F.col("s").alias("supp_a"), F.col("n").alias("na"))
     y = sizes.select(F.col("s").alias("supp_b"), F.col("n").alias("nb"))
-    return (
+    out = (
         shared.join(x, "supp_a")
         .join(y, "supp_b")
         .select(
@@ -2617,3 +2623,4 @@ def supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("supp_a"), F.asc("supp_b"))
         .limit(SUPP_JACCARD_TOP_K)
     )
+    return _materialize_release(out, sp)

@@ -1278,8 +1278,18 @@ def mutual_knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall. Runs the n² exact path by construction (it IS the ground
     truth), so it lives at audit SFs only; the production default is
     mutual_knn_bucketed alone."""
-    ex = mutual_knn_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
-    bk = mutual_knn_bucketed(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    from .text import _materialize_release
+
+    # the two pair sets each feed two aggregates (own count + the
+    # intersection) — materialize them once (pair lists are n*k-bounded)
+    # instead of re-running the scoring subtrees per consumer (plan-audit
+    # lead: 16 scans uncheckpointed)
+    ex = _materialize_release(
+        mutual_knn_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    )
+    bk = _materialize_release(
+        mutual_knn_bucketed(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    )
     n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_bk = bk.agg(F.count(F.lit(1)).alias("n_bucketed_pairs"))
     n_c = ex.join(bk, ["vec_id_a", "vec_id_b"]).agg(
