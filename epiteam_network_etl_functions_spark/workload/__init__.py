@@ -282,6 +282,11 @@ DEFERRED: tuple[str, ...] = (
     "supplier_part_jaccard",
     "label_cosine_separation",
     "commute_matrix",
+    "discount_lift_by_quantity",
+    "value_cusum_range",
+    "value_skewness_by_type",
+    "knn_hubness_histogram",
+    "cell_occupancy_volatility",
 )
 
 

@@ -1074,3 +1074,58 @@ def commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(30)
     )
+
+
+@query(
+    "cell_occupancy_volatility",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    daily AS (
+        SELECT {_cell_sql()} AS cell,
+               CAST(cdmx_datetime AS DATE) AS day,
+               count(DISTINCT caid) AS pop
+        FROM pings
+        GROUP BY cell, day
+    )
+    SELECT cell,
+           count(*) AS n_days,
+           round(avg(pop), 6) AS mean_pop,
+           round(coalesce(stddev_samp(pop), 0.0), 6) AS std_pop,
+           round(coalesce(stddev_samp(pop), 0.0) / avg(pop), 6) AS cv
+    FROM daily
+    GROUP BY cell
+    HAVING count(*) >= 3
+    ORDER BY cv DESC, cell ASC
+    LIMIT 50
+    """,
+)
+def cell_occupancy_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-to-day OCCUPANCY VOLATILITY per cell: coefficient of variation
+    of daily distinct-device counts — the stability screen separating
+    residential cells (steady population) from event/transit cells
+    (bursty), the same distinction the reference's home heuristic
+    exploits implicitly via night windows. Counts are exact integers;
+    mean is an int/int division; the sample stddev runs over at most
+    |days| small integers so the 6dp round absorbs accumulation-order
+    ulps (the supplier_balance_rollup precedent); cells observed under
+    3 days are gated out on both engines, and the top-50 orders on the
+    ROUNDED cv with a cell tie-break. Plan: one (cell, day) distinct
+    aggregate, one cell-keyed rollup, TakeOrderedAndProject — two
+    exchanges, both on combined rows."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    daily = p.groupBy(
+        "cell", F.to_date("cdmx_datetime").alias("day")
+    ).agg(F.countDistinct("caid").alias("pop"))
+    std = F.coalesce(F.stddev_samp("pop"), F.lit(0.0))
+    return (
+        daily.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("pop"), 6).alias("mean_pop"),
+            F.round(std, 6).alias("std_pop"),
+            F.round(std / F.avg("pop"), 6).alias("cv"),
+        )
+        .where(F.col("n_days") >= 3)
+        .orderBy(F.desc("cv"), F.asc("cell"))
+        .limit(50)
+    )

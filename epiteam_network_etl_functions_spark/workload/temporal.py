@@ -2753,3 +2753,172 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_next",
         )
     )
+
+
+@query(
+    "value_cusum_range",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type, ts, event_id,
+               CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events
+    ),
+    cs AS (
+        SELECT event_type,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type) AS s,
+               sum(CAST(v AS HUGEINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS p,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+               ) AS k
+        FROM vm
+    ),
+    t AS (
+        SELECT event_type, n, n * p - k * s AS t_k FROM cs
+    )
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS n_events,
+           round(CAST(greatest(max(t_k), 0) - least(min(t_k), 0) AS DOUBLE)
+                 / min(n) / 1e6, 6) AS cusum_range
+    FROM t GROUP BY event_type
+    """,
+)
+def value_cusum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift range per event type — the change-point screen (a
+    value stream whose mean shifts mid-window produces a large cumulative
+    excursion around the global mean; a stationary one hovers near zero).
+    Computed EXACTLY in integers: with P_k the running sum of
+    micro-quantized values and (n, S) the per-type totals, the centered
+    cusum n*(P_k - k*S/n) = n*P_k - k*S needs no division, so every
+    T_k is an exact HUGEINT/DECIMAL(38,0); the range includes the S_0 = 0
+    anchor (greatest/least against 0), and the single normalization
+    /n/1e6 puts the result back in value units. The (ts, event_id) order
+    is a unique total order. Plan: ONE type-keyed exchange shared by all
+    four windows (same clustering), then a 5-row aggregate — one pass
+    over the fact at any scale."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    vm = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    cs = vm.select(
+        "event_type",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(F.col("v").cast(dec)).over(w_all).alias("s"),
+        F.sum(F.col("v").cast(dec)).over(w_ord).alias("p"),
+        F.row_number().over(w_rn).alias("k"),
+    )
+    t = cs.select(
+        "event_type",
+        "n",
+        (F.col("n").cast(dec) * F.col("p") - F.col("k").cast(dec) * F.col("s")).alias(
+            "t_k"
+        ),
+    )
+    return t.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.round(
+            (
+                F.greatest(F.max("t_k"), F.lit(0).cast("decimal(38,0)"))
+                - F.least(F.min("t_k"), F.lit(0).cast("decimal(38,0)"))
+            ).cast("double")
+            / F.min("n")
+            / 1e6,
+            6,
+        ).alias("cusum_range"),
+    )
+
+
+@query(
+    "value_skewness_by_type",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(v AS HUGEINT)) AS s1,
+               sum(CAST(v AS HUGEINT) * v) AS s2,
+               sum(CAST(v AS HUGEINT) * v * v) AS s3
+        FROM vm GROUP BY event_type
+        HAVING count(*) >= 2 AND count(*) * sum(CAST(v AS HUGEINT) * v)
+               - CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT)
+                 * sum(CAST(v AS HUGEINT)) > 0
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(s1 AS DOUBLE) / n / 100.0, 6) AS mean_value,
+           round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0, 6)
+               AS std_value,
+           round(CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 / pow(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1.5),
+                 6) AS skewness
+    FROM m
+    """,
+)
+def value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third standardized moment (population skewness) per event type —
+    the tail-asymmetry profile next to the robust (MAD) and trimmed
+    (winsorized) summaries. Values quantize to exact cents; the three
+    power sums accumulate in HUGEINT/DECIMAL(38,0); the central-moment
+    combinations (n*s2 - s1^2, n^2*s3 - 3n*s2*s1 + 2*s1^3) are computed
+    as exact integers BEFORE the only doubles (mirrored divisions and
+    one pow) — the products-of-sums discipline, and standardized moments
+    are scale-free so the cents unit cancels. Degenerate groups (n < 2
+    or zero variance) are excluded on both engines. One map-side
+    combined aggregate: a single pass over the fact."""
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    vm = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    vd = F.col("v").cast(dec)
+    m = vm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(vd).alias("s1"),
+        F.sum((vd * F.col("v")).cast(dec)).alias("s2"),
+        F.sum((vd * F.col("v") * F.col("v")).cast(dec)).alias("s3"),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(dec)
+    m = m.where((F.col("n") >= 2) & (var_num > 0))
+    nd = F.col("n").cast("double")
+    var = var_num.cast("double") / (nd * nd)
+    skew_num = (
+        F.col("n") * F.col("n") * F.col("s3")
+        - F.lit(3) * F.col("n") * F.col("s2") * F.col("s1")
+        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
+    ).cast(dec)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("s1").cast("double") / F.col("n") / 100.0, 6).alias(
+            "mean_value"
+        ),
+        F.round(F.sqrt(var) / 100.0, 6).alias("std_value"),
+        F.round(
+            skew_num.cast("double") / (nd * nd * nd) / F.pow(var, 1.5), 6
+        ).alias("skewness"),
+    )

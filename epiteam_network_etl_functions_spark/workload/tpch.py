@@ -2624,3 +2624,55 @@ def supplier_part_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SUPP_JACCARD_TOP_K)
     )
     return _materialize_release(out, sp)
+
+
+@query(
+    "discount_lift_by_quantity",
+    oracle=f"""
+    SELECT CAST(floor((l_quantity - 1) / 10) AS BIGINT) AS qty_band,
+           count(*) AS n_items,
+           CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                * (10000 - {_SQL_BP.format(c='l_discount')})
+                AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS revenue,
+           round(1.0 - CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                * (10000 - {_SQL_BP.format(c='l_discount')})
+                AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+                / CAST(sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                     AS DECIMAL(38,0))) AS DOUBLE), 6) AS eff_discount
+    FROM lineitem
+    GROUP BY qty_band
+    """,
+)
+def discount_lift_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective discount rate by quantity band — the pricing-policy
+    readout (does the discount schedule actually deepen with order
+    size?): per 10-unit quantity band, item count, realized discounted
+    revenue, and the revenue-weighted effective discount
+    1 - disc_revenue/full_revenue. All three aggregates are exact
+    DECIMAL(38,0) sums of cents x basis-point products (the
+    pricing_summary discipline); the two output doubles are constant
+    divisions and one mirrored ratio rounded at 6dp. One map-side
+    combined aggregate over the fact — a single pass at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    full_c = F.sum(_cents("l_extendedprice").cast("decimal(38,0)"))
+    disc_c = F.sum(
+        (_cents("l_extendedprice") * (10000 - _bp("l_discount"))).cast(
+            "decimal(38,0)"
+        )
+    )
+    return (
+        li.groupBy(
+            F.floor((F.col("l_quantity") - 1) / 10)
+            .cast("bigint")
+            .alias("qty_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (disc_c.cast("double") / 1000000.0).alias("revenue"),
+            F.round(
+                F.lit(1.0)
+                - disc_c.cast("double") / 10000.0 / full_c.cast("double"),
+                6,
+            ).alias("eff_discount"),
+        )
+    )

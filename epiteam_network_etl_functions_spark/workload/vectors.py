@@ -1126,11 +1126,10 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mutual_topk_pairs(cands)
 
 
-def _mutual_topk_pairs(cands: DataFrame) -> DataFrame:
-    """Shared mutual-kNN tail: score (qid, nid) candidate rows (columns
-    qid/nid/q_label/n_label/va/vb), window to each query's top-
-    ``MUTUAL_K``, keep reciprocal pairs, canonicalize a < b. Input size
-    is the only thing the exact and bucketed variants disagree on."""
+def _topk_nbrs(cands: DataFrame) -> DataFrame:
+    """Score (qid, nid) candidate rows (columns qid/nid/q_label/n_label/
+    va/vb) and window each query to its top-``MUTUAL_K`` — the kNN-list
+    kernel shared by the mutual-pair variants and the hubness report."""
     from pyspark.sql import Window
 
     from ..operators.similarity import cosine
@@ -1145,11 +1144,18 @@ def _mutual_topk_pairs(cands: DataFrame) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()
     )
-    nbrs = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= MUTUAL_K)
         .select("qid", "nid", "q_label", "n_label", "cosine")
     )
+
+
+def _mutual_topk_pairs(cands: DataFrame) -> DataFrame:
+    """Shared mutual-kNN tail: top-k lists (_topk_nbrs), reciprocal join,
+    canonicalize a < b. Input size is the only thing the exact and
+    bucketed variants disagree on."""
+    nbrs = _topk_nbrs(cands)
     rev = nbrs.select(
         F.col("qid").alias("nid"), F.col("nid").alias("qid")
     )
@@ -1223,6 +1229,15 @@ def mutual_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ only in candidate generation. Determinism: inherited from the
     shared tail (rounded cosine before rank, id tie-breaks, canonical
     a < b) plus integer-signature equality."""
+    cands = _bucketed_mknn_cands(spark, sf_dir)
+    return _mutual_topk_pairs(cands)
+
+
+def _bucketed_mknn_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe candidate generation shared by mutual_knn_bucketed and
+    knn_hubness_histogram: explode each vector's signature into the
+    radius-{MKNN_PROBE_RADIUS} XOR-mask probe keys, equi-join the corpus
+    side's exact signature."""
     from ..operators.similarity import rp_bucket_col
 
     e = _emb(spark, sf_dir)
@@ -1250,8 +1265,7 @@ def mutual_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("probe"),
         F.col("v").alias("vb"),
     )
-    cands = a.join(b, "probe").where(F.col("qid") != F.col("nid"))
-    return _mutual_topk_pairs(cands)
+    return a.join(b, "probe").where(F.col("qid") != F.col("nid"))
 
 
 @query(
@@ -1565,3 +1579,33 @@ def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter_mean, 6).alias("mean_inter_cosine"),
         F.round(intra_mean - inter_mean, 6).alias("separation"),
     )
+
+
+@query(
+    "knn_hubness_histogram",
+    oracle=f"""
+    WITH {_MKNN_BUCKET_CTES}
+    SELECT CAST(deg AS BIGINT) AS in_degree,
+           count(*) AS n_vectors
+    FROM (SELECT nid, count(*) AS deg FROM nbrs_bk GROUP BY nid)
+    GROUP BY deg
+    """,
+)
+def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS profile of the (bucketed) kNN graph: how many query-side
+    top-{MUTUAL_K} lists each vector appears in, histogrammed — the
+    classic ANN pathology check (high-dimensional spaces concentrate a
+    few hub vectors into everyone's neighbor list, which silently skews
+    kNN classification, SemDeDup keeper choice, and mutual-kNN edge
+    density; a heavy right tail here says to switch to a reciprocal or
+    locally-scaled metric). Reuses the certified multi-probe candidate
+    generation + top-k window (_bucketed_mknn_cands/_topk_nbrs — the
+    mutual_knn_bucketed kernel, so the audit and the default path stay
+    one implementation); in-degree and the histogram are two integer
+    aggregates. Vectors in no list (degree 0) drop identically on both
+    engines."""
+    nbrs = _topk_nbrs(_bucketed_mknn_cands(spark, sf_dir))
+    deg = nbrs.groupBy("nid").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.groupBy(
+        F.col("deg").cast("bigint").alias("in_degree")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
