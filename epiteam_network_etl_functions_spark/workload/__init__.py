@@ -287,6 +287,12 @@ DEFERRED: tuple[str, ...] = (
     "value_skewness_by_type",
     "knn_hubness_histogram",
     "cell_occupancy_volatility",
+    "signup_to_purchase_latency",
+    "peak_concurrency",
+    "balance_spend_correlation",
+    "od_destination_entropy",
+    "scd2_version_histogram",
+    "lang_length_quantiles",
 )
 
 

@@ -116,3 +116,52 @@ def scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from_s"),
         F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to_s"),
     )
+
+
+@query(
+    "scd2_version_histogram",
+    oracle="""
+    WITH ded AS (
+        SELECT user_id, event_type, ts FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, ts
+                       ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    per_key AS (
+        SELECT user_id, event_type, count(*) AS n_versions
+        FROM ded GROUP BY user_id, event_type
+    )
+    SELECT n_versions, count(*) AS n_keys
+    FROM per_key GROUP BY n_versions
+    """,
+)
+def scd2_version_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-depth distribution of the SCD2 history: how many versions
+    each (user, event_type) key carries — the dimension-bloat report a
+    warehouse publishes next to its type-2 tables (a key with hundreds
+    of versions is churn the modeling layer should snapshot instead of
+    chain). Uses the SAME per-(key, ts) dedup the certified scd2_apply
+    oracle defines, so the histogram is exactly the version counts of
+    that certified history. Two integer aggregates: key-keyed version
+    counts (map-side combined), then a tiny depth histogram."""
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type", "ts").orderBy(
+        F.desc("event_id")
+    )
+    ded = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    per_key = ded.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    return per_key.groupBy("n_versions").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )

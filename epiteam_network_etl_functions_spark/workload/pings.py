@@ -1129,3 +1129,86 @@ def cell_occupancy_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cv"), F.asc("cell"))
         .limit(50)
     )
+
+
+@query(
+    "od_destination_entropy",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, cdmx_datetime, {_cell_sql()} AS cell FROM pings
+    ),
+    pos AS (
+        SELECT caid, cdmx_datetime, min(cell) AS cell
+        FROM pc GROUP BY caid, cdmx_datetime
+    ),
+    seq AS (
+        SELECT caid, cell, lag(cell) OVER (
+            PARTITION BY caid ORDER BY cdmx_datetime ASC
+        ) AS prev_cell
+        FROM pos
+    ),
+    tc AS (
+        SELECT prev_cell AS from_cell, cell AS to_cell, count(*) AS c
+        FROM seq
+        WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+        GROUP BY prev_cell, cell
+    ),
+    tw AS (
+        SELECT from_cell, c,
+               sum(c) OVER (PARTITION BY from_cell) AS tot
+        FROM tc
+    ),
+    agg AS (
+        SELECT from_cell,
+               CAST(sum(c) AS BIGINT) AS n_trips,
+               round(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)), 6)
+                   AS dest_entropy
+        FROM tw
+        GROUP BY from_cell
+    )
+    SELECT * FROM agg
+    ORDER BY n_trips DESC, from_cell ASC
+    LIMIT 50
+    """,
+)
+def od_destination_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination-distribution entropy per ORIGIN cell — mobility
+    predictability (a residential origin feeds a few commute
+    destinations: low entropy; a transit hub scatters: high), the
+    Song-et-al predictability axis on the certified OD transitions.
+    Same min-cell/lag construction as device_od_matrix; probabilities
+    are exact int ratios and the per-origin entropy sum's reorder drift
+    (~1e-15) is absorbed by round(...,6) (the event_transition_entropy
+    argument); top-50 origins by trip volume with a cell tie-break."""
+    from pyspark.sql import Window
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
+    seq = pos.select(
+        "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
+    )
+    tc = (
+        seq.where(
+            F.col("prev_cell").isNotNull()
+            & (F.col("prev_cell") != F.col("cell"))
+        )
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"),
+            F.col("cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_o = Window.partitionBy("from_cell")
+    tc = tc.withColumn("tot", F.sum("c").over(w_o))
+    prob = F.col("c") * 1.0 / F.col("tot")
+    return (
+        tc.groupBy("from_cell")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_trips"),
+            F.round(-F.sum(prob * F.log(prob)), 6).alias("dest_entropy"),
+        )
+        .orderBy(F.desc("n_trips"), F.asc("from_cell"))
+        .limit(50)
+    )

@@ -2922,3 +2922,229 @@ def value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             skew_num.cast("double") / (nd * nd * nd) / F.pow(var, 1.5), 6
         ).alias("skewness"),
     )
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+                   PARTITION BY user_id
+               ) AS st
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+    ),
+    per_user AS (
+        SELECT user_id, max(st) AS st,
+               min(CASE WHEN event_type = 'purchase' AND ts >= st
+                        THEN ts END) AS pt
+        FROM ev GROUP BY user_id
+    ),
+    lat AS (
+        SELECT st,
+               CASE WHEN pt IS NOT NULL
+                    THEN (epoch_us(pt) - epoch_us(st)) // 60000000
+               END AS mins
+        FROM per_user WHERE st IS NOT NULL
+    )
+    SELECT count(st) AS n_signup_users,
+           count(mins) AS n_converted,
+           round(count(mins) * 1.0 / count(st), 6) AS conversion_rate,
+           CAST(round(quantile_cont(mins, 0.5)) AS BIGINT) AS p50_min,
+           CAST(round(quantile_cont(mins, 0.9)) AS BIGINT) AS p90_min
+    FROM lat
+    """,
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT: each user's first signup to their first purchase
+    AT OR AFTER it — the activation-latency metric growth teams watch
+    next to the step-count funnel (purchase_conversion_funnel says how
+    many convert; this says how fast). Latencies floor-divide exact
+    epoch micros to integer minutes; the two quantiles interpolate over
+    integers then re-round to BIGINT; the conversion rate is a ratio of
+    exact counts. Plan: one type-filtered scan feeding a per-user
+    window (the signup anchor) and a per-user aggregate, then one
+    scalar rollup — the fact subtree is evaluated exactly once."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    # single pass: the signup anchor is a per-user window over the
+    # type-filtered scan, so the fact subtree is evaluated once (the
+    # aggregate-then-join formulation re-derived it per consumer —
+    # plan-audit lead); user window + user aggregate + one scalar rollup.
+    w_u = Window.partitionBy("user_id")
+    ev = e.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+        .over(w_u)
+        .alias("st"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("st").alias("st"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("st")),
+                F.col("ts"),
+            )
+        ).alias("pt"),
+    )
+    lat = per_user.where(F.col("st").isNotNull()).select(
+        "st",
+        F.when(
+            F.col("pt").isNotNull(),
+            F.expr("(unix_micros(pt) - unix_micros(st)) div 60000000"),
+        ).alias("mins"),
+    )
+    return lat.agg(
+        F.count("st").alias("n_signup_users"),
+        F.count("mins").alias("n_converted"),
+        F.round(F.count("mins") * 1.0 / F.count("st"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.percentile("mins", F.lit(0.5)))
+        .cast("bigint")
+        .alias("p50_min"),
+        F.round(F.percentile("mins", F.lit(0.9)))
+        .cast("bigint")
+        .alias("p90_min"),
+    )
+
+
+SESSION_GAP_US = SESSION_GAP_S * 1_000_000  # the engine's session gap
+
+
+@query(
+    "peak_concurrency",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, epoch_us(ts) AS us,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_start
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        FROM (
+            SELECT user_id, us,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY us ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ) GROUP BY user_id, sid
+    ),
+    pts AS (
+        SELECT s_us AS us, 1 AS delta, user_id, sid FROM sess
+        UNION ALL
+        SELECT e_us + 1, -1, user_id, sid FROM sess
+    ),
+    run AS (
+        SELECT us, sum(delta) OVER (
+                   ORDER BY us ASC, delta ASC, user_id ASC, sid ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM pts
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(min(CASE WHEN conc = (SELECT max(conc) FROM run)
+                         THEN us END) // 1000000 AS BIGINT) AS at_epoch_s
+    FROM run
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS — the capacity-planning scalar (the max
+    of the sweep line over session intervals: +1 at each session start,
+    -1 just after its end, running sum, take the max and the first
+    instant it is reached). Sessions are the engine's standard gap
+    sessionization (user_sessions' 1 h gap); interval endpoints are exact integer
+    micros and the sweep order (us, delta, user_id, sid) is total, with
+    ends sorting before starts at the same instant via delta ASC — so
+    back-to-back sessions never double-count. The running sum is an
+    ordered GLOBAL window: the endpoint stream is session-bounded (two
+    rows per session, orders of magnitude below event volume), which is
+    what makes a single-partition pass acceptable for a scalar
+    diagnostic; a 100 TB deployment partitions the sweep by day and
+    carries the boundary count forward. Output: the peak and the
+    epoch-second it is first reached."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    marked = seq.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("is_start").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    # both endpoints explode out of each session ROW (a union of two
+    # selects re-derives the whole sessionization subtree per branch —
+    # plan-audit lead; the explode keeps it one evaluation)
+    pts = sess.select(
+        "user_id",
+        "sid",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col("e_us") + 1).alias("us"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.us").alias("us"),
+        F.col("e.delta").alias("delta"),
+        "user_id",
+        "sid",
+    )
+    w_sweep = Window.orderBy(
+        F.col("us").asc(),
+        F.col("delta").asc(),
+        F.col("user_id").asc(),
+        F.col("sid").asc(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = pts.select("us", F.sum("delta").over(w_sweep).alias("conc"))
+    mx = run.agg(F.max("conc").alias("max_concurrent"))
+    return (
+        run.join(F.broadcast(mx), run.conc == mx.max_concurrent)
+        .agg(
+            F.min("max_concurrent").cast("bigint").alias("max_concurrent"),
+            F.expr("min(us) div 1000000").cast("bigint").alias("at_epoch_s"),
+        )
+    )

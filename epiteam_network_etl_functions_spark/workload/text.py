@@ -3425,3 +3425,48 @@ def source_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log("distinct_terms") / F.log("total_tokens"), 6
         ).alias("heaps_exponent"),
     )
+
+
+@query(
+    "lang_length_quantiles",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(round(quantile_cont(n_tok, 0.25)) AS BIGINT) AS p25_tokens,
+           CAST(round(quantile_cont(n_tok, 0.5)) AS BIGINT) AS p50_tokens,
+           CAST(round(quantile_cont(n_tok, 0.75)) AS BIGINT) AS p75_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length quartiles per language — the per-language sequence-
+    budget input (packing bins, truncation limits, and sampling weights
+    are all set per language because length distributions differ; this
+    is the number that feeds them, next to
+    tokenization_fertility_by_lang's chars-per-token). Map-only token
+    counting fused with the scan, one lang-keyed aggregate; quantiles
+    interpolate over exact integers then re-round to BIGINT."""
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("n_tok"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tok", F.lit(0.25)))
+        .cast("bigint")
+        .alias("p25_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.5)))
+        .cast("bigint")
+        .alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.75)))
+        .cast("bigint")
+        .alias("p75_tokens"),
+    )

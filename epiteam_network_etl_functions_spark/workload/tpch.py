@@ -2676,3 +2676,93 @@ def discount_lift_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eff_discount"),
         )
     )
+
+
+@query(
+    "balance_spend_correlation",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+               coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                   AS spend_c
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    ),
+    m AS (
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(CAST(bal_c AS HUGEINT)) AS sx,
+               sum(CAST(spend_c AS HUGEINT)) AS sy,
+               sum(CAST(bal_c AS HUGEINT) * bal_c) AS sxx,
+               sum(CAST(spend_c AS HUGEINT) * spend_c) AS syy,
+               sum(CAST(bal_c AS HUGEINT) * spend_c) AS sxy
+        FROM spend GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS pearson_r
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def balance_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between a customer's account balance and their
+    lifetime spend, per market segment — does the balance field carry
+    any signal about purchasing (a data-quality question as much as a
+    business one; TPC-H's balance is famously uncorrelated noise, and
+    this query PROVES it per segment instead of assuming it). Customers
+    with no orders contribute spend 0 (left join). Both variables
+    quantize to exact cents; the five moment sums accumulate in
+    HUGEINT/DECIMAL(38,0); r assembles from exact integer combinations
+    with two mirrored sqrt/divisions (products-of-sums discipline);
+    degenerate segments (zero variance either side) are excluded on
+    both engines. One customer-keyed aggregate + one 5-row rollup."""
+    from pyspark.sql import functions as F2
+
+    dec = "decimal(38,0)"
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            ).alias("spend_c")
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+            "spend_c",
+        )
+    )
+    x = F.col("bal_c").cast(dec)
+    y = F.col("spend_c").cast(dec)
+    m = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * F.col("bal_c")).cast(dec)).alias("sxx"),
+        F.sum((y * F.col("spend_c")).cast(dec)).alias("syy"),
+        F.sum((x * F.col("spend_c")).cast(dec)).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec)
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    return (
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double"))
+                / F.sqrt(vy.cast("double")),
+                6,
+            ).alias("pearson_r"),
+        )
+    )
