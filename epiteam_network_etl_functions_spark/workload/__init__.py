@@ -293,6 +293,10 @@ DEFERRED: tuple[str, ...] = (
     "od_destination_entropy",
     "scd2_version_histogram",
     "lang_length_quantiles",
+    "neighbor_jaccard_links",
+    "colocation_degree_gini",
+    "simhash_bit_balance",
+    "brand_share_yearly_shift",
 )
 
 

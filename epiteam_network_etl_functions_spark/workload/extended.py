@@ -508,3 +508,49 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.where(hamming <= 3)
         .select("a_id", "b_id", hamming.cast("int").alias("hamming"))
     )
+
+
+@query(
+    "simhash_bit_balance",
+    oracle=f"""
+    WITH {_SIMHASH_CTE.strip()},
+    bits AS (
+        SELECT b.bit, (s.simhash >> b.bit) & 1 AS v
+        FROM simhashes s,
+             (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+    )
+    SELECT CAST(bit AS BIGINT) AS bit,
+           count(*) AS n_docs,
+           CAST(sum(v) AS BIGINT) AS n_ones,
+           round(sum(v) * 1.0 / count(*), 6) AS one_share,
+           round(abs(sum(v) * 1.0 / count(*) - 0.5), 6) AS imbalance
+    FROM bits GROUP BY bit
+    """,
+)
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-HEALTH audit for the SimHash family: per bit position, the
+    share of documents with that bit set. A healthy signature has every
+    bit near 0.5 (each hyperplane splits the corpus evenly); a bit stuck
+    near 0 or 1 carries no discriminative information, effectively
+    shortening the signature and inflating the Hamming-band
+    false-positive rate that simhash_hamming_pairs relies on — this is
+    the audit that would catch a degenerate token-hash before a 100 TB
+    dedup run trusts it (the minhash_band_load / ivf_recall_audit
+    pattern, applied to SimHash). Exact integer bit counts via shifts on
+    the certified signature; one {SIMHASH_BITS}-literal explode and one
+    16-row aggregate on top of the signature subtree."""
+    sh = _simhashes(spark, sf_dir)
+    bits = sh.select(
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "simhash",
+    ).select(
+        "bit",
+        F.expr("(shiftright(simhash, bit) & 1)").alias("v"),
+    )
+    share = F.sum("v") * 1.0 / F.count(F.lit(1))
+    return bits.groupBy(F.col("bit").cast("bigint").alias("bit")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v").cast("bigint").alias("n_ones"),
+        F.round(share, 6).alias("one_share"),
+        F.round(F.abs(share - 0.5), 6).alias("imbalance"),
+    )

@@ -528,10 +528,19 @@ edges AS (
 
 
 def _colocation_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical co-location edge list, MATERIALIZED once per query
+    invocation: the graph-analytics consumers (wedge joins, degree
+    lookups, anti-joins) reference the edge frame up to 9x, and without
+    a lineage cut each reference re-evaluates the whole presence
+    self-join subtree (plan-audit: 18 scans in adamic_adar_links).
+    localCheckpoint holds edge rows — the already-deduped, canonically
+    small form — so every downstream branch reads the materialized
+    edges; at 100 TB this is exactly the write-edges-then-analyze stage
+    boundary every graph pipeline has."""
     p = _bucketed_presence(spark, sf_dir)
     return colocation_edges(
         p, id_col="user_id", cell_col="event_type", tw_col="tw"
-    ).select("a_user_id", "b_user_id")
+    ).select("a_user_id", "b_user_id").localCheckpoint()
 
 
 @query(
@@ -1273,4 +1282,127 @@ def meeting_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted.groupBy("n_meetings").agg(
         F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "neighbor_jaccard_links",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u, b_user_id AS v FROM edges
+        UNION ALL
+        SELECT b_user_id, a_user_id FROM edges
+    ),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    wedge AS (
+        SELECT a.v AS u, b.v AS w, count(*) AS n_common
+        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        GROUP BY a.v, b.v
+    ),
+    scored_j AS (
+        SELECT x.u AS a_user_id, x.w AS b_user_id, x.n_common,
+               round(x.n_common * 1.0
+                     / (da.degree + db.degree - x.n_common), 6) AS jaccard
+        FROM wedge x
+        JOIN deg da ON da.u = x.u
+        JOIN deg db ON db.u = x.w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e
+            WHERE e.a_user_id = x.u AND e.b_user_id = x.w
+        )
+    )
+    SELECT * FROM scored_j
+    ORDER BY jaccard DESC, a_user_id ASC, b_user_id ASC
+    LIMIT {CN_LINK_K}
+    """,
+)
+def neighbor_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by NEIGHBOR-SET JACCARD — the degree-normalized
+    member of the common-neighbors family (raw counts favor hubs;
+    Adamic-Adar discounts hub neighbors; Jaccard normalizes by the union
+    of neighborhoods, which is the right scorer when degrees vary by
+    orders of magnitude). Same uncapped wedge kernel + anti-join as
+    common_neighbor_links (the oracle stays exact; the operator's
+    max_degree cap is the density-tier mitigation), plus the two degree
+    lookups; the score is a rounded ratio of exact integers and the
+    top-{CN_LINK_K} order is total."""
+    from ..operators.graphstats import common_neighbor_scores, degrees
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    scores = common_neighbor_scores(edges, "a_user_id", "b_user_id")
+    deg = degrees(edges, "a_user_id", "b_user_id")
+    da = deg.select(F.col("node_id").alias("a_id"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node_id").alias("b_id"), F.col("degree").alias("db"))
+    return (
+        scores.join(da, "a_id")
+        .join(db, "b_id")
+        .select(
+            F.col("a_id").alias("a_user_id"),
+            F.col("b_id").alias("b_user_id"),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("a_user_id").asc(),
+            F.col("b_user_id").asc(),
+        )
+        .limit(CN_LINK_K)
+    )
+
+
+@query(
+    "colocation_degree_gini",
+    oracle=f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u FROM edges
+        UNION ALL
+        SELECT b_user_id FROM edges
+    ),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    ranked AS (
+        SELECT degree,
+               row_number() OVER (ORDER BY degree ASC, u ASC) AS i
+        FROM deg
+    )
+    SELECT count(*) AS n_nodes,
+           CAST(sum(degree) AS BIGINT) AS total_degree,
+           round((2.0 * sum(i * degree) - (count(*) + 1.0) * sum(degree))
+                 / (count(*) * sum(degree)), 6) AS gini
+    FROM ranked
+    """,
+)
+def colocation_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the contact-graph DEGREE distribution — the
+    one-number hub-concentration scorecard next to the full histogram
+    (colocation_degree_distribution) and assortativity: high Gini means
+    a few super-connectors carry the epidemic paths (and that the graph
+    queries' wedge joins need their degree caps). Same exact-integer
+    rank formula as user_activity_gini, over the already-aggregated
+    node-degree frame (nodes, not edges, enter the global rank); ties
+    contribute identically under any permutation."""
+    from pyspark.sql import Window
+
+    from ..operators.graphstats import degrees
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    deg = degrees(edges, "a_user_id", "b_user_id")
+    w = Window.orderBy(F.asc("degree"), F.asc("node_id"))
+    ranked = deg.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_nodes"),
+        F.sum("degree").cast("bigint").alias("total_degree"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("degree")) - (n + 1.0) * F.sum("degree"))
+            / (n * F.sum("degree")),
+            6,
+        ).alias("gini"),
     )

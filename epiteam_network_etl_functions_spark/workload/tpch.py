@@ -2766,3 +2766,77 @@ def balance_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pearson_r"),
         )
     )
+
+
+@query(
+    "brand_share_yearly_shift",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p.p_brand AS brand, year(o.o_orderdate) AS yr,
+               sum(CAST({_SQL_CENTS.format(c='l_extendedprice')}
+                   * (10000 - {_SQL_BP.format(c='l_discount')})
+                   AS DECIMAL(38,0))) AS rev_c
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, year(o.o_orderdate)
+    ),
+    sh AS (
+        SELECT brand, yr,
+               round(CAST(rev_c AS DOUBLE)
+                     / CAST(sum(rev_c) OVER (PARTITION BY yr) AS DOUBLE), 6)
+                   AS share
+        FROM rev
+    )
+    SELECT brand, CAST(yr AS BIGINT) AS yr, share,
+           round(share - lag(share) OVER (
+               PARTITION BY brand ORDER BY yr ASC), 6) AS share_delta
+    FROM sh
+    """,
+)
+def brand_share_yearly_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue-share trajectory: each brand's share of total
+    yearly revenue, with the year-over-year delta — the market-share
+    drift report (a brand losing share each year is a lifecycle signal
+    no single-year snapshot shows; the lag-over-aggregate shape of
+    orders_quarter_growth applied to a two-dimension share). Revenue
+    accumulates in exact DECIMAL cents x basis points; the share divides
+    two exact sums (the yearly total via a year-partitioned window over
+    the ALREADY-AGGREGATED brand-year frame, never a second fact pass);
+    the delta subtracts ROUNDED shares, so cross-engine drift cannot
+    leak through the lag. Plan: one fact aggregate (part/orders dims
+    attach by key), then two windows over brand-year rows — the fact is
+    touched once."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(_revenue_col()).alias("rev_c"))
+    )
+    w_y = Window.partitionBy("yr")
+    sh = rev.select(
+        "brand",
+        "yr",
+        F.round(
+            F.col("rev_c").cast("double")
+            / F.sum("rev_c").over(w_y).cast("double"),
+            6,
+        ).alias("share"),
+    )
+    w_b = Window.partitionBy("brand").orderBy(F.asc("yr"))
+    return sh.select(
+        "brand",
+        F.col("yr").cast("bigint").alias("yr"),
+        "share",
+        F.round(F.col("share") - F.lag("share").over(w_b), 6).alias(
+            "share_delta"
+        ),
+    )
