@@ -257,6 +257,15 @@ DEMOTED: tuple[str, ...] = (
 # residual — first in line for the round-9 prefix — and (b) anything newly
 # registered in round 8, appended below as it lands so it never evicts a
 # query whose only certification chance is this round.
+#
+# ROUND-9 ROTATION SCRIPT (execute at the start of round 9): move the 50
+# names CORRECTNESS_r08 certifies green into DEMOTED, then shrink this
+# tuple to whatever round 9 newly registers — the 37 names below float
+# into the round-9 prefix (37 < 50, so up to 13 early round-9 additions
+# can certify in the same round if registered BEFORE the prefix snapshot;
+# anything later goes back into DEFERRED). Invariant to re-check after
+# rotating: list(REGISTRY)[:50] has zero overlap with the union of
+# hash_match:true names across CORRECTNESS_r01..r08.
 DEFERRED: tuple[str, ...] = (
     # -- round-7 second continuation residual (certify in round 9) --
     "pmi_collocations",
