@@ -306,6 +306,8 @@ DEFERRED: tuple[str, ...] = (
     "colocation_degree_gini",
     "simhash_bit_balance",
     "brand_share_yearly_shift",
+    "mobility_contact_correlation",
+    "weekend_value_lift",
 )
 
 

@@ -1212,3 +1212,125 @@ def od_destination_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_trips"), F.asc("from_cell"))
         .limit(50)
     )
+
+
+def _register_mobility_contact_corr() -> None:
+    """Registered via a deferred assembly because the oracle stitches the
+    pings CTE (this module) to the co-location edge CTE
+    (workload.mobility) — one query, two certified derivations."""
+    from . import ORACLES
+    from .mobility import _EDGES_CTE
+
+    ORACLES["mobility_contact_correlation"] = f"""
+    WITH {_PINGS_CTE.strip()},
+    {_EDGES_CTE.strip().lstrip()},
+    pc AS (SELECT caid, {_cell_sql()} AS cell FROM pings),
+    visits AS (SELECT caid, cell, count(*) AS n FROM pc GROUP BY caid, cell),
+    center AS (
+        SELECT caid, cell AS c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY n DESC, cell ASC
+            ) AS rn FROM visits
+        ) WHERE rn = 1
+    ),
+    d AS (
+        SELECT v.caid, v.n,
+               greatest(
+                   abs(CAST(split_part(v.cell, ':', 2) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 2) AS BIGINT)),
+                   abs(CAST(split_part(v.cell, ':', 3) AS BIGINT)
+                       - CAST(split_part(c.c, ':', 3) AS BIGINT))) AS d
+        FROM visits v JOIN center c USING (caid)
+    ),
+    rg AS (
+        SELECT caid, round(sqrt(sum(n * d * d) / sum(n)), 6) AS rg
+        FROM d GROUP BY caid
+    ),
+    deg AS (
+        SELECT node_id, count(*) AS degree FROM (
+            SELECT a_user_id AS node_id FROM edges
+            UNION ALL
+            SELECT b_user_id FROM edges
+        ) GROUP BY node_id
+    ),
+    xy AS (
+        SELECT CAST(round(r.rg * 1e6) AS BIGINT) AS x,
+               g.degree AS y
+        FROM rg r JOIN deg g ON r.caid = CAST(g.node_id AS VARCHAR)
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_devices,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS pearson_r
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """
+
+
+@query("mobility_contact_correlation", oracle=None)
+def mobility_contact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does MOBILITY predict CONTACT? Pearson correlation between each
+    device's radius of gyration and its co-location-graph degree — the
+    cross-kernel product an epidemic platform actually publishes (the
+    'travelers are super-connectors' hypothesis, testable because both
+    inputs are certified kernels: plans/gyration.device_rg and the
+    canonical edge list). The rounded rg re-quantizes EXACTLY to
+    integer micro-units (it is already 6dp), degree is an integer, and
+    r assembles from exact HUGEINT/DECIMAL(38,0) moment sums with two
+    mirrored sqrt/divisions (the balance_spend_correlation discipline);
+    degenerate variance gates on both engines. Plan: the rg aggregate
+    and the degree aggregate each touch their fact once; the join is
+    device-keyed; one scalar rollup."""
+    from .mobility import _colocation_edge_list
+    from ..operators.graphstats import degrees
+
+    dec = "decimal(38,0)"
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    rg = device_rg(p, id_col="caid", cell_col="cell").select("caid", "rg")
+    deg = degrees(
+        _colocation_edge_list(spark, sf_dir), "a_user_id", "b_user_id"
+    )
+    xy = rg.join(
+        deg, rg.caid == deg.node_id.cast("string")
+    ).select(
+        F.round(F.col("rg") * 1e6).cast("long").alias("x"),
+        F.col("degree").alias("y"),
+    )
+    xd = F.col("x").cast(dec)
+    yd = F.col("y").cast(dec)
+    m = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum((xd * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((yd * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((xd * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec)
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    return (
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("n").cast("bigint").alias("n_devices"),
+            F.round(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double"))
+                / F.sqrt(vy.cast("double")),
+                6,
+            ).alias("pearson_r"),
+        )
+    )
+
+
+_register_mobility_contact_corr()

@@ -3148,3 +3148,82 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min(us) div 1000000").cast("bigint").alias("at_epoch_s"),
         )
     )
+
+
+@query(
+    "weekend_value_lift",
+    oracle="""
+    WITH vm AS (
+        SELECT event_type,
+               CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+               CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               sum(we) AS n_weekend,
+               count(*) - sum(we) AS n_weekday,
+               sum(CASE WHEN we = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+                   AS s_we,
+               sum(CASE WHEN we = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+                   AS s_wd
+        FROM vm GROUP BY event_type
+        HAVING sum(we) >= 1 AND count(*) - sum(we) >= 1
+           AND sum(CASE WHEN we = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) > 0
+    )
+    SELECT event_type,
+           CAST(n_weekend AS BIGINT) AS n_weekend,
+           CAST(n_weekday AS BIGINT) AS n_weekday,
+           round(CAST(s_we AS DOUBLE) / n_weekend / 1e6, 6)
+               AS weekend_avg,
+           round(CAST(s_wd AS DOUBLE) / n_weekday / 1e6, 6)
+               AS weekday_avg,
+           round((CAST(s_we AS DOUBLE) / n_weekend)
+                 / (CAST(s_wd AS DOUBLE) / n_weekday), 6) AS lift
+    FROM m
+    """,
+)
+def weekend_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday VALUE LIFT per event type — the seasonality
+    split every revenue dashboard carries (the dow/hour heatmap shows
+    the full surface; this is its one-number summary with the averages
+    that produced it). Weekend is ISO Saturday/Sunday, expressed with
+    each engine's own calendar function mapped to the same predicate
+    (isodow >= 6 in DuckDB, weekday >= 5 in Spark — both Monday-based).
+    Micro-quantized conditional sums are exact integers; averages and
+    the lift are mirrored double divisions rounded at 6dp; degenerate
+    types (either side empty, or zero weekday mass) gate out on both
+    engines. One map-side-combined aggregate: a single fact pass."""
+    e = _events(spark, sf_dir)
+    dec = "decimal(38,0)"
+    vm = e.select(
+        "event_type",
+        F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).alias("we"),
+        F.round(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast(dec)
+    m = vm.groupBy("event_type").agg(
+        F.sum("we").alias("n_weekend"),
+        (F.count(F.lit(1)) - F.sum("we")).alias("n_weekday"),
+        F.sum(F.when(F.col("we") == 1, vd).otherwise(F.lit(0).cast(dec))).alias(
+            "s_we"
+        ),
+        F.sum(F.when(F.col("we") == 0, vd).otherwise(F.lit(0).cast(dec))).alias(
+            "s_wd"
+        ),
+    )
+    m = m.where(
+        (F.col("n_weekend") >= 1)
+        & (F.col("n_weekday") >= 1)
+        & (F.col("s_wd") > 0)
+    )
+    we_avg = F.col("s_we").cast("double") / F.col("n_weekend")
+    wd_avg = F.col("s_wd").cast("double") / F.col("n_weekday")
+    return m.select(
+        "event_type",
+        F.col("n_weekend").cast("bigint").alias("n_weekend"),
+        F.col("n_weekday").cast("bigint").alias("n_weekday"),
+        F.round(we_avg / 1e6, 6).alias("weekend_avg"),
+        F.round(wd_avg / 1e6, 6).alias("weekday_avg"),
+        F.round(we_avg / wd_avg, 6).alias("lift"),
+    )
