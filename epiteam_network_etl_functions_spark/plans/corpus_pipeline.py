@@ -79,12 +79,20 @@ def gate_quality(
     input's split count is far below the cluster parallelism, the
     repartitioned raw docs are localCheckpointed (an RDD boundary no
     filter can sink below) and the gate evaluates on the fanned-out
-    copy — measured 115 s -> 8 s. The checkpoint materializes only the
-    raw input slice, and at production scale the input has thousands of
-    splits so neither the shuffle nor the checkpoint ever happens."""
+    copy — measured 115 s -> 8 s. The checkpoint is LAZY
+    (eager=False): nothing materializes unless the caller actually
+    executes the gated result, and repeated plan-building invocations
+    don't pin executor storage. Fault-tolerance trade-off, accepted:
+    localCheckpoint truncates lineage, so an executor loss after
+    materialization fails the job instead of recomputing — fine in
+    local mode and for the small-split case this branch guards; at
+    production scale the input has thousands of splits so neither the
+    shuffle nor the checkpoint ever happens."""
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism).localCheckpoint()
+        docs = docs.repartition(sc.defaultParallelism).localCheckpoint(
+            eager=False
+        )
     toks = tokens_col(text_col)
     rep = bigram_repetition_ratio(toks)
     ent = char_entropy_nats(F.col(text_col))

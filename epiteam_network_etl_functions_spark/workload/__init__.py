@@ -245,70 +245,76 @@ DEMOTED: tuple[str, ...] = (
     "night_owl_share",
     "pings_home_stability",
     "device_rg_percentiles",
+    # -- driver-green round 8 (CORRECTNESS_r08 50/50 on first-time names;
+    # rotated out so the 39 held-out DEFERRED queries float into the
+    # round-9 prefix with 11 slots free for early round-9 registrations) --
+    "colocation_assortativity",
+    "common_neighbor_links",
+    "adamic_adar_links",
+    "bridge_cells_report",
+    "device_mobility_entropy",
+    "meeting_count_histogram",
+    "nation_year_profit",
+    "returnflag_priority_counts",
+    "part_basket_pairs",
+    "part_size_price_regression",
+    "nation_trade_balance",
+    "customer_ltv_deciles",
+    "inventory_value_abc",
+    "supplier_herfindahl",
+    "customer_nation_pareto",
+    "order_value_vs_lines",
+    "cross_source_chunk_leakage",
+    "packing_fill_report",
+    "per_source_doc_sample",
+    "minhash_jaccard_calibration",
+    "shingle_containment_pairs",
+    "posting_list_heads",
+    "bigram_surprisal",
+    "quality_signal_correlation",
+    "corpus_growth_curve",
+    "tokenization_fertility_by_lang",
+    "doc_prefix_dup_groups",
+    "doc_numeric_density",
+    "corpus_token_budget_planner",
+    "source_vocab_overlap",
+    "centroid_pair_distances",
+    "semantic_bucket_dups",
+    "ivf_recall_audit",
+    "knn_label_agreement",
+    "vec_quantization_error",
+    "embedding_dim_variance",
+    "frame_sample_catalog",
+    "resized_payload_digest",
+    "markov_transition_probs",
+    "user_burstiness",
+    "value_autocorr_lag1",
+    "session_duration_histogram",
+    "dau_wau_stickiness",
+    "first_touch_attribution",
+    "hourly_anomaly_zscore",
+    "user_lifecycle_stages",
+    "error_burst_windows",
+    "value_winsorized_stats",
+    "value_first_digit_benford",
+    "purchase_interpurchase_gaps",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",
     "pca_explained_variance",
 )
 
-# Round-8 rotation: the 50 round-7-deferred oracle-backed queries now fill
-# the 50-slot prefix exactly (every other registered query sits in DEMOTED
-# or this tuple). DEFERRED holds (a) the 9-query round-7 second-continuation
-# residual — first in line for the round-9 prefix — and (b) anything newly
-# registered in round 8, appended below as it lands so it never evicts a
-# query whose only certification chance is this round.
-#
-# ROUND-9 ROTATION SCRIPT (execute at the start of round 9): move the 50
-# names CORRECTNESS_r08 certifies green into DEMOTED, then shrink this
-# tuple to whatever round 9 newly registers — the 37 names below float
-# into the round-9 prefix (37 < 50, so up to 13 early round-9 additions
-# can certify in the same round if registered BEFORE the prefix snapshot;
-# anything later goes back into DEFERRED). Invariant to re-check after
-# rotating: list(REGISTRY)[:50] has zero overlap with the union of
-# hash_match:true names across CORRECTNESS_r01..r08.
-DEFERRED: tuple[str, ...] = (
-    # -- round-7 second continuation residual (certify in round 9) --
-    "pmi_collocations",
-    "bm25_keyword_search",
-    "mutual_knn_pairs",
-    "customer_rfm_segments",
-    "near_dup_cluster_source_mix",
-    "event_value_welch_test",
-    "wait_time_survival_curve",
-    "rrf_hybrid_search",
-    "customer_er_blocking_pairs",
-    # -- registered in round 8 (held out of the round-8 prefix) --
-    "mutual_knn_bucketed",
-    "mutual_knn_recall_audit",
-    "device_od_matrix",
-    "cell_dwell_quantiles",
-    "value_mad_by_type",
-    "value_ks_test_pairs",
-    "stopword_ratio_by_source",
-    "near_dup_threshold_sweep",
-    "source_heaps_law",
-    "event_transition_entropy",
-    "supplier_part_jaccard",
-    "label_cosine_separation",
-    "commute_matrix",
-    "discount_lift_by_quantity",
-    "value_cusum_range",
-    "value_skewness_by_type",
-    "knn_hubness_histogram",
-    "cell_occupancy_volatility",
-    "signup_to_purchase_latency",
-    "peak_concurrency",
-    "balance_spend_correlation",
-    "od_destination_entropy",
-    "scd2_version_histogram",
-    "lang_length_quantiles",
-    "neighbor_jaccard_links",
-    "colocation_degree_gini",
-    "simhash_bit_balance",
-    "brand_share_yearly_shift",
-    "mobility_contact_correlation",
-    "weekend_value_lift",
-)
+# Round-9 rotation (executed per the round-8 script): the 50 names
+# CORRECTNESS_r08 certified green moved into DEMOTED above; the 39
+# previously-DEFERRED, never-certified queries are now non-tail, so they
+# float into the round-9 prefix in module registration order, leaving 11
+# free prefix slots for early round-9 registrations. Any round-9 query
+# registered AFTER those 11 slots fill goes into this tuple so it never
+# evicts a query whose only certification chance is this round.
+# Invariant (re-checked by tools/check_rotation.py and
+# tests/test_registry.py): list(REGISTRY)[:50] has zero overlap with the
+# union of hash_match:true names across CORRECTNESS_r01..r08.
+DEFERRED: tuple[str, ...] = ()
 
 
 def load_all() -> None:

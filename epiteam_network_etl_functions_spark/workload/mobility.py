@@ -536,11 +536,16 @@ def _colocation_edge_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint holds edge rows — the already-deduped, canonically
     small form — so every downstream branch reads the materialized
     edges; at 100 TB this is exactly the write-edges-then-analyze stage
-    boundary every graph pipeline has."""
+    boundary every graph pipeline has. The checkpoint is LAZY
+    (eager=False): building the plan costs nothing, the first action
+    materializes it, and every later branch reuses the same blocks —
+    an unexecuted query never runs the self-join at registration
+    time. (Trade-off, accepted: lineage is truncated, so executor loss
+    after materialization fails instead of recomputing.)"""
     p = _bucketed_presence(spark, sf_dir)
     return colocation_edges(
         p, id_col="user_id", cell_col="event_type", tw_col="tw"
-    ).select("a_user_id", "b_user_id").localCheckpoint()
+    ).select("a_user_id", "b_user_id").localCheckpoint(eager=False)
 
 
 @query(

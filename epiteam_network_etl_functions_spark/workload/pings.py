@@ -1268,12 +1268,18 @@ def _register_mobility_contact_corr() -> None:
         FROM xy
     )
     SELECT CAST(n AS BIGINT) AS n_devices,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
-               AS pearson_r
+           round((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / sqrt(CAST(sxx AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                 / sqrt(CAST(syy AS DOUBLE) / n
+                        - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)),
+                 6) AS pearson_r
     FROM m
-    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    WHERE CAST(sxx AS DOUBLE) / n
+          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) > 0
+      AND CAST(syy AS DOUBLE) / n
+          - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) > 0
     """
 
 
@@ -1316,19 +1322,22 @@ def mobility_contact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((yd * F.col("y")).cast(dec)).alias("syy"),
         F.sum((xd * F.col("y")).cast(dec)).alias("sxy"),
     )
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(dec)
-    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    # moments divided by n in DOUBLE before the products (n*sxx - sx^2
+    # style exact-integer combinations are decimal(38,0)-capped in Spark
+    # vs HUGEINT in DuckDB — silent-NULL vs hard-error divergence at
+    # extreme SF; dividing first bounds every intermediate near the data
+    # magnitude; the oracle mirrors the expression term-for-term)
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cov = F.col("sxy").cast("double") / nd - mx * my
     return (
         m.where((vx > 0) & (vy > 0))
         .select(
             F.col("n").cast("bigint").alias("n_devices"),
-            F.round(
-                cov.cast("double")
-                / F.sqrt(vx.cast("double"))
-                / F.sqrt(vy.cast("double")),
-                6,
-            ).alias("pearson_r"),
+            F.round(cov / F.sqrt(vx) / F.sqrt(vy), 6).alias("pearson_r"),
         )
     )
 

@@ -2870,9 +2870,10 @@ def value_cusum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0, 6)
                AS std_value,
-           round(CAST(n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1
-                      AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
                  / pow(CAST(n * s2 - s1 * s1 AS DOUBLE)
                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1.5),
                  6) AS skewness
@@ -2906,11 +2907,17 @@ def value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = m.where((F.col("n") >= 2) & (var_num > 0))
     nd = F.col("n").cast("double")
     var = var_num.cast("double") / (nd * nd)
-    skew_num = (
-        F.col("n") * F.col("n") * F.col("s3")
-        - F.lit(3) * F.col("n") * F.col("s2") * F.col("s1")
-        + F.lit(2) * F.col("s1") * F.col("s1") * F.col("s1")
-    ).cast(dec)
+    # third central moment via divided double moments (m3 - 3 m1 m2 +
+    # 2 m1^3), NOT the exact-integer n^2 s3 - 3 n s2 s1 + 2 s1^3: the
+    # s1^3 term is decimal(38,0)-capped in Spark (silent NULL on
+    # overflow under non-ANSI) vs HUGEINT in DuckDB (hard error), so at
+    # |s1| beyond ~4.6e12 the engines would diverge silently. Dividing
+    # by n first keeps every intermediate near the data's magnitude;
+    # the oracle mirrors the expression term-for-term.
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd
+    m3 = F.col("s3").cast("double") / nd
+    cm3 = m3 - F.lit(3) * m1 * m2 + F.lit(2) * m1 * m1 * m1
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_events"),
@@ -2918,9 +2925,7 @@ def value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
         F.round(F.sqrt(var) / 100.0, 6).alias("std_value"),
-        F.round(
-            skew_num.cast("double") / (nd * nd * nd) / F.pow(var, 1.5), 6
-        ).alias("skewness"),
+        F.round(cm3 / F.pow(var, 1.5), 6).alias("skewness"),
     )
 
 
@@ -3028,7 +3033,7 @@ SESSION_GAP_US = SESSION_GAP_S * 1_000_000  # the engine's session gap
         FROM events
     ),
     marked AS (
-        SELECT user_id, ts, epoch_us(ts) AS us,
+        SELECT user_id, ts, epoch_us(ts) AS us, event_id,
                CASE WHEN prev_us IS NULL
                          OR epoch_us(ts) - prev_us > {SESSION_GAP_US}
                     THEN 1 ELSE 0 END AS is_start
@@ -3039,7 +3044,8 @@ SESSION_GAP_US = SESSION_GAP_S * 1_000_000  # the engine's session gap
         FROM (
             SELECT user_id, us,
                    sum(is_start) OVER (
-                       PARTITION BY user_id ORDER BY us ASC
+                       PARTITION BY user_id
+                       ORDER BY us ASC, event_id ASC
                        ROWS UNBOUNDED PRECEDING
                    ) AS sid
             FROM marked
@@ -3087,11 +3093,13 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "user_id",
         F.unix_micros("ts").alias("us"),
+        "event_id",
         F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
     )
     marked = seq.select(
         "user_id",
         "us",
+        "event_id",
         F.when(
             F.col("prev_us").isNull()
             | (F.col("us") - F.col("prev_us") > SESSION_GAP_US),
@@ -3100,9 +3108,12 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
+    # sid assignment must use the SAME total order that derived is_start
+    # ((ts, event_id)) — ordering by us alone would make session
+    # endpoints tie-order-dependent on duplicate (user_id, ts) rows
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("us").asc())
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = (

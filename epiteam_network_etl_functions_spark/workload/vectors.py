@@ -1504,6 +1504,8 @@ _register_rrf_oracle()
                  / CAST(n_all * (n_all - 1) // 2 - n_intra_pairs AS DOUBLE)
                  / 1e12, 6) AS separation
     FROM agg
+    WHERE n_intra_pairs > 0
+      AND n_all * (n_all - 1) // 2 - n_intra_pairs > 0
     """,
 )
 def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,12 +1574,20 @@ def label_cosine_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         / inter_pairs.cast("double")
         / 1e12
     )
-    return one.select(
-        F.col("n_all").cast("bigint").alias("n_vectors"),
-        F.col("nl").cast("bigint").alias("n_labels"),
-        F.round(intra_mean, 6).alias("mean_intra_cosine"),
-        F.round(inter_mean, 6).alias("mean_inter_cosine"),
-        F.round(intra_mean - inter_mean, 6).alias("separation"),
+    # degenerate-denominator guard, mirrored in the oracle's WHERE: all
+    # labels singletons (n_intra_pairs = 0) or a single label
+    # (inter_pairs = 0) must drop the row on BOTH engines rather than
+    # diverge on NaN vs 0/0 semantics
+    return (
+        one.where(
+            (F.col("n_intra_pairs") > 0) & (inter_pairs > 0)
+        ).select(
+            F.col("n_all").cast("bigint").alias("n_vectors"),
+            F.col("nl").cast("bigint").alias("n_labels"),
+            F.round(intra_mean, 6).alias("mean_intra_cosine"),
+            F.round(inter_mean, 6).alias("mean_inter_cosine"),
+            F.round(intra_mean - inter_mean, 6).alias("separation"),
+        )
     )
 
 
