@@ -165,3 +165,74 @@ def scd2_version_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.groupBy("n_versions").agg(
         F.count(F.lit(1)).alias("n_keys")
     )
+
+
+_STREAM_COUNTER = [0]
+
+
+@query(
+    "stream_hourly_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY hour_s, event_type
+    """,
+)
+def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING, oracle-certified end-to-end: the events feed
+    replayed through readStream -> tumbling 1 h window aggregation ->
+    availableNow trigger -> memory sink, compared against the plain batch
+    GROUP BY the oracle states. This certifies the streaming operator
+    surface (§2.10) through the same differential gate as every batch
+    query — the previously tests-only component.
+
+    Epoch-anchored window(ts, '1 hour') == date_trunc('hour') exactly, so
+    the streaming state machine must reproduce the batch aggregation
+    bit-for-bit once the stream drains. Complete output mode: the result
+    is calendar x type bounded (never data-sized), which is what makes a
+    memory sink legitimate here; a production deployment swaps the sink
+    for foreachBatch/parquet (streaming/sink.py) with update mode and
+    watermarked state eviction (streaming/windows.py). Values sum as
+    exact integer cents — no float accumulation order dependence between
+    the streaming partial aggregates and DuckDB's serial sum."""
+    import os
+    import tempfile
+
+    prep(spark)
+    e = catalog.load(spark, sf_dir, "events").select(
+        "event_type", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_stream_hourly_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    # re-land with plain micro timestamps: the streaming reader has no
+    # nanosAsLong shim path (catalog normalizes ts on the batch read)
+    e.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    _STREAM_COUNTER[0] += 1
+    name = f"graft_stream_hourly_{os.getpid()}_{_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour_s"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )

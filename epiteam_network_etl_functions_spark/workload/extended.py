@@ -554,3 +554,91 @@ def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("one_share"),
         F.round(F.abs(share - 0.5), 6).alias("imbalance"),
     )
+
+
+# ---- round-9: SBM sampler certification ------------------------------------
+
+SBM_N_NODES = 300  # fixed custkey range: constant census cost at every SF
+SBM_BLOCKS = 4
+SBM_P_INTRA_PM = 150_000  # edge probabilities in millionths (exact ints)
+SBM_P_INTER_PM = 30_000
+
+
+def _sbm_nodes_sql() -> str:
+    return (
+        f"SELECT c_custkey AS id, "
+        f"{_hash_bucket_sql('c_custkey', SBM_BLOCKS, 'sbmblk')} AS blk "
+        f"FROM customer WHERE c_custkey <= {SBM_N_NODES}"
+    )
+
+
+@query(
+    "sbm_block_edge_census",
+    oracle=f"""
+    WITH nodes AS ({_sbm_nodes_sql()}),
+    pairs AS (
+        SELECT least(a.blk, b.blk) AS block_i,
+               greatest(a.blk, b.blk) AS block_j,
+               CASE WHEN a.blk = b.blk
+                    THEN {SBM_P_INTRA_PM} ELSE {SBM_P_INTER_PM} END AS pm,
+               {_hash_bucket_sql("a.id || ':' || b.id", 1_000_000, 'sbmedge')}
+                   AS h
+        FROM nodes a JOIN nodes b ON a.id < b.id
+    )
+    SELECT block_i, block_j,
+           count(*) AS n_pairs,
+           sum(CASE WHEN h < pm THEN 1 ELSE 0 END) AS n_edges,
+           round(sum(CASE WHEN h < pm THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS edge_rate,
+           round(pm / 1000000.0, 6) AS p_expected
+    FROM pairs GROUP BY block_i, block_j, pm
+    """,
+)
+def sbm_block_edge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic-block-model EDGE CENSUS, deterministically certified:
+    per block pair, candidate pairs, realized edges under a hash-Bernoulli
+    draw (edge iff the 48-bit md5 uniform of the canonical pair id falls
+    under the block-pair probability), realized rate, and the target p.
+    This certifies the per-pair Bernoulli semantics that the distributed
+    SBM generator samples in aggregate (operators/graphs.py sbm_edges'
+    per-block-pair binomial draw, reference NetworkBuilder.py:437 /
+    matrix_transforms.py:186) — the previously pytest-only §2.9 F9
+    surface now has a driver-certified differential. The node set is a
+    fixed custkey range, so the pair space (~{SBM_N_NODES}^2/2) is a
+    CONSTANT calibration cost at every SF — the production path at real
+    node counts is the binomial sampler, never per-pair enumeration; the
+    realized-vs-target rate gap here is the calibration the binomial
+    path's tests assert statistically."""
+    from ..operators.sampling import hash_bucket
+
+    prep(spark)
+    c = catalog.load(spark, sf_dir, "customer")
+    nodes = c.where(F.col("c_custkey") <= SBM_N_NODES).select(
+        F.col("c_custkey").alias("id"),
+        hash_bucket(F.col("c_custkey"), SBM_BLOCKS, "sbmblk").alias("blk"),
+    )
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.least(F.col("a.blk"), F.col("b.blk")).alias("block_i"),
+        F.greatest(F.col("a.blk"), F.col("b.blk")).alias("block_j"),
+        F.when(F.col("a.blk") == F.col("b.blk"), F.lit(SBM_P_INTRA_PM))
+        .otherwise(F.lit(SBM_P_INTER_PM))
+        .alias("pm"),
+        hash_bucket(
+            F.concat(
+                F.col("a.id").cast("string"),
+                F.lit(":"),
+                F.col("b.id").cast("string"),
+            ),
+            1_000_000,
+            "sbmedge",
+        ).alias("h"),
+    )
+    edge = F.when(F.col("h") < F.col("pm"), 1).otherwise(0)
+    return pairs.groupBy("block_i", "block_j", "pm").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(edge).cast("bigint").alias("n_edges"),
+        F.round(F.sum(edge) * 1.0 / F.count(F.lit(1)), 6).alias("edge_rate"),
+        F.round(F.col("pm") / 1_000_000.0, 6).alias("p_expected"),
+    ).drop("pm")

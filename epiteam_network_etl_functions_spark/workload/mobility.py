@@ -1411,3 +1411,193 @@ def colocation_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---- round-9: one-step SEIR expectation on the certified contact graph -----
+
+SEIR_SEED_BUCKETS = 10  # ~10% of nodes seeded infected
+SEIR_BETA_BASE_PM = 50_000  # beta in [0.05, 0.15): millionths, exact ints
+SEIR_BETA_SPAN = 100_000
+
+
+def _seir_oracle() -> str:
+    from .extended import _hash_bucket_sql
+
+    inf_a = _hash_bucket_sql("a_user_id", SEIR_SEED_BUCKETS, "seir")
+    inf_b = _hash_bucket_sql("b_user_id", SEIR_SEED_BUCKETS, "seir")
+    pair_expr = "a_user_id || ':' || b_user_id"
+    beta_hash = _hash_bucket_sql(pair_expr, SEIR_BETA_SPAN, "seirbeta")
+    beta = f"({SEIR_BETA_BASE_PM} + {beta_hash}) / 1000000.0"
+    return f"""
+    WITH {_EDGES_CTE.strip()},
+    eb AS (
+        SELECT a_user_id, b_user_id, {beta} AS beta,
+               CASE WHEN {inf_a} = 0 THEN 1 ELSE 0 END AS ia,
+               CASE WHEN {inf_b} = 0 THEN 1 ELSE 0 END AS ib
+        FROM edges
+    ),
+    contrib AS (
+        SELECT b_user_id AS v, ln(1 - beta) AS l FROM eb
+        WHERE ia = 1 AND ib = 0
+        UNION ALL
+        SELECT a_user_id, ln(1 - beta) FROM eb
+        WHERE ib = 1 AND ia = 0
+    ),
+    risk AS (SELECT v, 1 - exp(sum(l)) AS p FROM contrib GROUP BY v),
+    nodes AS (
+        SELECT DISTINCT node_id FROM (
+            SELECT a_user_id AS node_id FROM edges
+            UNION ALL SELECT b_user_id FROM edges
+        )
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT CAST(sum(CASE WHEN {_hash_bucket_sql('node_id', SEIR_SEED_BUCKETS, 'seir')} = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) FROM nodes) AS n_seeds,
+           count(*) AS n_at_risk,
+           round(sum(p), 6) AS expected_new_cases,
+           round(max(p), 6) AS max_node_risk
+    FROM risk
+    """
+
+
+def _register_seir_expected() -> None:
+    @query("seir_expected_infections", oracle=_seir_oracle())
+    def seir_expected_infections(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """One discrete-time SEIR transmission step as an EXPECTED-VALUE
+        query over the certified co-location edge list — the
+        deterministic differential for the simulation machinery
+        (operators/seir.py F10/F11, reference seir_utils.py:20-82) that
+        a seeded-RNG trajectory can't give: seeds are a hash bucket of
+        the node id (~10%), per-edge transmission beta is a hash uniform
+        in [0.05, 0.15), and each susceptible node's infection
+        probability is 1 - prod(1 - beta) over its infected neighbours,
+        folded as exp(sum(ln(1-beta))) so the whole step is one
+        edge-keyed projection + one node-keyed aggregate — the exact
+        shape of the distributed discrete-time step in
+        plans/seir_distributed.py, minus the RNG. No joins: infection
+        flags are pure hash expressions on the edge endpoints. Output:
+        graph size, seed count, at-risk count, expected new cases and
+        the max single-node risk."""
+        from ..operators.sampling import hash_bucket, hash_uniform
+
+        edges = _colocation_edge_list(spark, sf_dir)
+        ia = hash_bucket(F.col("a_user_id"), SEIR_SEED_BUCKETS, "seir") == 0
+        ib = hash_bucket(F.col("b_user_id"), SEIR_SEED_BUCKETS, "seir") == 0
+        beta = (
+            F.lit(SEIR_BETA_BASE_PM)
+            + hash_bucket(
+                F.concat(
+                    F.col("a_user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b_user_id").cast("string"),
+                ),
+                SEIR_BETA_SPAN,
+                "seirbeta",
+            )
+        ) / F.lit(1_000_000.0)
+        eb = edges.select(
+            "a_user_id",
+            "b_user_id",
+            beta.alias("beta"),
+            ia.cast("int").alias("ia"),
+            ib.cast("int").alias("ib"),
+        )
+        contrib = (
+            eb.where((F.col("ia") == 1) & (F.col("ib") == 0))
+            .select(
+                F.col("b_user_id").alias("v"),
+                F.log(F.lit(1) - F.col("beta")).alias("l"),
+            )
+            .unionAll(
+                eb.where((F.col("ib") == 1) & (F.col("ia") == 0)).select(
+                    F.col("a_user_id").alias("v"),
+                    F.log(F.lit(1) - F.col("beta")).alias("l"),
+                )
+            )
+        )
+        risk = contrib.groupBy("v").agg(
+            (F.lit(1) - F.exp(F.sum("l"))).alias("p")
+        )
+        nodes = (
+            edges.select(F.col("a_user_id").alias("node_id"))
+            .unionAll(edges.select("b_user_id"))
+            .distinct()
+        )
+        seeds = hash_bucket(F.col("node_id"), SEIR_SEED_BUCKETS, "seir") == 0
+        node_stats = nodes.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(seeds.cast("int")).cast("bigint").alias("n_seeds"),
+        )
+        return (
+            risk.agg(
+                F.count(F.lit(1)).alias("n_at_risk"),
+                F.round(F.sum("p"), 6).alias("expected_new_cases"),
+                F.round(F.max("p"), 6).alias("max_node_risk"),
+            )
+            .crossJoin(F.broadcast(node_stats))
+            .select(
+                "n_nodes",
+                "n_seeds",
+                "n_at_risk",
+                "expected_new_cases",
+                "max_node_risk",
+            )
+        )
+
+
+_register_seir_expected()
+
+
+SALT_PAIRS_PER_TASK = 64  # target candidate-pairs per task after salting
+
+
+@query(
+    "hot_cell_salt_plan",
+    oracle=f"""
+    WITH {_PRESENCE_CTE.strip()},
+    occ AS (
+        SELECT event_type, tw, count(*) AS n
+        FROM presence GROUP BY event_type, tw
+    )
+    SELECT event_type, CAST(tw AS BIGINT) AS tw,
+           CAST(n AS BIGINT) AS n_devices,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           CAST(ceil(n * (n - 1) / 2.0 / {SALT_PAIRS_PER_TASK}) AS BIGINT)
+               AS salt_factor
+    FROM occ WHERE n >= 2
+    ORDER BY n_pairs DESC, event_type ASC, tw ASC
+    LIMIT 50
+    """,
+)
+def hot_cell_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-MITIGATION PLAN for the flagship co-location self-join (J1):
+    per (cell, bucket) key, the presence count, the candidate-pair
+    volume n(n-1)/2 that key will emit in the pair join, and the salt
+    factor (ceil(pairs / {SALT_PAIRS_PER_TASK})) a salted or AQE-split
+    execution should apply — the planning query you run BEFORE the 100 TB
+    join to find the keys where the quadratic blowup lives (SURVEY §4:
+    'the J1 self-join output is the scale hazard'). One distinct-presence
+    aggregate (the join's own first stage, reused verbatim) + one keyed
+    count; top-50 keys by pair volume under a total tie order. AQE's
+    skew-join split handles moderate skew at runtime; this plan is how a
+    pipeline decides between that and explicit salting (and sizes the
+    salt) from data statistics instead of OOM post-mortems."""
+    p = _bucketed_presence(spark, sf_dir).distinct()
+    occ = p.groupBy("event_type", "tw").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    return (
+        occ.where(n >= 2)
+        .select(
+            "event_type",
+            F.col("tw").cast("bigint").alias("tw"),
+            n.cast("bigint").alias("n_devices"),
+            F.expr("n * (n - 1) div 2").cast("bigint").alias("n_pairs"),
+            F.ceil(n * (n - 1) / 2.0 / SALT_PAIRS_PER_TASK)
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("event_type"), F.asc("tw"))
+        .limit(50)
+    )

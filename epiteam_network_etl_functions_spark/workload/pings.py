@@ -1343,3 +1343,196 @@ def mobility_contact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_mobility_contact_corr()
+
+
+# ---- round-9 additions -----------------------------------------------------
+
+
+@query(
+    "cell_daily_turnover",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pres AS (
+        SELECT DISTINCT {_cell_sql()} AS cell,
+               CAST(cdmx_datetime AS DATE) AS day, caid
+        FROM pings
+    ),
+    sizes AS (SELECT cell, day, count(*) AS n FROM pres GROUP BY cell, day),
+    inter AS (
+        SELECT a.cell, a.day, count(*) AS i
+        FROM pres a JOIN pres b
+          ON a.cell = b.cell AND a.caid = b.caid AND b.day = a.day + 1
+        GROUP BY a.cell, a.day
+    ),
+    pairs AS (
+        SELECT s1.cell,
+               COALESCE(i.i, 0) AS i, s1.n AS na, s2.n AS nb
+        FROM sizes s1
+        JOIN sizes s2 ON s1.cell = s2.cell AND s2.day = s1.day + 1
+        LEFT JOIN inter i ON i.cell = s1.cell AND i.day = s1.day
+    )
+    SELECT cell,
+           count(*) AS n_day_pairs,
+           round(avg(i * 1.0 / (na + nb - i)), 6) AS mean_jaccard,
+           round(1 - avg(i * 1.0 / (na + nb - i)), 6) AS turnover
+    FROM pairs GROUP BY cell
+    ORDER BY n_day_pairs DESC, cell ASC
+    LIMIT 50
+    """,
+)
+def cell_daily_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OVER-DAY population turnover per cell: Jaccard of the device
+    sets present on consecutive days, averaged per cell (turnover =
+    1 - Jaccard) — the site-fidelity statistic mobility platforms
+    publish next to occupancy (a cell whose visitors fully rotate daily
+    is a transit artery; one that retains them is residential — exactly
+    the home-detection prior the reference's night heuristic leans on).
+    All joins are (cell, day)- or (cell, caid)-keyed equi-joins on the
+    deduped presence spine — set intersections come from the join, never
+    from collect_set — so the plan is a handful of narrow keyed
+    shuffles, linear in presence rows at any SF; day pairs where either
+    day is absent drop on both engines (inner sizes join), and a
+    consecutive pair with zero common devices keeps Jaccard 0 via the
+    zero-fill left join. Top-50 cells under a total tie order."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    pres = p.select(
+        "cell", F.to_date("cdmx_datetime").alias("day"), "caid"
+    ).distinct()
+    sizes = pres.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n"))
+    nxt = pres.select(
+        "cell", F.date_sub(F.col("day"), 1).alias("day"), "caid"
+    )
+    inter = (
+        pres.join(nxt, ["cell", "day", "caid"])
+        .groupBy("cell", "day")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s2 = sizes.select(
+        "cell", F.date_sub(F.col("day"), 1).alias("day"), F.col("n").alias("nb")
+    )
+    pairs = (
+        sizes.withColumnRenamed("n", "na")
+        .join(s2, ["cell", "day"])
+        .join(inter, ["cell", "day"], "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("i"), F.lit(0)).alias("i"),
+            "na",
+            "nb",
+        )
+    )
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        pairs.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_day_pairs"),
+            F.round(F.avg(jac), 6).alias("mean_jaccard"),
+            F.round(1 - F.avg(jac), 6).alias("turnover"),
+        )
+        .orderBy(F.desc("n_day_pairs"), F.asc("cell"))
+        .limit(50)
+    )
+
+
+@query(
+    "commute_asymmetry_index",
+    oracle=f"""
+    WITH {_PINGS_CTE.strip()},
+    pc AS (
+        SELECT caid, {_cell_sql()} AS cell,
+               hour(cdmx_datetime) AS h
+        FROM pings
+    ),
+    home AS (
+        SELECT caid, cell FROM (
+            SELECT caid, cell, row_number() OVER (
+                PARTITION BY caid ORDER BY count(*) DESC, cell ASC
+            ) AS rn
+            FROM pc WHERE h >= 22 OR h < 6
+            GROUP BY caid, cell
+        ) WHERE rn = 1
+    ),
+    work AS (
+        SELECT caid, cell FROM (
+            SELECT caid, cell, row_number() OVER (
+                PARTITION BY caid ORDER BY count(*) DESC, cell ASC
+            ) AS rn
+            FROM pc WHERE h >= 9 AND h < 17
+            GROUP BY caid, cell
+        ) WHERE rn = 1
+    ),
+    flows AS (
+        SELECT h.cell AS hc, w.cell AS wc, count(*) AS n
+        FROM home h JOIN work w USING (caid)
+        WHERE h.cell <> w.cell
+        GROUP BY h.cell, w.cell
+    ),
+    und AS (
+        SELECT least(hc, wc) AS cell_a, greatest(hc, wc) AS cell_b,
+               sum(CASE WHEN hc < wc THEN n ELSE 0 END) AS ab,
+               sum(CASE WHEN hc > wc THEN n ELSE 0 END) AS ba
+        FROM flows GROUP BY cell_a, cell_b
+    )
+    SELECT cell_a, cell_b,
+           CAST(ab AS BIGINT) AS flow_ab,
+           CAST(ba AS BIGINT) AS flow_ba,
+           CAST(ab + ba AS BIGINT) AS total_flow,
+           round(abs(ab - ba) * 1.0 / (ab + ba), 6) AS asymmetry
+    FROM und
+    ORDER BY total_flow DESC, cell_a ASC, cell_b ASC
+    LIMIT 30
+    """,
+)
+def commute_asymmetry_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL IMBALANCE of the commute matrix: for each unordered
+    cell pair, the two directed home->work flows and |ab-ba|/(ab+ba) —
+    the dormitory-vs-office-district diagnostic (asymmetry 1 means every
+    commuter flows one way; 0 means balanced exchange). Built on the
+    SAME certified night/work winner kernels as commute_matrix, but
+    canonicalizing pairs with LEAST/GREATEST (the reference's undirected
+    edge idiom, MakeEmpiricNetworks.py:85-86) BEFORE the rollup so both
+    directions land in one group — integer flows, one extra pair-keyed
+    aggregate over the flow table (flow-pair bounded, never cells
+    squared). Top-30 pairs by total flow under a total tie order."""
+    from ..operators.winners import top1_per_key
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    p = p.withColumn("h", F.hour("cdmx_datetime"))
+
+    def winner(filtered: DataFrame, out: str) -> DataFrame:
+        scored = filtered.groupBy("caid", "cell").agg(
+            F.count(F.lit(1)).alias("score")
+        )
+        w = top1_per_key(scored, ["caid"], [F.desc("score"), F.asc("cell")])
+        return w.select("caid", F.col("cell").alias(out))
+
+    home = winner(p.where((F.col("h") >= 22) | (F.col("h") < 6)), "hc")
+    work = winner(p.where((F.col("h") >= 9) & (F.col("h") < 17)), "wc")
+    flows = (
+        home.join(work, "caid")
+        .where(F.col("hc") != F.col("wc"))
+        .groupBy("hc", "wc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    und = flows.groupBy(
+        F.least("hc", "wc").alias("cell_a"),
+        F.greatest("hc", "wc").alias("cell_b"),
+    ).agg(
+        F.sum(F.when(F.col("hc") < F.col("wc"), F.col("n")).otherwise(0))
+        .alias("ab"),
+        F.sum(F.when(F.col("hc") > F.col("wc"), F.col("n")).otherwise(0))
+        .alias("ba"),
+    )
+    ab, ba = F.col("ab"), F.col("ba")
+    return (
+        und.select(
+            "cell_a",
+            "cell_b",
+            ab.cast("bigint").alias("flow_ab"),
+            ba.cast("bigint").alias("flow_ba"),
+            (ab + ba).cast("bigint").alias("total_flow"),
+            F.round(F.abs(ab - ba) * 1.0 / (ab + ba), 6).alias("asymmetry"),
+        )
+        .orderBy(F.desc("total_flow"), F.asc("cell_a"), F.asc("cell_b"))
+        .limit(30)
+    )

@@ -3022,9 +3022,10 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = SESSION_GAP_S * 1_000_000  # the engine's session gap
 
 
-@query(
-    "peak_concurrency",
-    oracle=f"""
+# Shared by peak_concurrency (global-window calibration baseline) and
+# peak_concurrency_partitioned (the scale path): identical semantics, so
+# one oracle certifies both plans.
+_PEAK_ORACLE = f"""
     WITH seq AS (
         SELECT user_id, ts, event_id,
                lag(epoch_us(ts)) OVER (
@@ -3067,23 +3068,20 @@ SESSION_GAP_US = SESSION_GAP_S * 1_000_000  # the engine's session gap
            CAST(min(CASE WHEN conc = (SELECT max(conc) FROM run)
                          THEN us END) // 1000000 AS BIGINT) AS at_epoch_s
     FROM run
-    """,
-)
-def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PEAK CONCURRENT SESSIONS — the capacity-planning scalar (the max
-    of the sweep line over session intervals: +1 at each session start,
-    -1 just after its end, running sum, take the max and the first
-    instant it is reached). Sessions are the engine's standard gap
-    sessionization (user_sessions' 1 h gap); interval endpoints are exact integer
-    micros and the sweep order (us, delta, user_id, sid) is total, with
-    ends sorting before starts at the same instant via delta ASC — so
-    back-to-back sessions never double-count. The running sum is an
-    ordered GLOBAL window: the endpoint stream is session-bounded (two
-    rows per session, orders of magnitude below event volume), which is
-    what makes a single-partition pass acceptable for a scalar
-    diagnostic; a 100 TB deployment partitions the sweep by day and
-    carries the boundary count forward. Output: the peak and the
-    epoch-second it is first reached."""
+    """
+
+
+def _session_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line endpoint stream over gap sessions: (us, delta, user_id,
+    sid) with +1 at each session start and -1 just after its end. Shared
+    by the global-window peak and the day-partitioned scale variant.
+
+    sid assignment uses the SAME total order that derived is_start
+    ((ts, event_id)) — ordering by us alone would make session endpoints
+    tie-order-dependent on duplicate (user_id, ts) rows. Both endpoints
+    explode out of each session ROW (a union of two selects would
+    re-derive the whole sessionization subtree per branch — plan-audit
+    lead; the explode keeps it one evaluation)."""
     from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
@@ -3108,9 +3106,6 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
-    # sid assignment must use the SAME total order that derived is_start
-    # ((ts, event_id)) — ordering by us alone would make session
-    # endpoints tie-order-dependent on duplicate (user_id, ts) rows
     w_run = (
         Window.partitionBy("user_id")
         .orderBy(F.col("us").asc(), F.col("event_id").asc())
@@ -3121,10 +3116,7 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "sid")
         .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
     )
-    # both endpoints explode out of each session ROW (a union of two
-    # selects re-derives the whole sessionization subtree per branch —
-    # plan-audit lead; the explode keeps it one evaluation)
-    pts = sess.select(
+    return sess.select(
         "user_id",
         "sid",
         F.explode(
@@ -3144,6 +3136,28 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "sid",
     )
+
+
+@query("peak_concurrency", oracle=_PEAK_ORACLE)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS — the capacity-planning scalar (the max
+    of the sweep line over session intervals: +1 at each session start,
+    -1 just after its end, running sum, take the max and the first
+    instant it is reached). Sessions are the engine's standard gap
+    sessionization (user_sessions' 1 h gap); interval endpoints are exact integer
+    micros and the sweep order (us, delta, user_id, sid) is total, with
+    ends sorting before starts at the same instant via delta ASC — so
+    back-to-back sessions never double-count. The running sum is an
+    ordered GLOBAL window: the endpoint stream is session-bounded (two
+    rows per session, orders of magnitude below event volume), which is
+    what makes a single-partition pass acceptable for a scalar
+    diagnostic; peak_concurrency_partitioned is the day-partitioned
+    scale path certified against this same oracle, and this global
+    sweep is its calibration baseline (the mutual-kNN pattern).
+    Output: the peak and the epoch-second it is first reached."""
+    from pyspark.sql import Window
+
+    pts = _session_endpoints(spark, sf_dir)
     w_sweep = Window.orderBy(
         F.col("us").asc(),
         F.col("delta").asc(),
@@ -3151,6 +3165,63 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sid").asc(),
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     run = pts.select("us", F.sum("delta").over(w_sweep).alias("conc"))
+    mx = run.agg(F.max("conc").alias("max_concurrent"))
+    return (
+        run.join(F.broadcast(mx), run.conc == mx.max_concurrent)
+        .agg(
+            F.min("max_concurrent").cast("bigint").alias("max_concurrent"),
+            F.expr("min(us) div 1000000").cast("bigint").alias("at_epoch_s"),
+        )
+    )
+
+
+@query("peak_concurrency_partitioned", oracle=_PEAK_ORACLE)
+def peak_concurrency_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PEAK CONCURRENCY, the 100 TB shape: the sweep line partitioned by
+    DAY with a boundary-count carry-forward — identical semantics to
+    peak_concurrency (same oracle certifies both), but no data-sized
+    single-partition window anywhere.
+
+    Why it is exact: day = us div 86_400_000_000 is monotone in us, so
+    the global endpoint order (us, delta, user_id, sid) is the
+    concatenation of the per-day orders — the within-day running sum
+    plus the sum of all PRIOR days' deltas (the carry) equals the global
+    prefix sum at every endpoint. The carry table is one row per
+    calendar day (bounded by the calendar, not the data): a per-day
+    groupBy, an exclusive running sum over those few rows (the only
+    unpartitioned window, deliberately calendar-bounded), and a
+    broadcast join back onto the endpoint stream. Per-day sweeps run in
+    parallel across the cluster; endpoint volume per partition is
+    session-bounded per day."""
+    from pyspark.sql import Window
+
+    day_us = 86_400_000_000
+    pts = _session_endpoints(spark, sf_dir).withColumn(
+        "day", F.expr(f"us div {day_us}")
+    )
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("tot"))
+    w_days = (
+        Window.orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("carry")
+    )
+    w_day_sweep = (
+        Window.partitionBy("day")
+        .orderBy(
+            F.col("us").asc(),
+            F.col("delta").asc(),
+            F.col("user_id").asc(),
+            F.col("sid").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("in_day", F.sum("delta").over(w_day_sweep)).join(
+        F.broadcast(carry), "day"
+    ).select("us", (F.col("in_day") + F.col("carry")).alias("conc"))
     mx = run.agg(F.max("conc").alias("max_concurrent"))
     return (
         run.join(F.broadcast(mx), run.conc == mx.max_concurrent)
