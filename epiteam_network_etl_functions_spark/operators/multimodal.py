@@ -203,3 +203,62 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("chunk_offset", T.LongType()),
+        T.StructField("chunk_bytes", T.LongType()),
+        T.StructField("chunk", T.BinaryType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+)
+
+
+def chunk_payload(
+    df: DataFrame,
+    chunk_bytes: int = 96,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-size chunk manifest over binary payloads: the
+    upload/transfer sharding every multimodal store does before moving
+    large media (range-request offsets, resumable-upload parts,
+    content-defined dedup all start from exactly this table). Same
+    1-row-in -> N-rows-out mapInPandas shape as sample_frames, but
+    keeping EVERY slice with its byte offset — the manifest must
+    reassemble the payload exactly (offsets contiguous, lengths sum to
+    payload size, last chunk ragged). Chunk explosion is the same skew
+    hazard as frame explosion: one huge object fans out into one task's
+    output; keep payloads row-group-sized upstream."""
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, lens, chunks, totals = [], [], [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                n = max(1, -(-len(raw) // chunk_bytes))
+                for k in range(n):
+                    piece = raw[k * chunk_bytes : (k + 1) * chunk_bytes]
+                    ids.append(int(did))
+                    idxs.append(k)
+                    offs.append(k * chunk_bytes)
+                    lens.append(len(piece))
+                    chunks.append(piece)
+                    totals.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_offset": pd.Series(offs, dtype="int64"),
+                    "chunk_bytes": pd.Series(lens, dtype="int64"),
+                    "chunk": pd.Series(chunks, dtype="object"),
+                    "n_chunks": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=CHUNK_SCHEMA)

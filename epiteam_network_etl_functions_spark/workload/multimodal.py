@@ -140,3 +140,61 @@ def resized_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.md5(F.lower(F.hex("payload")).cast("binary")).alias("body_md5"),
     )
+
+
+CHUNK_BYTES = 96
+
+
+@query(
+    "payload_chunk_manifest",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               octet_length(encode(text)) AS plen,
+               greatest(CAST(ceil(octet_length(encode(text)) / {CHUNK_BYTES}.0)
+                             AS BIGINT), 1) AS nc
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, text, plen, nc, unnest(range(0, nc)) AS ci
+        FROM f
+    )
+    SELECT doc_id,
+           ci AS chunk_idx,
+           ci * {CHUNK_BYTES} AS chunk_offset,
+           least({CHUNK_BYTES}, plen - ci * {CHUNK_BYTES}) AS chunk_bytes,
+           md5(substr(text, CAST(ci * {CHUNK_BYTES} + 1 AS INTEGER),
+                      {CHUNK_BYTES})) AS chunk_md5,
+           nc AS n_chunks
+    FROM k
+    """,
+)
+def payload_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSFER-CHUNK MANIFEST over binary payloads, differentially
+    certified: every {CHUNK_BYTES}-byte chunk's index, byte offset,
+    ragged tail length, content digest, and the per-object chunk count —
+    the table a multimodal store derives for range requests, resumable
+    uploads, and chunk-level dedup of media bytes. The Spark side is the
+    real mapInPandas chunker (operators/multimodal.chunk_payload) slicing
+    the actual binary column; the oracle replays the slicing as substr
+    arithmetic (ASCII corpus: char offsets == byte offsets, the
+    frame_sample_catalog equivalence), so offsets, ragged-tail math, AND
+    chunk content are all checked cross-engine. Reassembly invariants
+    (offset contiguity, lengths summing to payload size) follow from the
+    certified columns."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import chunk_payload
+
+    prep(spark)
+    docs = catalog.load(spark, sf_dir, "documents")
+    payload = attach_binary_payload(docs, "doc_id", "text")
+    chunks = chunk_payload(payload, chunk_bytes=CHUNK_BYTES)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_offset",
+        "chunk_bytes",
+        F.md5("chunk").alias("chunk_md5"),
+        "n_chunks",
+    )

@@ -3470,3 +3470,150 @@ def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p75_tokens"),
     )
+
+
+# ---- round-9 additions -----------------------------------------------------
+
+
+@query(
+    "ngram_coverage_curve",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM freq),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rn
+        FROM freq
+    ),
+    cum AS (
+        SELECT rn, sum(n) OVER (
+            ORDER BY rn ASC ROWS UNBOUNDED PRECEDING
+        ) AS c
+        FROM ranked WHERE rn <= 1000
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_k,
+           CAST((SELECT v FROM tot) AS BIGINT) AS vocab_total,
+           round((SELECT c FROM cum
+                  WHERE rn = least(k, (SELECT v FROM tot))) * 1.0
+                 / (SELECT t FROM tot), 6) AS coverage
+    FROM (VALUES (10), (100), (1000)) AS ks(k)
+    ORDER BY vocab_k
+    """,
+)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY COVERAGE curve: the fraction of all corpus
+    token occurrences covered by the top-k most frequent tokens, at
+    k = 10 / 100 / 1000 — the first number a tokenizer design reads off
+    a corpus (how much of the stream a small vocab absorbs; the
+    complement is the OOV mass a BPE fallback must carry). Frequencies
+    come from one explode + one token-keyed count (map-side combined);
+    only the top-1000 rows — a CONSTANT — enter the ordered running-sum
+    window (TakeOrdered prunes first, so the deliberate single-partition
+    window holds 1000 rows at any corpus size, the per_source_doc_sample
+    bounding discipline), under the (freq DESC, token ASC) total tie
+    order. A k beyond the realized vocabulary clamps to the full-vocab
+    coverage (1.0) on both engines. Output: 3 rows with the full-vocab
+    size alongside."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    d = catalog.load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = freq.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    top = freq.orderBy(F.desc("n"), F.asc("token")).limit(1000)
+    w_cum = Window.orderBy(F.asc("rn")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = top.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "c", F.sum("n").over(w_cum)
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("rn") == F.least(F.col("k"), F.col("v")),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("vocab_k"),
+            F.col("v").cast("bigint").alias("vocab_total"),
+            F.round(F.col("c") * 1.0 / F.col("t"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+@query(
+    "dedup_token_savings_by_source",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, md5(text) AS h,
+               len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    k AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper
+        FROM d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(ntok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END)
+                AS BIGINT) AS tokens_removed,
+           round(sum(CASE WHEN doc_id <> keeper THEN ntok ELSE 0 END) * 1.0
+                 / sum(ntok), 6) AS savings_pct
+    FROM k GROUP BY source
+    """,
+)
+def dedup_token_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHAT DEDUP BUYS, priced in tokens: per source, the documents and
+    token mass that exact dedup (min-doc_id keeper per md5(text) group —
+    the certified exact_dedup_groups semantics) removes, and the
+    fractional savings — the number a training-data pipeline actually
+    budgets with (dedup_bytes_by_source prices storage; this prices the
+    token budget the model trains on). Duplicate groups SPAN sources:
+    the keeper window is hash-keyed across the whole corpus, so a doc
+    whose twin lives in another source still counts as removed here —
+    charged to its own source (the cross-source leakage view is
+    cross_source_chunk_leakage). One digest-keyed window + one
+    source-keyed aggregate; token counts are exact integers."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    d = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    k = d.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    dup = F.col("doc_id") != F.col("keeper")
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dup.cast("int")).cast("bigint").alias("n_dup_docs"),
+        F.sum("ntok").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(dup, F.col("ntok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.round(
+            F.sum(F.when(dup, F.col("ntok")).otherwise(0))
+            * 1.0
+            / F.sum("ntok"),
+            6,
+        ).alias("savings_pct"),
+    )

@@ -1619,3 +1619,96 @@ def knn_hubness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(
         F.col("deg").cast("bigint").alias("in_degree")
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---- round-9 additions -----------------------------------------------------
+
+_ASSIGN_CTE = f"""
+    seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS se
+        FROM embeddings WHERE vec_id < {N_SEEDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id,
+               round({_DOT.format(a='e.embedding', b='s.se')}
+                     / ({_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_NORM.format(a='s.se', b='s.se')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ivf_balance_report",
+    oracle=f"""
+    WITH {_ASSIGN_CTE.strip()},
+    occ AS (
+        SELECT centroid_id, count(*) AS x
+        FROM assign GROUP BY centroid_id
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x ASC, centroid_id ASC) AS i
+        FROM occ
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_centroids,
+           CAST(sum(x) AS BIGINT) AS n_vectors,
+           CAST(max(x) AS BIGINT) AS max_occupancy,
+           CAST(min(x) AS BIGINT) AS min_occupancy,
+           round(max(x) * 1.0 / (sum(x) * 1.0 / count(*)), 6)
+               AS max_over_mean,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF CELL-BALANCE audit: occupancy skew of the certified coarse
+    quantization (ivf_assignments' exact argmax) summarized as
+    max/min/max-over-mean and the Gini coefficient of the occupancy
+    distribution — the ANN health metric that decides whether the
+    partition-pruned probe (ivf_probe_knn) actually prunes: a hot cell
+    holding half the corpus makes nprobe=1 latency the corpus scan the
+    index was built to avoid, and the fix (re-seed, split, or rebalance)
+    is triggered by exactly this report. The occupancy table is
+    k = {N_SEEDS} rows — the rank window and the closed-form sorted-rank
+    Gini run on a CONSTANT-size frame regardless of corpus size; the
+    only data-scale work is the certified assignment itself (broadcast
+    seeds, one argmax)."""
+    from ..operators.similarity import ivf_assign
+
+    e = _emb(spark, sf_dir)
+    seeds = e.where(F.col("vec_id") < N_SEEDS)
+    occ = (
+        ivf_assign(e, seeds, "vec_id", "embedding")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    from pyspark.sql import Window
+
+    ranked = occ.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("centroid_id")))
+        .alias("i"),
+    )
+    k = F.count(F.lit(1))
+    sx = F.sum("x")
+    return ranked.agg(
+        k.cast("bigint").alias("n_centroids"),
+        sx.cast("bigint").alias("n_vectors"),
+        F.max("x").cast("bigint").alias("max_occupancy"),
+        F.min("x").cast("bigint").alias("min_occupancy"),
+        F.round(F.max("x") * 1.0 / (sx * 1.0 / k), 6).alias("max_over_mean"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (k * sx)
+            - (k + 1.0) / k,
+            6,
+        ).alias("gini"),
+    )
