@@ -80,8 +80,39 @@ def main() -> None:
         ) TO '{out}/embeddings.parquet' (FORMAT parquet)
         """
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    # TPC-H facts replicate with remapped keys (the sf0.1 -> sf1 analog):
+    # customers/orders/lineitem grow N-fold, orderkey/custkey offsets keep
+    # referential integrity per replica; part/supplier/region/nation stay
+    # dims (replicas reference the same catalog, as a real scale-up would).
+    con.execute(
+        f"""
+        COPY (
+            SELECT t.* REPLACE (c_custkey + 100000 * r.rep AS c_custkey)
+            FROM read_parquet('{src}/customer.parquet') t
+            CROSS JOIN (SELECT unnest(range({n})) AS rep) r
+        ) TO '{out}/customer.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT t.* REPLACE (o_orderkey + 10000000 * r.rep AS o_orderkey,
+                                o_custkey + 100000 * r.rep AS o_custkey)
+            FROM read_parquet('{src}/orders.parquet') t
+            CROSS JOIN (SELECT unnest(range({n})) AS rep) r
+        ) TO '{out}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT t.* REPLACE (l_orderkey + 10000000 * r.rep AS l_orderkey)
+            FROM read_parquet('{src}/lineitem.parquet') t
+            CROSS JOIN (SELECT unnest(range({n})) AS rep) r
+        ) TO '{out}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    for t in ("region", "nation", "supplier", "part"):
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"COPY (SELECT * FROM read_parquet('{p}')) TO '{out}/{t}.parquet' (FORMAT parquet)")

@@ -79,27 +79,59 @@ def _stages_between(base: str, app: str, t0_ms: float, t1_ms: float):
     return out
 
 
-def main() -> None:
-    import duckdb
+def _bench_builder(ui: bool):
+    """The bench.py session shape (small profile, narrow shuffles,
+    uncompressed shuffle, arrow) with the UI optionally enabled."""
     from pyspark.sql import SparkSession
+    from epiteam_network_etl_functions_spark.session import (
+        _SMALL_CORE_CONF,
+        _profile_conf,
+    )
+
+    b = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", os.environ["SPARK_GRAFT_SHUFFLE"])
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.ui.port", "4059")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _profile_conf().items():
+        b = b.config(k, v)
+    for k, v in _SMALL_CORE_CONF.items():
+        b = b.config(k, v)
+    return b
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_SMALL_PROFILE", "1")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+    import duckdb
 
     import __spark_entry__ as entrymod
+    from epiteam_network_etl_functions_spark import catalog
     from epiteam_network_etl_functions_spark.session import prep
 
     names = sys.argv[1:] or WEAK
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4059")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    spark = _bench_builder(ui=True).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     prep(spark)
+    catalog.cache_tables(spark, SF_DIR)
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
 
-    # -- calibration: pure stage-boundary latency ---------------------------
+    # -- calibration: per-job and per-stage-boundary latency ----------------
+    one = spark.range(1).localCheckpoint()
+
+    def job_floor() -> float:
+        t0 = time.perf_counter()
+        one.count()
+        return time.perf_counter() - t0
+
     def chain(k: int) -> float:
         df = spark.range(0, 32, 1, 32)
         for i in range(k):
@@ -109,11 +141,13 @@ def main() -> None:
         return time.perf_counter() - t0
 
     chain(3)  # warm codegen/scheduler
-    walls = {k: min(chain(k) for _ in range(3)) for k in (2, 10)}
-    slope_ms = (walls[10] - walls[2]) / 8 * 1000
+    jf = min(job_floor() for _ in range(7))
+    walls = {k: min(chain(k) for _ in range(5)) for k in (2, 12)}
+    slope_ms = (walls[12] - walls[2]) / 10 * 1000
     print(
-        f"calibration: chained-repartition wall K=2 {walls[2]*1e3:.0f} ms, "
-        f"K=10 {walls[10]*1e3:.0f} ms -> per-stage-boundary floor "
+        f"calibration: trivial-job round-trip {jf*1e3:.0f} ms; "
+        f"chained-repartition wall K=2 {walls[2]*1e3:.0f} ms, "
+        f"K=12 {walls[12]*1e3:.0f} ms -> per-extra-stage "
         f"~{slope_ms:.0f} ms on {CPUS} cores"
     )
 
@@ -126,11 +160,7 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    print(
-        "\n| query | wall s | stages | ideal-data s | floor s | floor/wall"
-        " | duck s | wall/duck | data/duck |"
-    )
-    print("|---|---|---|---|---|---|---|---|---|")
+    rows = {}
     for name in names:
         df = qs[name](spark, SF_DIR)
         df.count()  # warm: plan + broadcast + page cache
@@ -146,21 +176,53 @@ def main() -> None:
         wall, t0, t1 = best
         stages = _stages_between(base, app, t0, t1)
         run_ms = sum(s["run_ms"] for s in stages)
-        ideal = run_ms / 1000.0 / CPUS
-        floor = wall - ideal
-        # duck
         dbest = None
         for _ in range(3):
             d0 = time.perf_counter()
             con.execute(osql[name]).fetchall()
             d = time.perf_counter() - d0
             dbest = d if dbest is None else min(dbest, d)
-        print(
-            f"| {name} | {wall:.3f} | {len(stages)} | {ideal:.3f} |"
-            f" {floor:.3f} | {floor/wall:.0%} | {dbest:.3f} |"
-            f" {wall/dbest:.2f} | {ideal/dbest:.2f} |"
-        )
+        rows[name] = {
+            "ui_wall": wall,
+            "stages": len(stages),
+            "ideal": run_ms / 1000.0 / CPUS,
+            "duck": dbest,
+        }
     spark.stop()
+
+    # -- honest walls: fresh session, UI off (the bench configuration) ------
+    spark2 = _bench_builder(ui=False).getOrCreate()
+    spark2.sparkContext.setLogLevel("ERROR")
+    prep(spark2)
+    catalog.cache_tables(spark2, SF_DIR)
+    spark2.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in names:
+        df = qs[name](spark2, SF_DIR)
+        df.count()
+        rows[name]["wall"] = min(
+            _timed(df.count) for _ in range(3)
+        )
+    spark2.stop()
+
+    print(
+        "\n| query | wall s (UI off) | stages | ideal-data s | floor s |"
+        " floor/wall | duck s | wall/duck | data/duck |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name in names:
+        r = rows[name]
+        floor = r["wall"] - r["ideal"]
+        print(
+            f"| {name} | {r['wall']:.3f} | {r['stages']} | {r['ideal']:.3f} |"
+            f" {floor:.3f} | {floor/r['wall']:.0%} | {r['duck']:.3f} |"
+            f" {r['wall']/r['duck']:.2f} | {r['ideal']/r['duck']:.2f} |"
+        )
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
