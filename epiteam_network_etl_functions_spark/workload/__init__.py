@@ -330,6 +330,10 @@ def load_all() -> None:
     from . import temporal  # noqa: F401
     from . import pings  # noqa: F401
     from . import cdc  # noqa: F401
+    # analytics9 is imported LAST by contract: its queries register after
+    # the fixed round-9 prefix-50 and can never evict a query whose only
+    # certification chance is this round.
+    from . import analytics9  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:
