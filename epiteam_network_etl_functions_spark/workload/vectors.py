@@ -1122,7 +1122,17 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("n_label"),
         F.col("v").alias("vb"),
     )
-    cands = a.crossJoin(b).where(F.col("qid") != F.col("nid"))
+    # crossJoin compiles to BroadcastNestedLoopJoin whose output
+    # partitioning is the STREAMED side's — a 1-2-file parquet read would
+    # serialize the n² scoring onto 2 cores (observed at the 10x tier:
+    # one straggler task owning 200M pairs). Repartitioning the query
+    # side costs one n-row shuffle and buys full-cluster parallelism for
+    # the quadratic stage.
+    cands = (
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+    )
     return _mutual_topk_pairs(cands)
 
 
@@ -1154,8 +1164,17 @@ def _topk_nbrs(cands: DataFrame) -> DataFrame:
 def _mutual_topk_pairs(cands: DataFrame) -> DataFrame:
     """Shared mutual-kNN tail: top-k lists (_topk_nbrs), reciprocal join,
     canonicalize a < b. Input size is the only thing the exact and
-    bucketed variants disagree on."""
-    nbrs = _topk_nbrs(cands)
+    bucketed variants disagree on.
+
+    The reciprocity self-join references ``nbrs`` twice, and without a
+    lineage cut each reference re-evaluates the ENTIRE candidate scoring
+    subtree (the n² crossJoin for the exact variant — plan showed two
+    full BroadcastNestedLoopJoin subtrees under the reciprocal
+    SortMergeJoin). nbrs is n·k-bounded whatever the candidate volume,
+    so the lazy localCheckpoint is always cheap relative to what it
+    saves — the round-8 rule (any frame referenced 2+ times across a
+    join boundary with an expensive subtree earns a cut)."""
+    nbrs = _topk_nbrs(cands).localCheckpoint(eager=False)
     rev = nbrs.select(
         F.col("qid").alias("nid"), F.col("nid").alias("qid")
     )
@@ -1265,7 +1284,20 @@ def _bucketed_mknn_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("probe"),
         F.col("v").alias("vb"),
     )
-    return a.join(b, "probe").where(F.col("qid") != F.col("nid"))
+    # The scoring + map-side top-k sort run IN the join's output stage,
+    # so its partition count is the compute parallelism for the whole
+    # candidate volume. Left to ENSURE_REQUIREMENTS, AQE coalesces the
+    # exchange by INPUT bytes (740k exploded rows ~ a few hundred MB)
+    # and the 100x-fanout join output then scores on 2 partitions
+    # (observed at the 10x tier: one straggler owning the stage).
+    # A user REPARTITION_BY_NUM is exempt from AQE coalescing, pinning
+    # the stage width; probe keys (256 values) hash ~8 per partition.
+    p = a.sparkSession.sparkContext.defaultParallelism
+    return (
+        a.repartition(p, "probe")
+        .join(b, "probe")
+        .where(F.col("qid") != F.col("nid"))
+    )
 
 
 @query(
