@@ -238,11 +238,15 @@ def mktsegment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is an exact integer and the only floats are the 125 expected
     values and the final sum."""
     c = _load(spark, sf_dir, "customer")
+    # obs feeds four consumers (both margins, the total, the grid join);
+    # without a cut each re-scans the customer fact. 125 rows — always
+    # cheaper to materialize than to re-aggregate (plan-audit lead).
     obs = (
         c.groupBy(
             F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     segs = obs.groupBy("seg").agg(F.sum("n").cast("long").alias("seg_tot"))
     nats = obs.groupBy("nat").agg(F.sum("n").cast("long").alias("nat_tot"))
@@ -343,6 +347,9 @@ def value_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("s1"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    # idx feeds three consumers (sigma, both band-join sides); the cut
+    # keeps the fact-sized daily rollup single-pass (plan-audit lead) —
+    # idx is days x types rows, calendar-bounded at any corpus size.
     idx = daily.select(
         "event_type",
         (
@@ -352,7 +359,7 @@ def value_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("event_type").orderBy("d"))
         .cast("long")
         .alias("i"),
-    )
+    ).localCheckpoint(eager=False)
     sig = idx.groupBy("event_type").agg(
         F.sqrt(
             F.greatest(
@@ -504,6 +511,10 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only fact-scale stage, identical to the certified tfidf/BM25
     shape."""
     d = _load(spark, sf_dir, "documents")
+    # tc feeds five consumers (vocab, corpus total via vocab, the src
+    # join, src_tot, the final rollup) — uncut, the plan re-ran the
+    # full-corpus explode FIVE times (plan-audit lead). tc is
+    # (source, term)-sized: vocabulary-bounded, never corpus-bounded.
     tc = (
         d.select(
             "source", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -511,11 +522,13 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term") != "")
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
     vocab = (
         tc.groupBy("term")
         .agg(F.sum("n").cast("long").alias("corpus_n"))
         .where(F.col("corpus_n") >= 20)
+        .localCheckpoint(eager=False)
     )
     corpus_tot = vocab.agg(F.sum("corpus_n").cast("long").alias("ct"))
     src = tc.join(vocab, "term")
@@ -579,7 +592,12 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|^2-sized arithmetic — constant at any corpus scale."""
     from .temporal import event_type_transitions
 
-    counts = event_type_transitions(spark, sf_dir)
+    # counts feeds three consumers (row totals, grand total, the join);
+    # the cut keeps the per-user lead + transition groupBy single-pass
+    # (plan-audit lead) — counts is |types|^2 rows.
+    counts = event_type_transitions(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     rows_tot = counts.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("row_n")
     )

@@ -45,7 +45,12 @@ R9_QUERIES = [
     "stream_purchase_error_pairs",
 ]
 
-DIRS = ["/root/testdata/sf0.1", "/tmp/tier10xh9"]
+# Density direction (/tmp/tier10x): event_type namespace is SHARED across
+# replicas, so event-literal queries ('purchase', 'error') and the
+# colocation/sessionization families see genuine 10x density. The
+# horizontal tier (tier10xh9) renames event types per replica and would
+# void those filters.
+DIRS = ["/root/testdata/sf0.1", "/tmp/tier10x"]
 
 
 def main() -> None:
