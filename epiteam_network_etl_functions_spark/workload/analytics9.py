@@ -854,3 +854,101 @@ def _install_two_hop_oracle() -> None:
 
 
 _install_two_hop_oracle()
+
+
+@query(
+    "two_hop_reach_capped",
+    oracle=None,  # installed below from mobility's edge CTE
+)
+def two_hop_reach_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped 2-hop reach — the SCALE-SAFE production variant of
+    :func:`two_hop_reach_histogram` (the peak_concurrency_partitioned
+    pattern: scale-shaped default + exact calibration baseline). The
+    exact variant's wedge join is sum(deg²)-sized: at the 10x DENSITY
+    tier (degrees x10, wedges x100) it filled the disk (>80 GB shuffle
+    spill, recorded in SCALING.md) — precisely the hub explosion the
+    docstring predicted. The capped statistic restricts the graph to
+    nodes of degree <= TWO_HOP_DEGREE_CAP (32): mega-hubs are dropped
+    BEFORE expansion (both as endpoints and as middles), bounding the
+    wedge join at cap x |kept edges| rows — linear in edges at fixed
+    cap, which is how contact-network epidemiology treats
+    super-connector artifacts anyway. Deterministic: the cap is an
+    exact integer degree threshold, identical on both engines; the
+    oracle restates it over the same canonical edge CTE."""
+    from .mobility import _colocation_edge_list
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    adj = edges.select(
+        F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
+    ).unionByName(
+        edges.select(
+            F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
+        )
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    kept = deg.where(F.col("degree") <= TWO_HOP_DEGREE_CAP).select("u")
+    # keep an edge only if BOTH endpoints survive the cap, then the
+    # subgraph's adjacency is closed under the expansion below
+    adj_c = (
+        adj.join(kept, "u")
+        .join(kept.select(F.col("u").alias("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    a = adj_c.alias("a")
+    b = adj_c.alias("b")
+    hop2 = (
+        a.join(b, F.col("a.v") == F.col("b.u"))
+        .where(F.col("b.v") != F.col("a.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    reach = (
+        adj_c.unionByName(hop2)
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("reach"))
+    )
+    return reach.groupBy("reach").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+TWO_HOP_DEGREE_CAP = 32
+
+
+def _install_two_hop_capped_oracle() -> None:
+    from . import ORACLES
+    from .mobility import _EDGES_CTE
+
+    ORACLES["two_hop_reach_capped"] = f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u, b_user_id AS v FROM edges
+        UNION ALL
+        SELECT b_user_id AS u, a_user_id AS v FROM edges
+    ),
+    deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+    kept AS (SELECT u FROM deg WHERE degree <= {TWO_HOP_DEGREE_CAP}),
+    adj_c AS (
+        SELECT a.u, a.v FROM adj a
+        JOIN kept k1 ON k1.u = a.u
+        JOIN kept k2 ON k2.u = a.v
+    ),
+    hop2 AS (
+        SELECT a.u AS u, b.v AS v
+        FROM adj_c a JOIN adj_c b ON b.u = a.v
+        WHERE b.v <> a.u
+    ),
+    reach AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS reach FROM (
+            SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM adj_c UNION ALL SELECT u, v FROM hop2
+            )
+        ) GROUP BY u
+    )
+    SELECT reach, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM reach GROUP BY reach
+    """
+
+
+_install_two_hop_capped_oracle()
