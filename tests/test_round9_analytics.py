@@ -1,0 +1,116 @@
+"""Semantic invariants for the round-9 analytics9 module (parity with the
+DuckDB oracles is covered by test_parity; these lock the math itself)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+QS = entrymod.queries()
+
+
+def test_spearman_in_range(spark):
+    row = QS["balance_spend_spearman"](spark, SF).collect()[0]
+    assert row["n_customers"] > 0
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_mannwhitney_u_bounds(spark):
+    """0 <= U <= n1*n2 (U counts the pairs won by group 1)."""
+    row = QS["priority_price_mannwhitney"](spark, SF).collect()[0]
+    assert 0 <= row["u_statistic"] <= row["n1"] * row["n2"]
+
+
+def test_chi2_nonnegative_and_dof(spark):
+    row = QS["mktsegment_nation_chi2"](spark, SF).collect()[0]
+    assert row["chi2"] >= 0.0
+    # 5 segments x up-to-25 nations
+    assert row["dof"] >= 4
+
+
+def test_kl_nonnegative(spark):
+    """Gibbs' inequality — KL(p||q) >= 0 for every source. Holds even
+    with the shared-vocab restriction because BOTH distributions are
+    renormalized over the same restricted support... except p's support
+    (terms the source uses) is a subset, making this the KL of p against
+    a sub-distribution of q — still >= -sum p ln(q_tot_share) bounded
+    below by 0 only when q is a proper distribution over p's support.
+    Empirically locked at both test SFs; a negative value would flag a
+    normalization bug."""
+    for r in QS["source_unigram_kl"](spark, SF).collect():
+        assert r["kl_divergence"] >= -1e-9, r
+
+
+def test_entropy_rate_bounds(spark):
+    """0 <= H <= ln(n_states); 5 event types -> ln 5 ~ 1.6094."""
+    import math
+
+    row = QS["markov_entropy_rate"](spark, SF).collect()[0]
+    assert 0.0 <= row["entropy_rate_nats"] <= math.log(5) + 1e-9
+
+
+def test_theil_nonnegative(spark):
+    for r in QS["brand_price_theil"](spark, SF).collect():
+        assert r["theil_t"] >= -1e-9, r
+
+
+def test_seasonal_index_averages_to_one(spark):
+    rows = QS["orders_seasonal_index"](spark, SF).collect()
+    assert len(rows) == 12
+    mean_idx = sum(r["seasonal_index"] for r in rows) / 12
+    assert abs(mean_idx - 1.0) < 1e-4
+
+
+def test_ewma_flags_bounded(spark):
+    for r in QS["value_ewma_control"](spark, SF).collect():
+        assert 0 <= r["n_flagged"] <= r["n_days"]
+
+
+def test_capped_reach_dominated_by_exact(spark):
+    """Each kept node's capped reach cannot exceed the exact-graph max,
+    and total capped nodes <= total nodes (cap only removes)."""
+    exact = {
+        r["reach"]: r["n_nodes"]
+        for r in QS["two_hop_reach_histogram"](spark, SF).collect()
+    }
+    capped = {
+        r["reach"]: r["n_nodes"]
+        for r in QS["two_hop_reach_capped"](spark, SF).collect()
+    }
+    assert sum(capped.values()) <= sum(exact.values())
+    if capped and exact:
+        assert max(capped) <= max(exact)
+
+
+def test_stream_join_pairs_match_batch(spark):
+    """The streaming interval join must equal the batch interval join
+    (the oracle states it in SQL; this locks it Spark-side too)."""
+    from pyspark.sql import functions as F
+
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.session import prep
+
+    prep(spark)
+    e = catalog.load(spark, SF, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    x = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("xu"), F.col("ts").alias("xts")
+    )
+    batch = (
+        p.join(
+            x,
+            (F.col("xu") == F.col("pu"))
+            & (F.col("xts") >= F.col("pts"))
+            & (F.col("xts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("pu").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    got = {
+        r["user_id"]: r["n_pairs"]
+        for r in QS["stream_purchase_error_pairs"](spark, SF).collect()
+    }
+    want = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
+    assert got == want
