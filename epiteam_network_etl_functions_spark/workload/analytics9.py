@@ -952,3 +952,153 @@ def _install_two_hop_capped_oracle() -> None:
 
 
 _install_two_hop_capped_oracle()
+
+
+@query(
+    "two_hop_reach_sketch_audit",
+    oracle=None,  # rows-only BY DESIGN: Datasketches HLL has no DuckDB twin
+)
+def two_hop_reach_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named 100 TB escalation for 2-hop reach, demonstrated and
+    audited: per-node HLL sketches of the 1-hop neighbourhood, merged
+    ALONG EDGES (u's 2-hop sketch = union of sketch(v) for v adjacent to
+    u, plus u's own) — one linear edge join of fixed-width sketch blobs
+    instead of the sum(deg²) wedge explosion that filled the disk at the
+    10x density tier. Spark 4's Datasketches functions (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) keep the whole thing JVM-side.
+    Output is the audit row (the ivf_recall_audit pattern): node count,
+    mean/max relative error of the sketch estimate vs the exact 2-hop
+    reach. Rows-only by design — DuckDB has no bit-compatible HLL, so
+    there is no SQL oracle; the EXACT arm inside this query is the
+    ground truth, which also bounds this audit to audit SFs (production
+    runs the sketch path alone, where its cost is linear in edges).
+    lgConfigK=12 (4096 registers, ~1.6% standard error)."""
+    from .mobility import _colocation_edge_list
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    adj = edges.select(
+        F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
+    ).unionByName(
+        edges.select(
+            F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
+        )
+    ).localCheckpoint(eager=False)
+    # sketch of each node's 1-hop neighbourhood (+self, so the edge-join
+    # union below covers hop-1 nodes without a separate pass)
+    sk1 = adj.groupBy("u").agg(
+        F.expr("hll_sketch_agg(v, 12)").alias("sk"),
+    )
+    self_sk = adj.select("u").distinct().groupBy("u").agg(
+        F.expr("hll_sketch_agg(u, 12)").alias("sk")
+    )
+    hop1_sk = (
+        sk1.unionByName(self_sk)
+        .groupBy("u")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    # u's 2-hop sketch = union over neighbours v of v's (1-hop+self)
+    # sketch — one equi-join on edges, sketch blobs are fixed-width
+    two_sk = (
+        adj.join(hop1_sk.withColumnRenamed("u", "v"), "v")
+        .groupBy("u")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk2"))
+        .select(
+            "u",
+            # subtract self from the estimate downstream instead of
+            # re-sketching: reach excludes u, the union includes it
+            (F.expr("hll_sketch_estimate(sk2)") - F.lit(1.0)).alias("est"),
+        )
+    )
+    # exact arm (ground truth; audit SFs only)
+    a = adj.alias("a")
+    b = adj.alias("b")
+    hop2 = (
+        a.join(b, F.col("a.v") == F.col("b.u"))
+        .where(F.col("b.v") != F.col("a.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    exact = (
+        adj.unionByName(hop2)
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("reach"))
+    )
+    j = exact.join(two_sk, "u")
+    rel = F.abs(F.col("est") - F.col("reach")) / F.col("reach")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.round(F.avg(rel), 6).alias("mean_rel_err"),
+        F.round(F.max(rel), 6).alias("max_rel_err"),
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tt GROUP BY term),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM freq),
+    scored AS (
+        SELECT tt.doc_id,
+               count(*) AS n_tokens,
+               -sum(ln(CAST(f.n AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+                   / count(*) AS nll
+        FROM tt JOIN freq f ON f.term = tt.term CROSS JOIN tot
+        GROUP BY tt.doc_id
+    )
+    SELECT CAST(least(floor(nll * 2.0), 24.0) AS BIGINT) AS nll_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY nll_bucket
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram model, bucketed into a histogram — the
+    perplexity-proxy quality gate every LLM data pipeline runs before
+    the expensive model-based filter (documents whose tokens are
+    corpus-typical score low; gibberish and boilerplate-with-rare-tokens
+    score high). Every probability is an exact integer ratio (term count
+    / corpus total) — the corpus model needs no smoothing because every
+    scored term exists in the corpus by construction. The per-doc float
+    fold is bucketed (width 0.5 nats over [0, 12]) rather than emitted
+    raw, so the output is histogram-bounded and the differential compare
+    is stable. Plan: one explode shuffled to (term) for frequencies, a
+    term-keyed join back (vocabulary-side is frequency-table-sized — at
+    100 TB broadcast the head and shuffle the tail, the tfidf shape),
+    one doc-keyed rollup, then the constant-size histogram."""
+    d = _load(spark, sf_dir, "documents")
+    tt = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tt = tt.localCheckpoint(eager=False)  # feeds freq AND the scoring join
+    freq = tt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = freq.agg(F.sum("n").cast("long").alias("t"))
+    scored = (
+        tt.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                -F.sum(F.log(F.col("n").cast("double") / F.col("t").cast("double")))
+                / F.count(F.lit(1))
+            ).alias("nll"),
+        )
+    )
+    # bucket i covers [i*0.5, (i+1)*0.5) nats, capped at 24 (nll >= 0 by
+    # construction); spelled as floor arithmetic because DuckDB has no
+    # width_bucket
+    return scored.select(
+        F.least(F.floor(F.col("nll") * 2.0), F.lit(24.0))
+        .cast("bigint")
+        .alias("nll_bucket"),
+        "n_tokens",
+    ).groupBy("nll_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
