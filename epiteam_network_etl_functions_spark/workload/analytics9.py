@@ -1160,3 +1160,118 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).select("event_type", "n_unique_events")
+
+
+@query(
+    "priority_price_kruskal_wallis",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp,
+               CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS rk
+        FROM orders
+    ),
+    n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked),
+    per_g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(rk) AS BIGINT) AS r_g
+        FROM ranked GROUP BY grp
+    )
+    SELECT CAST(min(t.n) AS BIGINT) AS n_orders,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(12.0 / (CAST(min(t.n) AS DOUBLE) * (min(t.n) + 1.0))
+                 * sum(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE)
+                       / CAST(n_g AS DOUBLE))
+                 - 3.0 * (min(t.n) + 1.0), 6) AS h_statistic
+    FROM per_g CROSS JOIN n_tot t
+    """,
+)
+def priority_price_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL five order priorities — the k-sample
+    extension of priority_price_mannwhitney (one test instead of C(5,2)
+    pairwise MW runs). Same integer-rank discipline: row_number over the
+    unique (price, orderkey) order keeps every rank sum exact, so
+    H = 12/(n(n+1)) * sum(R_g²/n_g) - 3(n+1) is computed from integer
+    sums with two float divisions at the end — both engines agree before
+    rounding. Plan: one global rank (summary-scale; partition-offset
+    rank at 100 TB), one 5-row groupBy, constant-size fold."""
+    o = _load(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .cast("long")
+        .alias("rk"),
+    )
+    per_g = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("rk").cast("long").alias("r_g"),
+    )
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nd = F.min("n").cast("double")
+    return per_g.crossJoin(F.broadcast(n_tot)).agg(
+        F.min("n").cast("long").alias("n_orders"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(
+            F.lit(12.0)
+            / (nd * (nd + F.lit(1.0)))
+            * F.sum(
+                F.col("r_g").cast("double")
+                * F.col("r_g").cast("double")
+                / F.col("n_g").cast("double")
+            )
+            - F.lit(3.0) * (nd + F.lit(1.0)),
+            6,
+        ).alias("h_statistic"),
+    )
+
+
+@query(
+    "hourly_poisson_dispersion",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, h
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_count,
+           round((CAST(sum(c * c) AS DOUBLE)
+                  - CAST(sum(c) AS DOUBLE) * sum(c) / count(*))
+                 / (count(*) - 1)
+                 / (CAST(sum(c) AS DOUBLE) / count(*)), 6)
+               AS dispersion_index
+    FROM hc GROUP BY event_type HAVING count(*) > 1
+    """,
+)
+def hourly_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of hourly event counts per type (the
+    Poisson dispersion index: 1 = Poisson arrivals, >1 = bursty/
+    overdispersed, <1 = regularized) — the arrival-process diagnostic
+    next to user_burstiness (which works on inter-event gaps; this works
+    on counts, and they disagree exactly when burstiness is cross-user
+    synchronized). Occupied-hours only, on both engines identically (an
+    all-calendar version would LEFT JOIN a generated hour spine — the
+    value_forward_fill shape — and zero-fill). All moments are exact
+    integer sums (counts of counts); two float divisions at the end;
+    n>1 HAVING gate keeps the sample variance defined (the Welch-test
+    discipline). One fact pass to (type, hour), then type-sized."""
+    e = _load(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = F.count(F.lit(1))
+    s1 = F.sum("c").cast("double")
+    s2 = F.sum(F.col("c") * F.col("c")).cast("double")
+    return (
+        hc.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_hours"),
+            F.round(s1 / n, 6).alias("mean_count"),
+            F.round(
+                (s2 - s1 * F.sum("c") / n) / (n - 1) / (s1 / n), 6
+            ).alias("dispersion_index"),
+        )
+        .where(F.col("n_hours") > 1)
+    )
