@@ -302,6 +302,7 @@ DEMOTED: tuple[str, ...] = (
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",
     "pca_explained_variance",
+    "two_hop_reach_sketch_audit",
 )
 
 # Round-9 rotation (executed per the round-8 script): the 50 names
@@ -314,7 +315,27 @@ DEMOTED: tuple[str, ...] = (
 # Invariant (re-checked by tools/check_rotation.py and
 # tests/test_registry.py): list(REGISTRY)[:50] has zero overlap with the
 # union of hash_match:true names across CORRECTNESS_r01..r08.
-DEFERRED: tuple[str, ...] = ()
+# Round-9 post-prefix registrations (workload/analytics9.py, imported
+# last): all oracle-backed, none can certify this round because the
+# 50-slot prefix is already full of never-certified names — they float
+# into the ROUND-10 prefix in this order.
+DEFERRED: tuple[str, ...] = (
+    "balance_spend_spearman",
+    "priority_price_mannwhitney",
+    "mktsegment_nation_chi2",
+    "value_ewma_control",
+    "orders_seasonal_index",
+    "source_unigram_kl",
+    "markov_entropy_rate",
+    "brand_price_theil",
+    "two_hop_reach_histogram",
+    "stream_purchase_error_pairs",
+    "two_hop_reach_capped",
+    "doc_unigram_logprob",
+    "stream_dedup_event_counts",
+    "priority_price_kruskal_wallis",
+    "hourly_poisson_dispersion",
+)
 
 
 def load_all() -> None:
