@@ -587,7 +587,7 @@ def _sbm_nodes_sql() -> str:
     )
     SELECT block_i, block_j,
            count(*) AS n_pairs,
-           sum(CASE WHEN h < pm THEN 1 ELSE 0 END) AS n_edges,
+           CAST(sum(CASE WHEN h < pm THEN 1 ELSE 0 END) AS BIGINT) AS n_edges,
            round(sum(CASE WHEN h < pm THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
                AS edge_rate,
            round(pm / 1000000.0, 6) AS p_expected
