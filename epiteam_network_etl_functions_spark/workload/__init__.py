@@ -335,6 +335,7 @@ DEFERRED: tuple[str, ...] = (
     "stream_dedup_event_counts",
     "priority_price_kruskal_wallis",
     "hourly_poisson_dispersion",
+    "stream_closed_sessions",
 )
 
 

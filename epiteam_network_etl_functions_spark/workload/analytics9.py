@@ -1275,3 +1275,98 @@ def hourly_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_hours") > 1)
     )
+
+
+_STREAM_SESS_COUNTER = [0]
+
+
+@query(
+    "stream_closed_sessions",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 3600000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(us) AS BIGINT) AS last_us,
+               CAST(max(sid) OVER (PARTITION BY user_id) AS BIGINT) AS max_sid
+        FROM sess GROUP BY user_id, sid
+    ),
+    wm AS (
+        SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm_ms FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_closed_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_closed_events
+    FROM agg CROSS JOIN wm
+    WHERE sid < max_sid
+       OR wm_ms > (last_us + 3600000000) // 1000
+    GROUP BY user_id
+    """,
+)
+def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR, oracle-certified end-to-end (fourth
+    streaming surface through the differential gate, and the first for
+    applyInPandasWithState): the events feed replayed through
+    streaming/stateful.streaming_session_tracker — typed per-user state,
+    1 h gap sessionization, event-time timeout flush — then rolled up to
+    per-user closed-session counts and compared against a batch SQL
+    model of EXACTLY the operator's close semantics: a session is closed
+    when a successor session exists (gap exceeded by a later event) OR
+    when the final watermark passed its last event + gap, with the
+    tracker's own millisecond-floor timeout arithmetic
+    ((last_us + gap) // 1000) and the watermark's (max_ts_ms - delay)
+    spelled in integer microseconds on both sides. The replay source is
+    coalesced to ONE file so availableNow drains it as a single ordered
+    batch (zero watermark drops, deterministic segmentation) followed by
+    the no-data timeout batch — the production shape is per-key-ordered
+    Kafka partitions, where the same state machine sees the same
+    per-user order. State is one fixed-width row per ACTIVE user
+    (timeout removes idle users), the property that bounds it at
+    100 TB/day."""
+    import os
+    import tempfile
+
+    from ..streaming.stateful import streaming_session_tracker
+
+    e = _load(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="graft_stream_sess_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    e.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    closed = streaming_session_tracker(stream, ts_col="ts", watermark="10 minutes")
+    _STREAM_SESS_COUNTER[0] += 1
+    name = f"graft_stream_sess_{os.getpid()}_{_STREAM_SESS_COUNTER[0]}"
+    q = (
+        closed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_closed_sessions"),
+            F.sum("n_events").cast("long").alias("n_closed_events"),
+        )
+    )
