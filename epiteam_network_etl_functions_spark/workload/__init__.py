@@ -336,6 +336,7 @@ DEFERRED: tuple[str, ...] = (
     "priority_price_kruskal_wallis",
     "hourly_poisson_dispersion",
     "stream_closed_sessions",
+    "jsonl_roundtrip_digest",
 )
 
 

@@ -1370,3 +1370,52 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("long").alias("n_closed_events"),
         )
     )
+
+
+@query(
+    "jsonl_roundtrip_digest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars,
+           CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT))
+                AS BIGINT) AS digest_xor,
+           min(md5(text)) AS min_digest,
+           max(md5(text)) AS max_digest
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL EXPORT PATH certified by content: the documents table goes
+    out through write_jsonl_shards (the gzip-sharded LLM training-data
+    layout), comes back through read_jsonl, and the per-lang digest
+    rollup of the ROUNDTRIPPED text must equal the oracle computed on the
+    ORIGINAL parquet — so JSON string escaping, gzip framing, shard
+    round-robin, and the reader's schema inference are all inside the
+    differential gate (the export path was previously tests-only). md5
+    min/max bound the set and the order-insensitive bit_xor of each
+    digest's first 48 bits pins EVERY document's content (a corruption
+    anywhere flips the group xor with probability 1-2^-48). The roundtrip i/o is scoped to a
+    temp dir per invocation; shard size 500 exercises multi-shard
+    round-robin at every SF."""
+    import os
+    import tempfile
+
+    from ..sources.io import read_jsonl, write_jsonl_shards
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_jsonl_rt_")
+    out = os.path.join(tmp, "shards")
+    write_jsonl_shards(d, out, records_per_shard=500)
+    back = read_jsonl(spark, out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("n_chars"),
+        F.bit_xor(F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("long"))
+        .cast("long")
+        .alias("digest_xor"),
+        F.min(F.md5(F.col("text"))).alias("min_digest"),
+        F.max(F.md5(F.col("text"))).alias("max_digest"),
+    )
