@@ -319,6 +319,16 @@ DEMOTED: tuple[str, ...] = (
 # last): all oracle-backed, none can certify this round because the
 # 50-slot prefix is already full of never-certified names — they float
 # into the ROUND-10 prefix in this order.
+#
+# ROUND-10 ROTATION SCRIPT (execute first thing next round, the round-8/9
+# pattern): (1) move the 50 names CORRECTNESS_r09 certifies green into
+# DEMOTED above under a "driver-green round 9" comment; (2) empty this
+# tuple so the 17 deferred names float into the round-10 prefix, leaving
+# ~33 free slots for early round-10 registrations; (3) run
+# tools/check_rotation.py — the invariant stays: list(REGISTRY)[:50] has
+# zero overlap with the union of hash_match:true names across
+# CORRECTNESS_r01..r09. Any round-10 query registered after the free
+# slots fill goes back into this tuple.
 DEFERRED: tuple[str, ...] = (
     "balance_spend_spearman",
     "priority_price_mannwhitney",
