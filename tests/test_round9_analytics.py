@@ -114,3 +114,63 @@ def test_stream_join_pairs_match_batch(spark):
     }
     want = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
     assert got == want
+
+
+def test_kruskal_wallis_bounds(spark):
+    """H >= 0; with 5 groups dof = 4."""
+    row = QS["priority_price_kruskal_wallis"](spark, SF).collect()[0]
+    assert row["dof"] == 4
+    assert row["h_statistic"] >= -1e-9
+
+
+def test_poisson_dispersion_positive(spark):
+    for r in QS["hourly_poisson_dispersion"](spark, SF).collect():
+        assert r["dispersion_index"] > 0
+        assert r["n_hours"] > 1
+
+
+def test_sketch_audit_error_small(spark):
+    """HLL(12) has ~1.6% standard error; reaches here are small-set
+    exact-mode sketches, so the estimate should be near-exact."""
+    row = QS["two_hop_reach_sketch_audit"](spark, SF).collect()[0]
+    assert row["n_nodes"] > 0
+    assert row["mean_rel_err"] < 0.05
+    assert row["max_rel_err"] < 0.20
+
+
+def test_logprob_buckets_bounded(spark):
+    rows = QS["doc_unigram_logprob"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["nll_bucket"] <= 24
+
+
+def test_stream_dedup_equals_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.session import prep
+
+    prep(spark)
+    e = catalog.load(spark, SF, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["n_unique_events"]
+        for r in QS["stream_dedup_event_counts"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_jsonl_roundtrip_doc_count(spark):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.session import prep
+
+    prep(spark)
+    n_docs = catalog.load(spark, SF, "documents").count()
+    rows = QS["jsonl_roundtrip_digest"](spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
