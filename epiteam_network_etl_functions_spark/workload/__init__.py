@@ -347,6 +347,8 @@ DEFERRED: tuple[str, ...] = (
     "hourly_poisson_dispersion",
     "stream_closed_sessions",
     "jsonl_roundtrip_digest",
+    "hard_negative_pairs",
+    "part_basket_lift",
 )
 
 

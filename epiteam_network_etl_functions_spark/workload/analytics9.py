@@ -1419,3 +1419,190 @@ def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("text"))).alias("min_digest"),
         F.max(F.md5(F.col("text"))).alias("max_digest"),
     )
+
+
+@query(
+    "hard_negative_pairs",
+    oracle=None,  # installed below (reuses vectors.py's dot/norm macros)
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    SINGLE nearest neighbour with a DIFFERENT label — the pairs a
+    contrastive or metric-learning loss needs most (closest imposters),
+    next to the mutual-kNN positives. Exact n² scoring, so this is the
+    audit-SF calibration form (the mutual_knn_pairs pattern); production
+    swaps candidate generation for the multi-probe bucketed kernel and
+    keeps the identical different-label rank tail. Determinism: cosine
+    rounds to 6dp before the rank, rank ties break on neighbour id, and
+    the label filter is exact set algebra. The crossJoin repartitions
+    its streamed side first (the round-9 BNLJ width rule)."""
+    from ..operators.similarity import as_double, cosine
+    from .vectors import _emb
+
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("va"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("vb"),
+    )
+    cands = (
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(b)
+        .where(
+            (F.col("qid") != F.col("nid"))
+            & (F.col("q_label") != F.col("n_label"))
+        )
+    )
+    scored = cands.select(
+        "qid",
+        "nid",
+        "q_label",
+        "n_label",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.col("nid").alias("hard_negative_id"),
+            F.col("n_label").alias("negative_label"),
+            "cosine",
+        )
+    )
+
+
+def _install_hard_negative_oracle() -> None:
+    from . import ORACLES
+    from .vectors import _DOT, _NORM
+
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    na = _NORM.format(a="a.embedding", b="a.embedding")
+    nb = _NORM.format(a="b.embedding", b="b.embedding")
+    ORACLES["hard_negative_pairs"] = f"""
+    WITH scored AS (
+        SELECT a.vec_id AS vec_id, a.label AS label,
+               b.vec_id AS hard_negative_id, b.label AS negative_label,
+               round({dot} / ({na} * {nb}), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, hard_negative_id ASC
+        ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label, hard_negative_id, negative_label, cosine
+    FROM ranked WHERE rn = 1
+    """
+
+
+_install_hard_negative_oracle()
+
+
+@query(
+    "part_basket_lift",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+    part_n AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+        FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+                 / (CAST(pa.n_p AS DOUBLE) * CAST(pb.n_p AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN part_n pa ON pa.l_partkey = p.part_a
+    JOIN part_n pb ON pb.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, p.part_a ASC, p.part_b ASC
+    LIMIT 20
+    """,
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule LIFT for co-ordered part pairs — the market-
+    basket statistic on top of the certified co-occurrence counts
+    (part_basket_pairs counts; lift normalizes by marginal popularity:
+    lift = P(a,b)/(P(a)P(b)) = n_ab * n_orders / (n_a * n_b), > 1 means
+    genuinely associated, not just both popular). The n_ab >= 2 support
+    gate mirrors basket-mining practice and keeps the top-20 stable
+    (singleton pairs all share lift families). Every count is an exact
+    distinct-pair integer; the one division happens on the 20 surviving
+    rows after a TakeOrderedAndProject cut... ordering by lift computed
+    pre-cut: the sort key is data-wide but the sort is top-k, never
+    global. Basket self-join keys on orderkey (avg ~4 lines/order), so
+    pair volume is sum-of-basket-size² — bounded by small baskets, the
+    opposite regime from the colocation hub explosion."""
+    li = _load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    part_n = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b")
+    )
+    lifted = (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
