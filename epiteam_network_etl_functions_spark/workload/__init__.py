@@ -349,6 +349,7 @@ DEFERRED: tuple[str, ...] = (
     "jsonl_roundtrip_digest",
     "hard_negative_pairs",
     "part_basket_lift",
+    "hard_negative_bucketed",
 )
 
 

@@ -1606,3 +1606,88 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lifted.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+@query(
+    "hard_negative_bucketed",
+    oracle=None,  # installed below (Hamming-predicate oracle)
+)
+def hard_negative_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION form of hard-negative mining: multi-probe RP-LSH
+    candidates (the mutual_knn_bucketed kernel — radius-2 XOR-mask
+    explode, candidate volume probes x bucket sizes, never corpus²)
+    filtered to different-label pairs, then the SAME rounded-cosine /
+    id-tie-break / rank-1 tail as the exact :func:`hard_negative_pairs`
+    — so the two differ only in candidate generation and the exact
+    variant is the recall ground truth (the established trio pattern:
+    exact calibration + bucketed default + shared scoring tail). A
+    vector with no different-label neighbour inside the probe radius
+    emits nothing — the honest sketch behaviour the oracle states with
+    the same Hamming predicate."""
+    from ..operators.similarity import cosine
+    from .vectors import _bucketed_mknn_cands
+
+    cands = _bucketed_mknn_cands(spark, sf_dir).where(
+        F.col("q_label") != F.col("n_label")
+    )
+    scored = cands.select(
+        "qid",
+        "nid",
+        "q_label",
+        "n_label",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("q_label").alias("label"),
+            F.col("nid").alias("hard_negative_id"),
+            F.col("n_label").alias("negative_label"),
+            "cosine",
+        )
+    )
+
+
+def _install_hard_negative_bucketed_oracle() -> None:
+    from . import ORACLES
+    from .vectors import (
+        _DOT,
+        _MKNN_HAM_SQL,
+        _NORM,
+        MKNN_PROBE_RADIUS,
+        _rp_bucket_sql,
+    )
+
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    na = _NORM.format(a="a.embedding", b="a.embedding")
+    nb = _NORM.format(a="b.embedding", b="b.embedding")
+    ORACLES["hard_negative_bucketed"] = f"""
+    WITH hnb AS (
+        SELECT vec_id, label, embedding, {_rp_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS vec_id, a.label AS label,
+               b.vec_id AS hard_negative_id, b.label AS negative_label,
+               round({dot} / ({na} * {nb}), 6) AS cosine
+        FROM hnb a JOIN hnb b
+          ON {_MKNN_HAM_SQL} <= {MKNN_PROBE_RADIUS}
+         AND a.vec_id <> b.vec_id AND a.label <> b.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, hard_negative_id ASC
+        ) AS rn
+        FROM scored
+    )
+    SELECT vec_id, label, hard_negative_id, negative_label, cosine
+    FROM ranked WHERE rn = 1
+    """
+
+
+_install_hard_negative_bucketed_oracle()
