@@ -350,6 +350,7 @@ DEFERRED: tuple[str, ...] = (
     "hard_negative_pairs",
     "part_basket_lift",
     "hard_negative_bucketed",
+    "hard_negative_recall_audit",
 )
 
 

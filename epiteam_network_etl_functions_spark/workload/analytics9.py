@@ -1691,3 +1691,74 @@ def _install_hard_negative_bucketed_oracle() -> None:
 
 
 _install_hard_negative_bucketed_oracle()
+
+
+@query(
+    "hard_negative_recall_audit",
+    oracle=None,  # installed below by composing the two installed oracles
+)
+def hard_negative_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact calibration closing the hard-negative trio (the
+    ivf/mutual-kNN audit pattern): coverage = how many vectors the
+    multi-probe candidate generator found ANY different-label neighbour
+    for, and pick agreement = how often its rank-1 choice IS the exact
+    rank-1 hard negative. One row; both pair lists are n-bounded so the
+    only heavy work is the two candidate generations (the exact arm is
+    n² by design — audit SFs only)."""
+    from .text import _materialize_release
+
+    ex = _materialize_release(
+        hard_negative_pairs(spark, sf_dir).select(
+            "vec_id", F.col("hard_negative_id").alias("ex_neg")
+        )
+    )
+    bk = _materialize_release(
+        hard_negative_bucketed(spark, sf_dir).select(
+            "vec_id", F.col("hard_negative_id").alias("bk_neg")
+        )
+    )
+    n_ex = ex.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_bk = bk.agg(F.count(F.lit(1)).alias("n_bucketed_found"))
+    n_same = (
+        ex.join(bk, "vec_id")
+        .where(F.col("ex_neg") == F.col("bk_neg"))
+        .agg(F.count(F.lit(1)).alias("n_same_pick"))
+    )
+    return (
+        n_ex.crossJoin(F.broadcast(n_bk))
+        .crossJoin(F.broadcast(n_same))
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.col("n_bucketed_found").cast("long").alias("n_bucketed_found"),
+            F.col("n_same_pick").cast("long").alias("n_same_pick"),
+            F.round(
+                F.col("n_same_pick")
+                * 1.0
+                / F.greatest(F.col("n_vectors"), F.lit(1)),
+                6,
+            ).alias("pick_agreement"),
+        )
+    )
+
+
+def _install_hard_negative_audit_oracle() -> None:
+    from . import ORACLES
+
+    ex_sql = ORACLES["hard_negative_pairs"].strip().rstrip()
+    bk_sql = ORACLES["hard_negative_bucketed"].strip().rstrip()
+    ORACLES["hard_negative_recall_audit"] = f"""
+    WITH e AS ({ex_sql}),
+    b AS ({bk_sql})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vectors,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_bucketed_found,
+           (SELECT CAST(count(*) AS BIGINT) FROM e JOIN b USING (vec_id)
+             WHERE e.hard_negative_id = b.hard_negative_id) AS n_same_pick,
+           round((SELECT count(*) FROM e JOIN b USING (vec_id)
+                   WHERE e.hard_negative_id = b.hard_negative_id)
+                 * 1.0
+                 / greatest((SELECT count(*) FROM e), 1), 6)
+               AS pick_agreement
+    """
+
+
+_install_hard_negative_audit_oracle()
