@@ -452,13 +452,18 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed sklearn idf). Two shuffles
     (term counts; per-term document frequency as a window) plus a
-    per-document window. The corpus size N folds into the same plan as a
-    scalar-agg broadcast (no eager driver-side count() job). Ranks on the
-    ROUNDED score so cross-engine float ulp drift can't flip ranks (ties
-    resolve on the term)."""
+    per-document window. The corpus size N is resolved at plan build as
+    ONE metadata-only parquet count (row counts come from footers) and
+    folded in as a literal: the floor decomposition (PLANS.md Round 9)
+    showed the in-plan scalar-agg alternative costs a second scan
+    subtree + two exchanges + a BroadcastNestedLoopJoin — three stage
+    floors every execution to avoid one footer-read job at build. Ranks
+    on the ROUNDED score so cross-engine float ulp drift can't flip
+    ranks (ties resolve on the term)."""
     from ..operators.text import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    d = _docs(spark, sf_dir)
+    return tfidf_top_terms(d, "doc_id", "text", n_docs=d.count(), k=3)
 
 
 @query(

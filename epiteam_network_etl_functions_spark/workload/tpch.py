@@ -390,11 +390,13 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join input shrinks from line-level to order-level and the groupBy's
     hash(orderkey) partitioning is reused by the join — only orders
     re-exchanges. The per-customer rollup then sums order-level partials
-    (sum-of-sums and count-of-counts are exact), and the customer
-    dimension attaches AFTER the rollup onto at most |customers|
-    aggregated rows instead of every returned line (planner picks
-    broadcast vs shuffle by size — no hard-coded hint, since at 100 TB
-    customer outgrows the broadcast threshold)."""
+    (sum-of-sums and count-of-counts are exact), and the TOP-20 CUT
+    HAPPENS BEFORE the customer dimension attaches: the ordering key
+    (lost_revenue, custkey) exists pre-join, so TakeOrderedAndProject
+    runs on the customer-cardinality rollup and the name join touches
+    exactly 20 rows — broadcast by construction at ANY scale, where
+    joining first would shuffle the full customer dimension at 100 TB
+    for 20 survivors."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
@@ -410,10 +412,13 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt_part").alias("n_items"),
         )
     )
-    return (
-        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
-        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+    top = (
+        per_cust.orderBy(F.desc("lost_revenue"), F.asc("o_custkey"))
         .limit(20)
+    )
+    return (
+        c.join(F.broadcast(top), top.o_custkey == c.c_custkey)
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .select("c_custkey", "c_name", "lost_revenue", "n_items")
     )
 
