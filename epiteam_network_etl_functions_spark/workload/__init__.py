@@ -351,6 +351,9 @@ DEFERRED: tuple[str, ...] = (
     "part_basket_lift",
     "hard_negative_bucketed",
     "hard_negative_recall_audit",
+    "supplier_late_rate_wilson",
+    "event_type_lift_matrix",
+    "customer_value_trend_slopes",
 )
 
 

@@ -1762,3 +1762,239 @@ def _install_hard_negative_audit_oracle() -> None:
 
 
 _install_hard_negative_audit_oracle()
+
+
+@query(
+    "supplier_late_rate_wilson",
+    oracle="""
+    WITH s AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ret
+        FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 20
+    ),
+    wb AS (
+        SELECT l_suppkey, n_items, n_ret,
+               CAST(n_ret AS DOUBLE) / CAST(n_items AS DOUBLE) AS p_hat,
+               ((CAST(n_ret AS DOUBLE) / n_items) + 3.8416 / (2 * n_items)
+                - 1.96 * sqrt(((CAST(n_ret AS DOUBLE) / n_items)
+                               * (1.0 - CAST(n_ret AS DOUBLE) / n_items)
+                               + 3.8416 / (4 * n_items)) / n_items))
+               / (1.0 + 3.8416 / n_items) AS wilson_lo
+        FROM s
+    )
+    SELECT l_suppkey, n_items, n_ret,
+           round(p_hat, 6) AS p_hat,
+           round(wilson_lo, 6) AS wilson_lower
+    FROM wb
+    ORDER BY wilson_lo DESC, l_suppkey ASC
+    LIMIT 15
+    """,
+)
+def supplier_late_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the WILSON LOWER BOUND of their return rate —
+    ranking-under-uncertainty done right: a supplier with 3/3 returns
+    must not outrank one with 80/100, which is exactly what ranking by
+    raw p_hat does and the Wilson score interval fixes (z=1.96; the
+    idiom every review-ranking system uses). All inputs are exact
+    integer counts from one fact pass; the bound is a closed-form float
+    on (n_ret, n_items) evaluated identically by both engines, and the
+    top-15 cut orders by the bound with a suppkey tie-break. The n>=20
+    support gate keeps tiny-sample suppliers out on both sides. One
+    groupBy shuffle; everything after is supplier-cardinality."""
+    li = _load(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_ret"),
+        )
+        .where(F.col("n_items") >= 20)
+    )
+    n = F.col("n_items").cast("double")
+    p = F.col("n_ret").cast("double") / n
+    z2 = F.lit(3.8416)
+    lo = (
+        (p + z2 / (2 * n)
+         - F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + z2 / (4 * n)) / n))
+        / (F.lit(1.0) + z2 / n)
+    )
+    wb = s.select(
+        "l_suppkey",
+        "n_items",
+        "n_ret",
+        p.alias("__p"),
+        lo.alias("__lo"),
+    )
+    return (
+        wb.orderBy(F.desc("__lo"), F.asc("l_suppkey"))
+        .limit(15)
+        .select(
+            "l_suppkey",
+            "n_items",
+            "n_ret",
+            F.round(F.col("__p"), 6).alias("p_hat"),
+            F.round(F.col("__lo"), 6).alias("wilson_lower"),
+        )
+    )
+
+
+@query(
+    "event_type_lift_matrix",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+    tn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM ut a JOIN ut b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * CAST(u.n AS DOUBLE)
+                 / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN tn ta ON ta.event_type = p.type_a
+    JOIN tn tb ON tb.event_type = p.type_b
+    CROSS JOIN n_users u
+    """,
+)
+def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level co-occurrence LIFT between event types (does doing A
+    make a user more likely to also do B?) — the behavioural analog of
+    part_basket_lift, on the distinct (user, type) incidence instead of
+    raw event counts so heavy users don't dominate. All counts are exact
+    distinct integers; output is the |types|-choose-2 upper triangle
+    (10 rows at any corpus size). Plan: one distinct shuffle, a
+    user-keyed self-join over <=5 rows per user, constant-size fold."""
+    e = _load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
+    n_users = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    tn = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("u"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ta = tn.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = tn.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "customer_value_trend_slopes",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) / 86400000000 AS BIGINT) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sx,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(d * cents) AS BIGINT) AS sxy,
+               CAST(sum(d * d) AS BIGINT) AS sxx
+        FROM o GROUP BY o_custkey HAVING count(*) >= 3
+    ),
+    sl AS (
+        SELECT o_custkey,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   AS slope_cents_per_day
+        FROM m
+        WHERE n * sxx - sx * sx > 0
+    )
+    SELECT CASE WHEN slope_cents_per_day < -100 THEN 'falling'
+                WHEN slope_cents_per_day > 100 THEN 'rising'
+                ELSE 'flat' END AS trend,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(slope_cents_per_day), 4) AS mean_slope
+    FROM sl GROUP BY trend
+    """,
+)
+def customer_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS slope of order value over time, rolled up into
+    rising/flat/falling cohorts — per-entity regression AT SCALE as pure
+    moment arithmetic (no mapInPandas, no per-group fitting loop): each
+    customer's (n, Σx, Σy, Σxy, Σxx) folds in ONE fact pass as exact
+    BIGINT sums (day index and cents are integers; magnitudes stay
+    under 2^63 at any realistic SF since day ~2e4 and cents ~1e7), and
+    the slope is one float division per customer. The n>=3 HAVING gate
+    plus the zero-variance guard (all orders same day) are identical on
+    both engines. The cohort rollup keeps the output 3-row whatever the
+    customer count — a million-customer trend scan with nothing
+    data-sized leaving the executors."""
+    o = _load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.unix_micros(F.col("o_orderdate")) / F.lit(86400000000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d").cast("long").alias("sx"),
+            F.sum("cents").cast("long").alias("sy"),
+            F.sum(F.col("d") * F.col("cents")).cast("long").alias("sxy"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        )
+        .where(F.col("n") >= 3)
+        .where(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    sl = m.select(slope.alias("slope_cents_per_day"))
+    trend = (
+        F.when(F.col("slope_cents_per_day") < -100, "falling")
+        .when(F.col("slope_cents_per_day") > 100, "rising")
+        .otherwise("flat")
+    )
+    return sl.groupBy(trend.alias("trend")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("slope_cents_per_day"), 4).alias("mean_slope"),
+    )
