@@ -354,6 +354,8 @@ DEFERRED: tuple[str, ...] = (
     "supplier_late_rate_wilson",
     "event_type_lift_matrix",
     "customer_value_trend_slopes",
+    "referential_integrity_audit",
+    "primary_key_audit",
 )
 
 

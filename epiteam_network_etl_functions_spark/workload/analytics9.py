@@ -1998,3 +1998,156 @@ def customer_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.avg("slope_cents_per_day"), 4).alias("mean_slope"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST((SELECT count(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan census across every FK edge of the star schema
+    — the referential-integrity health check an ETL engine runs after
+    every load (extends operators/quality's per-table rules to
+    CROSS-table contracts). Each edge is one left_anti join (P13's
+    certified idiom) counted to a scalar; small dimension sides
+    broadcast, the two fact-fact edges (lineitem->orders,
+    orders->customer) shuffle on their key — at 100 TB those are the
+    same co-partitioned joins the queries themselves run, so the audit
+    costs what one pass of the downstream workload costs and the output
+    is 6 rows whatever the corpus size."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    p = _load(spark, sf_dir, "part")
+    s = _load(spark, sf_dir, "supplier")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+
+    def orphans(edge: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        cnt = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        return cnt.select(F.lit(edge).alias("fk_edge"), "n_orphans")
+
+    frames = [
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        orphans("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        orphans("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        orphans("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        orphans("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@query(
+    "primary_key_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS pk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dups
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT c_custkey) AS BIGINT),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'part.p_partkey', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT p_partkey) AS BIGINT),
+           CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'supplier.s_suppkey', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT s_suppkey) AS BIGINT),
+           CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT)
+    FROM supplier
+    UNION ALL
+    SELECT 'events.event_id', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT event_id) AS BIGINT),
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents.doc_id', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey * 1000 + l_linenumber) AS BIGINT),
+           CAST(count(*) - count(DISTINCT l_orderkey * 1000 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness census over every keyed table (plus
+    lineitem's composite key packed into one integer — linenumber < 1000
+    by the TPC-H spec, so the packing is collision-free) — the other
+    half of the load-time contract next to referential_integrity_audit.
+    One count-distinct aggregate per table, 7 rows out at any scale; at
+    100 TB swap exact count(DISTINCT) for HLL when an approximate dup
+    signal suffices (documents_profile's documented trade)."""
+    specs = [
+        ("orders.o_orderkey", "orders", F.col("o_orderkey")),
+        ("customer.c_custkey", "customer", F.col("c_custkey")),
+        ("part.p_partkey", "part", F.col("p_partkey")),
+        ("supplier.s_suppkey", "supplier", F.col("s_suppkey")),
+        ("events.event_id", "events", F.col("event_id")),
+        ("documents.doc_id", "documents", F.col("doc_id")),
+        (
+            "lineitem.(l_orderkey,l_linenumber)",
+            "lineitem",
+            F.col("l_orderkey") * 1000 + F.col("l_linenumber"),
+        ),
+    ]
+    out = None
+    for name, table, key in specs:
+        t = _load(spark, sf_dir, table)
+        row = t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_distinct"),
+        ).select(
+            F.lit(name).alias("pk"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_dups"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
