@@ -174,3 +174,46 @@ def test_jsonl_roundtrip_doc_count(spark):
     n_docs = catalog.load(spark, SF, "documents").count()
     rows = QS["jsonl_roundtrip_digest"](spark, SF).collect()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_wilson_bound_properties(spark):
+    """0 <= wilson_lower <= p_hat <= 1 for every ranked supplier."""
+    for r in QS["supplier_late_rate_wilson"](spark, SF).collect():
+        assert 0.0 <= r["wilson_lower"] <= r["p_hat"] + 1e-9 <= 1.0 + 1e-9
+
+
+def test_lift_matrix_shape(spark):
+    rows = QS["event_type_lift_matrix"](spark, SF).collect()
+    # 5 types -> 10 unordered pairs, every lift positive
+    assert len(rows) == 10
+    for r in rows:
+        assert r["lift"] > 0
+
+
+def test_trend_slopes_partition(spark):
+    rows = QS["customer_value_trend_slopes"](spark, SF).collect()
+    assert set(r["trend"] for r in rows) <= {"rising", "flat", "falling"}
+    assert sum(r["n_customers"] for r in rows) > 0
+
+
+def test_referential_integrity_clean_testdata(spark):
+    """The generated testdata is referentially intact — every FK edge
+    must report zero orphans (a nonzero count here means the audit or
+    the generator broke)."""
+    for r in QS["referential_integrity_audit"](spark, SF).collect():
+        assert r["n_orphans"] == 0, r
+
+
+def test_primary_keys_unique_testdata(spark):
+    """Single-column PKs are unique in the generated testdata; lineitem's
+    composite (orderkey, linenumber) is NOT — the generator doesn't
+    enforce the TPC-H composite PK (sf0.001: 6000 rows, 4599 distinct,
+    1401 dups — found BY this audit, which is exactly its job). Lock the
+    arithmetic identity for every row and the dup finding for lineitem."""
+    rows = QS["primary_key_audit"](spark, SF).collect()
+    for r in rows:
+        assert r["n_dups"] == r["n_rows"] - r["n_distinct"] >= 0, r
+        if not r["pk"].startswith("lineitem"):
+            assert r["n_dups"] == 0, r
+    li = [r for r in rows if r["pk"].startswith("lineitem")][0]
+    assert li["n_dups"] > 0  # the generator's known composite-PK gap
