@@ -303,6 +303,7 @@ DEMOTED: tuple[str, ...] = (
     "bucket_counts_approx",
     "pca_explained_variance",
     "two_hop_reach_sketch_audit",
+    "two_hop_reach_sketched",
 )
 
 # Round-9 rotation (executed per the round-8 script): the 50 names

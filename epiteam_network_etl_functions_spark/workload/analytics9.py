@@ -867,14 +867,23 @@ def two_hop_reach_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact variant's wedge join is sum(deg²)-sized: at the 10x DENSITY
     tier (degrees x10, wedges x100) it filled the disk (>80 GB shuffle
     spill, recorded in SCALING.md) — precisely the hub explosion the
-    docstring predicted. The capped statistic restricts the graph to
-    nodes of degree <= TWO_HOP_DEGREE_CAP (32): mega-hubs are dropped
-    BEFORE expansion (both as endpoints and as middles), bounding the
-    wedge join at cap x |kept edges| rows — linear in edges at fixed
-    cap, which is how contact-network epidemiology treats
-    super-connector artifacts anyway. Deterministic: the cap is an
-    exact integer degree threshold, identical on both engines; the
-    oracle restates it over the same canonical edge CTE."""
+    docstring predicted. The capped statistic is the reach over the
+    LOW-DEGREE SUBGRAPH (nodes of degree <= TWO_HOP_DEGREE_CAP, both as
+    endpoints and as middles), which BOUNDS the wedge join at
+    cap x |kept edges| whatever the input: that bound is the point, and
+    it has an honest consequence the round-9 density probe made
+    explicit — on a graph with NO low-degree region the subgraph is
+    EMPTY (the synthetic sf0.1 colocation graph has mean degree ~278,
+    a 14% edge density no real contact network approaches, so the
+    capped reach there is correctly zero rows). A percentile cap was
+    tried and rejected: it never degenerates but stops bounding work
+    exactly when the graph is dense (p80 of a dense graph admits
+    quadratic wedges — the 10x-tier attempt was killed heading for the
+    same disk-fill as the exact variant). Dense graphs take the
+    LINEAR-in-edges sketch path instead (two_hop_reach_sketched /
+    two_hop_reach_sketch_audit). Deterministic: integer degree
+    threshold, identical on both engines; the oracle restates it over
+    the same canonical edge CTE."""
     from .mobility import _colocation_edge_list
 
     edges = _colocation_edge_list(spark, sf_dir)
@@ -954,6 +963,92 @@ def _install_two_hop_capped_oracle() -> None:
 _install_two_hop_capped_oracle()
 
 
+def _two_hop_sketch_estimates(spark: SparkSession, sf_dir: str):
+    """Shared sketch plan: per-node HLL(12) 1-hop sketches merged along
+    edges into 2-hop reach estimates. Returns (adj, two_sk) — the
+    symmetrized adjacency and a (u, est) frame. Linear in edges: the
+    sketch table is node-sized fixed-width blobs (broadcastable), and
+    the per-u union runs as a partial-aggregating groupBy, so the
+    exchange carries at most nodes x 4 KB whatever the edge count."""
+    from .mobility import _colocation_edge_list
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism
+    # hash(u)-partition the adjacency ONCE, at checkpoint time: every
+    # sketch aggregate below buffers the ~32 KB UPDATABLE sketch per
+    # key, so a task must only ever see its own u's (an unpartitioned
+    # partial agg held nodes x 32 KB per task and OOM'd an 8 GB heap at
+    # the 10x tier before this).
+    adj = (
+        edges.select(
+            F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
+        )
+        .unionByName(
+            edges.select(
+                F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
+            )
+        )
+        .repartition(p * 2, "u")
+        .localCheckpoint(eager=False)
+    )
+    sk1 = adj.groupBy("u").agg(
+        F.expr("hll_sketch_agg(v, 12)").alias("sk"),
+    )
+    self_sk = adj.select("u").distinct().groupBy("u").agg(
+        F.expr("hll_sketch_agg(u, 12)").alias("sk")
+    )
+    hop1_sk = (
+        sk1.unionByName(self_sk)
+        .groupBy("u")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    # Two memory rules learned at the 10x tier (20.9M edges), both OOMs
+    # before they were applied:
+    # 1. BROADCAST the sketch table (nodes x ~4 KB compact blobs, 60 MB
+    #    at the tier) — unhinted, the sort-merge join sorted 20.9M
+    #    sketch-bearing edge rows (~84 GB) and blew the heap.
+    # 2. PRE-PARTITION the edge stream by u BEFORE the join: the union
+    #    aggregate's buffer is the UPDATABLE sketch (~32 KB, not the
+    #    4 KB compact form), so a map-side partial agg over ALL keys
+    #    holds nodes x 32 KB PER TASK (~480 MB x 32 tasks). With
+    #    hash(u) partitioning the groupBy reuses the layout, no second
+    #    exchange exists, and each task buffers only its own keys.
+    # At 100 TB, when the node table outgrows broadcast, bucket both
+    # sides by the join key instead. adj arrives hash(u)-partitioned
+    # from the checkpoint, so the groupBy below reuses the layout.
+    two_sk = (
+        adj.join(F.broadcast(hop1_sk.withColumnRenamed("u", "v")), "v")
+        .groupBy("u")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk2"))
+        .select(
+            "u",
+            (F.expr("hll_sketch_estimate(sk2)") - F.lit(1.0)).alias("est"),
+        )
+    )
+    return adj, two_sk
+
+
+@query(
+    "two_hop_reach_sketched",
+    oracle=None,  # rows-only BY DESIGN: Datasketches HLL has no DuckDB twin
+)
+def two_hop_reach_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION 2-hop reach for graphs too dense for the exact or
+    degree-capped forms (the synthetic density tiers, where exact filled
+    the disk and the cap correctly empties): per-node reach ESTIMATES
+    from the shared HLL sketch plan, rolled into a log2 histogram.
+    Linear in edges at any density — the dense-graph escalation the
+    capped query's docstring routes to; two_hop_reach_sketch_audit
+    holds its error to ~HLL(12) accuracy at audit SFs."""
+    _, two_sk = _two_hop_sketch_estimates(spark, sf_dir)
+    bucket = F.floor(F.log2(F.greatest(F.col("est"), F.lit(1.0)))).cast(
+        "bigint"
+    )
+    return two_sk.groupBy(bucket.alias("log2_reach_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
 @query(
     "two_hop_reach_sketch_audit",
     oracle=None,  # rows-only BY DESIGN: Datasketches HLL has no DuckDB twin
@@ -973,42 +1068,7 @@ def two_hop_reach_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth, which also bounds this audit to audit SFs (production
     runs the sketch path alone, where its cost is linear in edges).
     lgConfigK=12 (4096 registers, ~1.6% standard error)."""
-    from .mobility import _colocation_edge_list
-
-    edges = _colocation_edge_list(spark, sf_dir)
-    adj = edges.select(
-        F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
-    ).unionByName(
-        edges.select(
-            F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
-        )
-    ).localCheckpoint(eager=False)
-    # sketch of each node's 1-hop neighbourhood (+self, so the edge-join
-    # union below covers hop-1 nodes without a separate pass)
-    sk1 = adj.groupBy("u").agg(
-        F.expr("hll_sketch_agg(v, 12)").alias("sk"),
-    )
-    self_sk = adj.select("u").distinct().groupBy("u").agg(
-        F.expr("hll_sketch_agg(u, 12)").alias("sk")
-    )
-    hop1_sk = (
-        sk1.unionByName(self_sk)
-        .groupBy("u")
-        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
-    )
-    # u's 2-hop sketch = union over neighbours v of v's (1-hop+self)
-    # sketch — one equi-join on edges, sketch blobs are fixed-width
-    two_sk = (
-        adj.join(hop1_sk.withColumnRenamed("u", "v"), "v")
-        .groupBy("u")
-        .agg(F.expr("hll_union_agg(sk)").alias("sk2"))
-        .select(
-            "u",
-            # subtract self from the estimate downstream instead of
-            # re-sketching: reach excludes u, the union includes it
-            (F.expr("hll_sketch_estimate(sk2)") - F.lit(1.0)).alias("est"),
-        )
-    )
+    adj, two_sk = _two_hop_sketch_estimates(spark, sf_dir)
     # exact arm (ground truth; audit SFs only)
     a = adj.alias("a")
     b = adj.alias("b")
