@@ -1040,7 +1040,7 @@ def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, value_c / 100.0 AS part_value
     FROM pv
-    WHERE value_c > (SELECT sum(value_c) * 0.001 FROM pv)
+    WHERE value_c > (SELECT CAST(sum(value_c) AS DOUBLE) / count(*) FROM pv)
     """,
 )
 def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,8 +1053,13 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ReuseExchange dedups the underlying shuffle — one fact scan, one
     shuffle, never a second pass over lineitem. Region filter reaches the
     fact through two broadcast dims. Values accumulate in exact cents;
-    the 0.1% threshold compares bigint·fraction cross-engine-identically
-    because the sum is exact before the single float multiply."""
+    the threshold is the GLOBAL MEAN share (sum/count), which is
+    scale-free by construction: TPC-H's own Q11 scales its fraction as
+    0.0001/SF because any FIXED fraction degenerates as the part
+    population grows — the round-9 registry-wide degeneracy audit
+    (tools/audit_degeneracy.py) caught exactly that here (194/107/0 rows
+    at sf0.001/0.01/0.1 under the old fixed 0.1%). Mean-share compares
+    one exact-bigint-derived double cross-engine-identically."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
@@ -1064,7 +1069,9 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
     )
-    total = pv.agg((F.sum("value_c") * 0.001).alias("__thr"))
+    total = pv.agg(
+        (F.sum("value_c").cast("double") / F.count(F.lit(1))).alias("__thr")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .where(F.col("value_c") > F.col("__thr"))
