@@ -357,6 +357,7 @@ DEFERRED: tuple[str, ...] = (
     "customer_value_trend_slopes",
     "referential_integrity_audit",
     "primary_key_audit",
+    "value_dow_hour_decomposition",
 )
 
 

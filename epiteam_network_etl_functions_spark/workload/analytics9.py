@@ -2211,3 +2211,93 @@ def primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "value_dow_hour_decomposition",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS mu,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s1,
+                 CAST(sum(cents * cents) AS BIGINT) AS s2
+          FROM ev),
+    de AS (SELECT dow, CAST(sum(cents) AS DOUBLE) / count(*) AS dmean,
+                  CAST(count(*) AS BIGINT) AS dn
+           FROM ev GROUP BY dow),
+    he AS (SELECT hod, CAST(sum(cents) AS DOUBLE) / count(*) AS hmean,
+                  CAST(count(*) AS BIGINT) AS hn
+           FROM ev GROUP BY hod)
+    SELECT g.n AS n_events,
+           round((SELECT sum(dn * (dmean - g.mu) * (dmean - g.mu)) FROM de)
+                 / (CAST(g.s2 AS DOUBLE) - CAST(g.s1 AS DOUBLE) * g.s1 / g.n),
+                 6) AS dow_var_share,
+           round((SELECT sum(hn * (hmean - g.mu) * (hmean - g.mu)) FROM he)
+                 / (CAST(g.s2 AS DOUBLE) - CAST(g.s1 AS DOUBLE) * g.s1 / g.n),
+                 6) AS hour_var_share
+    FROM g
+    """,
+)
+def value_dow_hour_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way seasonality decomposition of event values: the share of
+    total variance explained by the day-of-week effect and by the
+    hour-of-day effect (between-group sum of squares over total SS —
+    one-way eta² along each calendar axis). Near-zero shares mean the
+    value process has no calendar structure worth modelling; the
+    heatmap (events_dow_hour_heatmap) SHOWS the surface, this SCORES it.
+    All moments are exact integer cents sums folded in three
+    constant-output aggregates (7-row, 24-row, 1-row); the SS ratios
+    are the only floats. dayofweek/hour agree across engines under the
+    pinned UTC session (the events_dow_hour_heatmap precedent)."""
+    e = _load(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    g = e.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    de = e.groupBy("dow").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("dmean"),
+        F.count(F.lit(1)).cast("long").alias("dn"),
+    )
+    he = e.groupBy("hod").agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("hmean"),
+        F.count(F.lit(1)).cast("long").alias("hn"),
+    )
+    dss = (
+        de.crossJoin(F.broadcast(g.select("mu")))
+        .agg(
+            F.sum(
+                F.col("dn") * (F.col("dmean") - F.col("mu")) * (F.col("dmean") - F.col("mu"))
+            ).alias("dow_ss")
+        )
+    )
+    hss = (
+        he.crossJoin(F.broadcast(g.select("mu")))
+        .agg(
+            F.sum(
+                F.col("hn") * (F.col("hmean") - F.col("mu")) * (F.col("hmean") - F.col("mu"))
+            ).alias("hour_ss")
+        )
+    )
+    tot_ss = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    return (
+        g.crossJoin(F.broadcast(dss))
+        .crossJoin(F.broadcast(hss))
+        .select(
+            F.col("n").alias("n_events"),
+            F.round(F.col("dow_ss") / tot_ss, 6).alias("dow_var_share"),
+            F.round(F.col("hour_ss") / tot_ss, 6).alias("hour_var_share"),
+        )
+    )
