@@ -298,6 +298,59 @@ DEMOTED: tuple[str, ...] = (
     "value_winsorized_stats",
     "value_first_digit_benford",
     "purchase_interpurchase_gaps",
+    # -- driver-green round 9 (CORRECTNESS_r09 50/50; rotated out so the 27
+    # held-out DEFERRED round-9 registrations float into the round-10
+    # prefix with free slots for early round-10 registrations) --
+    "neighbor_jaccard_links",
+    "colocation_degree_gini",
+    "simhash_bit_balance",
+    "sbm_block_edge_census",
+    "seir_expected_infections",
+    "hot_cell_salt_plan",
+    "customer_rfm_segments",
+    "customer_er_blocking_pairs",
+    "supplier_part_jaccard",
+    "discount_lift_by_quantity",
+    "balance_spend_correlation",
+    "brand_share_yearly_shift",
+    "pmi_collocations",
+    "bm25_keyword_search",
+    "near_dup_cluster_source_mix",
+    "stopword_ratio_by_source",
+    "near_dup_threshold_sweep",
+    "source_heaps_law",
+    "lang_length_quantiles",
+    "ngram_coverage_curve",
+    "dedup_token_savings_by_source",
+    "mutual_knn_pairs",
+    "mutual_knn_bucketed",
+    "mutual_knn_recall_audit",
+    "rrf_hybrid_search",
+    "label_cosine_separation",
+    "knn_hubness_histogram",
+    "ivf_balance_report",
+    "payload_chunk_manifest",
+    "event_value_welch_test",
+    "wait_time_survival_curve",
+    "value_mad_by_type",
+    "value_ks_test_pairs",
+    "event_transition_entropy",
+    "value_cusum_range",
+    "value_skewness_by_type",
+    "signup_to_purchase_latency",
+    "peak_concurrency",
+    "peak_concurrency_partitioned",
+    "weekend_value_lift",
+    "device_od_matrix",
+    "cell_dwell_quantiles",
+    "commute_matrix",
+    "cell_occupancy_volatility",
+    "od_destination_entropy",
+    "mobility_contact_correlation",
+    "cell_daily_turnover",
+    "commute_asymmetry_index",
+    "scd2_version_histogram",
+    "stream_hourly_event_counts",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row --
     "bucket_counts_approx",
@@ -321,44 +374,23 @@ DEMOTED: tuple[str, ...] = (
 # 50-slot prefix is already full of never-certified names — they float
 # into the ROUND-10 prefix in this order.
 #
-# ROUND-10 ROTATION SCRIPT (execute first thing next round, the round-8/9
-# pattern): (1) move the 50 names CORRECTNESS_r09 certifies green into
-# DEMOTED above under a "driver-green round 9" comment; (2) empty this
-# tuple so the 17 deferred names float into the round-10 prefix, leaving
-# ~33 free slots for early round-10 registrations; (3) run
-# tools/check_rotation.py — the invariant stays: list(REGISTRY)[:50] has
-# zero overlap with the union of hash_match:true names across
-# CORRECTNESS_r01..r09. Any round-10 query registered after the free
-# slots fill goes back into this tuple.
-DEFERRED: tuple[str, ...] = (
-    "balance_spend_spearman",
-    "priority_price_mannwhitney",
-    "mktsegment_nation_chi2",
-    "value_ewma_control",
-    "orders_seasonal_index",
-    "source_unigram_kl",
-    "markov_entropy_rate",
-    "brand_price_theil",
-    "two_hop_reach_histogram",
-    "stream_purchase_error_pairs",
-    "two_hop_reach_capped",
-    "doc_unigram_logprob",
-    "stream_dedup_event_counts",
-    "priority_price_kruskal_wallis",
-    "hourly_poisson_dispersion",
-    "stream_closed_sessions",
-    "jsonl_roundtrip_digest",
-    "hard_negative_pairs",
-    "part_basket_lift",
-    "hard_negative_bucketed",
-    "hard_negative_recall_audit",
-    "supplier_late_rate_wilson",
-    "event_type_lift_matrix",
-    "customer_value_trend_slopes",
-    "referential_integrity_audit",
-    "primary_key_audit",
-    "value_dow_hour_decomposition",
-)
+# ROUND-10 ROTATION (executed, the round-8/9 pattern): the 50 names
+# CORRECTNESS_r09 certified green moved into DEMOTED above; the 27
+# previously-DEFERRED round-9 registrations are now non-tail, so they
+# float into the round-10 prefix in module registration order, leaving
+# 23 free prefix slots for early round-10 registrations. Any round-10
+# query registered AFTER those slots fill goes into this tuple so it
+# never evicts a query whose only certification chance is this round.
+# Invariant (re-checked by tools/check_rotation.py and
+# tests/test_registry.py): list(REGISTRY)[:50] has zero overlap with the
+# union of hash_match:true names across CORRECTNESS_r01..r09.
+#
+# ROUND-11 ROTATION SCRIPT (execute first thing next round): (1) move the
+# names CORRECTNESS_r10 certifies green into DEMOTED above under a
+# "driver-green round 10" comment; (2) move any never-certified leftovers
+# out of this tuple so they float into the round-11 prefix; (3) run
+# tools/check_rotation.py — it must print PASS.
+DEFERRED: tuple[str, ...] = ()
 
 
 def load_all() -> None:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
+from ..operators.winners import global_row_number
 from ..session import prep
 from . import query
 
@@ -70,12 +71,12 @@ def balance_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = 1 - 6*sum(d^2)/(n(n^2-1)) applies with an ALL-INTEGER d^2 sum:
     the only float op is the final division, so both engines agree
     bit-for-bit before rounding. Plan: one join+groupBy shuffle to build
-    per-customer spend, then two rank windows over the n-row summary
-    (never the fact) and a scalar fold. At 100 TB the summary is
-    customer-cardinality, and global row_number would single-partition
-    it — swap for a distributed sort + per-partition offset (zipWithIndex
-    shape) or percent_rank binning; exact global ranks kept here for the
-    differential gate."""
+    per-customer spend, then two DISTRIBUTED global ranks
+    (operators.winners.global_row_number: range-partitioned sort +
+    broadcast partition offsets — no SinglePartition exchange even at
+    customer cardinality, the r9-verdict fix) and a scalar fold; ranks
+    are value-identical to the single-partition window, so the oracle is
+    unchanged."""
     c = _load(spark, sf_dir, "customer")
     o = _load(spark, sf_dir, "orders")
     spend = (
@@ -87,16 +88,11 @@ def balance_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend_cents")
         )
     )
-    ranked = spend.select(
-        F.row_number()
-        .over(Window.orderBy("c_acctbal", "c_custkey"))
-        .cast("long")
-        .alias("r_bal"),
-        F.row_number()
-        .over(Window.orderBy("spend_cents", "c_custkey"))
-        .cast("long")
-        .alias("r_spend"),
-    )
+    ranked = global_row_number(
+        global_row_number(spend, ["c_acctbal", "c_custkey"], "r_bal"),
+        ["spend_cents", "c_custkey"],
+        "r_spend",
+    ).select("r_bal", "r_spend")
     d2 = (F.col("r_bal") - F.col("r_spend")) * (
         F.col("r_bal") - F.col("r_spend")
     )
@@ -150,12 +146,13 @@ def priority_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT integers on both engines (classic tie-averaged ranks would put
     a float mid-rank on every tie; the unique tie-break keeps the whole
     pipeline integral until the final z division — the repo's tie-break
-    discipline doing statistical work). Plan: one filter+rank over the
-    two-priority slice; the rank window is a single global sort, fine at
-    summary scale — at 100 TB use the distributed sort + partition-offset
-    rank shape. Normal approximation z uses the no-ties variance
-    n1*n2*(n+1)/12 (exact here because ranks are unique by
-    construction)."""
+    discipline doing statistical work). Plan: one filter, then the
+    distributed partition-offset rank
+    (operators.winners.global_row_number) over the two-priority slice —
+    no SinglePartition sort even when the slice is fact-sized (the
+    r9-verdict fix; rank values identical, oracle unchanged). Normal
+    approximation z uses the no-ties variance n1*n2*(n+1)/12 (exact here
+    because ranks are unique by construction)."""
     o = _load(spark, sf_dir, "orders").where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
@@ -166,13 +163,9 @@ def priority_price_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("g"),
     )
-    ranked = g.select(
-        "g",
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("long")
-        .alias("rk"),
-    )
+    ranked = global_row_number(
+        g, ["o_totalprice", "o_orderkey"], "rk"
+    ).select("g", "rk")
     stats = ranked.agg(
         F.sum(F.when(F.col("g") == 1, F.col("rk")).otherwise(F.lit(0)))
         .cast("long")
@@ -1253,16 +1246,21 @@ def priority_price_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame
     unique (price, orderkey) order keeps every rank sum exact, so
     H = 12/(n(n+1)) * sum(R_g²/n_g) - 3(n+1) is computed from integer
     sums with two float divisions at the end — both engines agree before
-    rounding. Plan: one global rank (summary-scale; partition-offset
-    rank at 100 TB), one 5-row groupBy, constant-size fold."""
+    rounding. Plan: one DISTRIBUTED global rank over all orders rows
+    (operators.winners.global_row_number — range-partitioned sort +
+    broadcast partition offsets; this was the worst of the three
+    single-partition sorts the r9 verdict flagged, a full fact sort),
+    one 5-row groupBy, constant-size fold."""
     o = _load(spark, sf_dir, "orders")
-    ranked = o.select(
-        F.col("o_orderpriority").alias("grp"),
-        F.row_number()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .cast("long")
-        .alias("rk"),
-    )
+    ranked = global_row_number(
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        ["o_totalprice", "o_orderkey"],
+        "rk",
+    ).select("grp", "rk")
     per_g = ranked.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum("rk").cast("long").alias("r_g"),
