@@ -410,6 +410,9 @@ def load_all() -> None:
     # the fixed round-9 prefix-50 and can never evict a query whose only
     # certification chance is this round.
     from . import analytics9  # noqa: F401
+    # analytics10 after analytics9: round-10 registrations fill the prefix
+    # slots left after the 27 never-certified round-9 names.
+    from . import analytics10  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:

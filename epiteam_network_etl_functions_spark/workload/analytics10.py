@@ -1,0 +1,535 @@
+"""Round-10 analytics extensions.
+
+Families: distributed-rank products built on the new
+``operators.winners.global_row_number`` kernel (the r9-verdict fix turned
+into user-facing queries), sketch-accuracy VERDICT rows (the 100 TB
+approximate forms certified by bounded-error assertions the driver can
+hash-compare), reduced-TPC-H business analytics, arrival-process and
+inequality statistics over the events stream, mobility transition
+information measures, corpus divergence/novelty measures, and ANN
+margin / probe-cost diagnostics.
+
+IMPORT ORDER CONTRACT: imported LAST by ``workload.load_all`` — every
+query here registers AFTER the 27 never-certified round-9 names, filling
+the remaining round-10 driver prefix slots (tools/check_rotation.py
+enforces the invariant).
+
+Reference lineage: the rank/argmax shapes extend W4
+(ntl_queries.py:41-47) to global cardinality; the sketch verdicts are
+the A1/A5 aggregates (SURVEY §2.4) in their approximate 100 TB form;
+everything else extends certified families (Welch/KS/MW/Theil stats,
+OD-matrix mobility, unigram divergence corpus measures, IVF/kNN ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from ..operators.winners import global_row_number
+from ..session import prep
+from . import query
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, table)
+
+
+# ---------------------------------------------------------------------------
+# Distributed-rank products (global_row_number kernel)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_price_rank_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS rk
+        FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM ranked)
+    SELECT CAST(((rk - 1) * 10) // n_tot AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6)
+               AS avg_price,
+           round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS lo_price,
+           round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS hi_price
+    FROM ranked CROSS JOIN n
+    GROUP BY decile
+    """,
+)
+def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value decile profile via the DISTRIBUTED global rank
+    kernel (operators.winners.global_row_number): every order gets its
+    exact global row_number under (price, orderkey) with range
+    partitioning + broadcast partition offsets — no SinglePartition sort
+    at fact cardinality, unlike naive NTILE. Decile boundaries are exact
+    integer arithmetic ((rk-1)*10 div n), so both engines bucket
+    identically with no float rank math; prices fold as integer cents.
+    The scale story IS the query: this is the kernel's fact-sized
+    certification surface (the r9 verdict's named fix, promoted to a
+    product query)."""
+    o = _load(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        ["o_totalprice", "o_orderkey"],
+        "rk",
+    ).select("cents", "rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("((rk - 1) * 10) div n_tot").cast("long").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 6
+            ).alias("avg_price"),
+            F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo_price"),
+            F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi_price"),
+        )
+    )
+
+
+@query(
+    "user_value_pareto",
+    oracle="""
+    WITH tot AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY -v, user_id) AS BIGINT) AS rk
+        FROM tot
+    ),
+    n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(v) AS BIGINT) AS v_all
+        FROM ranked
+    )
+    SELECT pct,
+           CAST((n_users * pct + 99) // 100 AS BIGINT) AS top_k_users,
+           round(CAST(sum(CASE WHEN rk <= (n_users * pct + 99) // 100
+                               THEN v ELSE 0 END) AS DOUBLE)
+                 / CAST(min(v_all) AS DOUBLE), 6) AS value_share
+    FROM ranked CROSS JOIN n
+    CROSS JOIN (SELECT unnest([1, 5, 10, 25]) AS pct)
+    GROUP BY pct, n_users
+    """,
+)
+def user_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of event value: the share of total value
+    contributed by the top 1/5/10/25% of users — the whale-detection
+    rollup behind sampling and capping decisions in a training-data
+    pipeline. Ranks come from the distributed global rank kernel over
+    the per-user summary (descending via rank on -v with user_id
+    tie-break — exact integer cents, no float rank math); top-k cutoffs
+    are ceil(n*p/100) in pure integer arithmetic. One fact-sized
+    groupBy, then user-cardinality kernel + a 4-row fold."""
+    e = _load(spark, sf_dir, "events")
+    tot = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    ranked = global_row_number(
+        tot.withColumn("neg_v", -F.col("v")), ["neg_v", "user_id"], "rk"
+    ).select("v", "rk")
+    n = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("v_all"),
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 25)])).alias("pct")
+    base = ranked.crossJoin(F.broadcast(n)).select("v", "rk", "n_users", "v_all", pcts)
+    k = F.expr("(n_users * pct + 99) div 100")
+    return (
+        base.groupBy("pct", "n_users")
+        .agg(
+            F.min(k).cast("long").alias("top_k_users"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= k, F.col("v")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.min("v_all").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+        .select("pct", "top_k_users", "value_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy verdict rows (approximate 100 TB forms, hash-comparable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_distinct_users_verdict",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_users_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 aggregate (COUNT DISTINCT by group) in its 100 TB form —
+    HLL approx_count_distinct — certified as a BOUNDED-ERROR VERDICT the
+    driver can hash-compare (the r9 verdict's design for the one
+    historically red rows-only entry): the oracle computes the exact
+    distinct count and asserts TRUE; Spark computes BOTH the exact count
+    (matching the oracle column) and the HLL estimate, and emits
+    within_bound = |hll - exact| <= 0.25*exact + 3 (five relative
+    standard deviations at rsd=0.05, plus a small-count floor). A sketch
+    regression flips the verdict to FALSE and the row goes red — the
+    estimate itself is never hashed, so HLL's platform-defined low-order
+    bits can't cause a spurious mismatch."""
+    e = _load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.05).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 0.25 * F.countDistinct("user_id").cast("double") + 3.0
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "median_sketch_verdict",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def median_sketch_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A5 quantile in its 100 TB form — approx_percentile (GK
+    sketch) — certified as a bounded RANK-ERROR verdict: Spark computes
+    the per-type approximate median, joins it back, and asserts that the
+    number of values <= the sketch's answer is within 2% of n/2 + 2 of
+    the true median rank (the GK guarantee at accuracy=10000 is 200x
+    tighter; the slack keeps the verdict robust). The exact p50 column
+    (linear-interpolation percentile, the certified value_quantiles
+    discipline) is what the driver hash-compares for value; the sketch
+    only has to land inside the rank bound."""
+    e = _load(spark, sf_dir, "events")
+    ap = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap")
+    )
+    j = e.join(F.broadcast(ap), "event_type")
+    n = F.count(F.lit(1))
+    n_le = F.sum(F.when(F.col("value") <= F.col("ap"), 1).otherwise(0))
+    return j.groupBy("event_type").agg(
+        n.cast("long").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        (
+            F.abs(n_le.cast("double") - n.cast("double") / 2.0)
+            <= 0.02 * n.cast("double") + 2.0
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reduced-TPC-H business analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_status_priority_matrix",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_tot FROM g)
+    SELECT o_orderstatus, o_orderpriority, n_orders,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(n_orders AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN t
+    """,
+)
+def order_status_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order status x priority contingency rollup with revenue and count
+    share — the A2/A11 grouped-count family on the orders fact alone
+    (returnflag_priority_counts covers the lineitem side). One map-side
+    combined groupBy to the 15-cell grid; the total joins back as a
+    broadcast scalar (never a global window). Money folds as exact
+    integer cents."""
+    o = _load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    t = g.agg(F.sum("n_orders").cast("long").alias("n_tot"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("n_orders").cast("double") / F.col("n_tot").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@query(
+    "supplier_year_rank_change",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey, year(l_shipdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY l_suppkey, yr
+    ),
+    ranked AS (
+        SELECT l_suppkey, yr,
+               CAST(row_number() OVER (
+                   PARTITION BY yr ORDER BY cents DESC, l_suppkey ASC
+               ) AS BIGINT) AS rk
+        FROM rev
+    )
+    SELECT a.l_suppkey AS s_suppkey,
+           a.rk AS rank_1996,
+           b.rk AS rank_1997,
+           CAST(a.rk - b.rk AS BIGINT) AS rank_delta
+    FROM ranked a JOIN ranked b
+      ON a.l_suppkey = b.l_suppkey AND a.yr = 1996 AND b.yr = 1997
+    ORDER BY abs(a.rk - b.rk) DESC, a.l_suppkey ASC
+    LIMIT 25
+    """,
+)
+def supplier_year_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year supplier revenue rank movement (1996 vs 1997):
+    which suppliers climbed or fell hardest — the leaderboard-drift
+    analytic. Revenue folds as integer cents; ranks are per-year
+    row_number windows PARTITIONED by year over the supplier-cardinality
+    summary (dim-sized — the legitimate partitioned-window form, no
+    global sort); the movers join is supplier-keyed and the top-25 is
+    a TakeOrderedAndProject on (|delta| DESC, suppkey ASC) — a total
+    order."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    rev = li.groupBy(
+        "l_suppkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("l_suppkey"))
+    ranked = rev.withColumn("rk", F.row_number().over(w).cast("long"))
+    a = ranked.where(F.col("yr") == 1996).select(
+        F.col("l_suppkey").alias("s_suppkey"), F.col("rk").alias("rank_1996")
+    )
+    b = ranked.where(F.col("yr") == 1997).select(
+        F.col("l_suppkey").alias("s_suppkey"), F.col("rk").alias("rank_1997")
+    )
+    return (
+        a.join(b, "s_suppkey")
+        .select(
+            "s_suppkey",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997"))
+            .cast("long")
+            .alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "shipping_sla_by_month",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_30d,
+           round(CAST(sum(CASE WHEN date_diff('day', o.o_orderdate,
+                                              l.l_shipdate) <= 30
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS sla_share
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_month
+    """,
+)
+def shipping_sla_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA: the share of line items shipped within 30 days of
+    their order date, by order month — the J-family big-big equi-join
+    (lineitem x orders on orderkey, both fact-sized, shuffle on the join
+    key with AQE) feeding a calendar-bounded rollup. Timestamps leave
+    the plan as 'yyyy-MM' strings (the no-raw-timestamps output
+    discipline); day difference is exact integer calendar arithmetic on
+    both engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    within = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1
+    ).otherwise(0)
+    return j.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(within).cast("long").alias("n_within_30d"),
+        F.round(
+            F.sum(within).cast("double") / F.count(F.lit(1)), 6
+        ).alias("sla_share"),
+    )
+
+
+@query(
+    "reorder_latency_by_segment",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS prev_date
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+                   AS gap_days
+        FROM seq WHERE prev_date IS NOT NULL
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(g.gap_days) AS DOUBLE) / count(*), 6) AS avg_gap_days,
+           round(quantile_cont(g.gap_days, 0.5), 6) AS p50_gap_days
+    FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def reorder_latency_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-order latency (days between a customer's consecutive orders)
+    profiled by market segment — purchase-cycle analytics. The lag
+    window is PARTITIONED by customer (the scale-safe W-family form,
+    never global); the segment dim attaches by broadcast join; gap days
+    are exact integers so the interpolated median hits exact half-day
+    points on both engines."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gaps = seq.where(F.col("prev_date").isNotNull()).select(
+        "o_custkey",
+        F.datediff("o_orderdate", "prev_date").cast("long").alias("gap_days"),
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "p50_gap_days"
+            ),
+        )
+    )
+
+
+@query(
+    "part_brand_price_iqr",
+    oracle="""
+    WITH cents AS (
+        SELECT p_brand,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS c
+        FROM part
+    ),
+    q AS (
+        SELECT p_brand,
+               quantile_cont(c, 0.25) AS q1,
+               quantile_cont(c, 0.75) AS q3
+        FROM cents GROUP BY p_brand
+    )
+    SELECT c.p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(q.q1, 6) AS q1_cents,
+           round(q.q3, 6) AS q3_cents,
+           CAST(sum(CASE WHEN c.c < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR c.c > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM cents c JOIN q ON c.p_brand = q.p_brand
+    GROUP BY c.p_brand, q.q1, q.q3
+    """,
+)
+def part_brand_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand retail-price IQR and Tukey-fence outlier count — the
+    robust-dispersion complement of part_size_price_regression. All
+    arithmetic is on integer cents: quartile interpolation lands on
+    exact binary quarter-cents and the 1.5*IQR fences on exact eighths,
+    so the outlier comparisons are bit-deterministic across engines (the
+    float-boundary hazard that plagues naive IQR differentials is
+    engineered out). Two passes over the dim-sized part table: a 25-row
+    quantile agg, broadcast back, one conditional count."""
+    p = _load(spark, sf_dir, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("c"),
+    )
+    q = p.groupBy("p_brand").agg(
+        F.expr("percentile(c, 0.25)").alias("q1"),
+        F.expr("percentile(c, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        p.join(F.broadcast(q), "p_brand")
+        .groupBy("p_brand", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(
+                F.when(
+                    (F.col("c") < F.col("q1") - 1.5 * iqr)
+                    | (F.col("c") > F.col("q3") + 1.5 * iqr),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            F.round("q1", 6).alias("q1_cents"),
+            F.round("q3", 6).alias("q3_cents"),
+            "n_outliers",
+        )
+    )
