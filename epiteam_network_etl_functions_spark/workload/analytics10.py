@@ -533,3 +533,555 @@ def part_brand_price_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Events-stream arrival-process and inequality statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+    FROM spine s JOIN du u
+      ON u.d BETWEEN s.d - INTERVAL 6 DAY AND s.d
+    GROUP BY s.d
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU-style rolling
+    distinct that COUNT(DISTINCT) OVER RANGE cannot express). The scale
+    plan avoids the range join entirely: each (day, user) activity row
+    EXPLODES to the <=7 future days it keeps alive (a bounded fan-out,
+    the interval-join-to-equi-join rewrite), then one groupBy(day)
+    COUNT(DISTINCT) — equi-shuffle only, no BNLJ, clipped to the
+    observed-day spine with a broadcast semi-join. DuckDB mirrors the
+    semantics with the direct range join (summary-scale there)."""
+    e = _load(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    spine = du.select("d").distinct()
+    targets = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6)
+            )
+        ).alias("day_d"),
+        "user_id",
+    )
+    return (
+        targets.join(F.broadcast(spine), targets.day_d == spine.d, "left_semi")
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_7d"))
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"), "n_active_7d"
+        )
+    )
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM seq)
+    SELECT CAST(thr_s AS BIGINT) AS gap_seconds,
+           CAST(sum(CASE WHEN gap_us IS NULL
+                           OR gap_us > CAST(thr_s AS BIGINT) * 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           round(CAST(min(n.n_events) AS DOUBLE)
+                 / sum(CASE WHEN gap_us IS NULL
+                              OR gap_us > CAST(thr_s AS BIGINT) * 1000000
+                            THEN 1 ELSE 0 END), 6) AS avg_events_per_session
+    FROM seq CROSS JOIN n
+    CROSS JOIN (SELECT unnest([900, 1800, 3600]) AS thr_s)
+    GROUP BY thr_s
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-parameter sweep: session count and mean session
+    size under 15/30/60-minute gap thresholds in ONE pass — the
+    hyperparameter-sensitivity report that tells you whether downstream
+    session metrics are stable to the gap choice (the
+    near_dup_threshold_sweep discipline applied to time). Gaps are
+    computed once with a user-partitioned lag window; each threshold is
+    a conditional sum over the same gap stream (no per-threshold
+    re-scan), then a 3-row unpivot."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.unix_micros("ts").alias("us"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for thr in (900, 1800, 3600):
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > thr * 1_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s{thr}")
+        )
+    one = seq.agg(*aggs)
+    return one.select(
+        F.expr(
+            "stack(3, "
+            "900L, s900, 1800L, s1800, 3600L, s3600"
+            ") AS (gap_seconds, n_sessions)"
+        ),
+        "n_events",
+    ).select(
+        "gap_seconds",
+        "n_sessions",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions"), 6
+        ).alias("avg_events_per_session"),
+    )
+
+
+_CONC_HIST_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 3600000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+        FROM (
+            SELECT user_id, us,
+                   sum(is_start) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        ) GROUP BY user_id, sid
+    ),
+    pts AS (
+        SELECT s_us AS us, 1 AS delta, user_id, sid FROM sess
+        UNION ALL
+        SELECT e_us + 1, -1, user_id, sid FROM sess
+    ),
+    run AS (
+        SELECT sum(delta) OVER (
+                   ORDER BY us ASC, delta ASC, user_id ASC, sid ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS conc
+        FROM pts
+    )
+    SELECT CAST(conc AS BIGINT) AS concurrency,
+           CAST(count(*) AS BIGINT) AS n_endpoints
+    FROM run GROUP BY conc
+    """
+
+
+@query("concurrency_histogram", oracle=_CONC_HIST_ORACLE)
+def concurrency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL DISTRIBUTION of the session-concurrency sweep line (how many
+    endpoint instants saw k concurrent sessions) — the capacity-planning
+    histogram behind the certified peak_concurrency scalar: the peak
+    tells you the worst instant, this tells you how fat the tail is.
+    Runs the day-partitioned carry-forward sweep (the
+    peak_concurrency_partitioned 100 TB shape: per-day running sums +
+    a calendar-bounded carry table broadcast back — no data-sized
+    single-partition window), then one groupBy(conc). Same session
+    endpoints, same total order, same oracle CTE family."""
+    from .temporal import _session_endpoints
+
+    day_us = 86_400_000_000
+    pts = _session_endpoints(spark, sf_dir).withColumn(
+        "day", F.expr(f"us div {day_us}")
+    )
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("tot"))
+    w_days = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("carry")
+    )
+    w_day_sweep = (
+        Window.partitionBy("day")
+        .orderBy(
+            F.col("us").asc(),
+            F.col("delta").asc(),
+            F.col("user_id").asc(),
+            F.col("sid").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        pts.withColumn("in_day", F.sum("delta").over(w_day_sweep))
+        .join(F.broadcast(carry), "day")
+        .select((F.col("in_day") + F.col("carry")).alias("conc"))
+    )
+    return run.groupBy(F.col("conc").cast("long").alias("concurrency")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints")
+    )
+
+
+@query(
+    "value_theil_by_type",
+    oracle="""
+    WITH ux AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY event_type, user_id
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS DOUBLE) / count(*) AS mu
+        FROM ux GROUP BY event_type
+    )
+    SELECT u.event_type,
+           CAST(min(m.n_users) AS BIGINT) AS n_users,
+           round(sum((u.x / m.mu) * ln(u.x / m.mu)) / min(m.n_users), 6)
+               AS theil_t
+    FROM ux u JOIN m ON u.event_type = m.event_type
+    GROUP BY u.event_type
+    """,
+)
+def value_theil_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-user value concentration within
+    each event type — the information-theoretic inequality measure next
+    to the certified Gini (user_activity_gini counts events; this
+    weighs value, and Theil decomposes additively where Gini does not).
+    T = mean over users of (x/mu)·ln(x/mu), zero when value is spread
+    evenly, ln(n) when one user holds everything. Per-user sums fold as
+    exact integer micro-units; one fact-sized groupBy, then
+    type-cardinality math (broadcast of the 5-row mean table)."""
+    e = _load(spark, sf_dir, "events")
+    ux = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    m = ux.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    r = F.col("x") / F.col("mu")
+    return (
+        ux.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.sum(r * F.log(r)) / F.min("n_users"), 6
+            ).alias("theil_t"),
+        )
+    )
+
+
+@query(
+    "gap_tail_hill",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    tail AS (
+        SELECT event_type, CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_s
+        FROM seq WHERE gap_us > CAST(600 AS BIGINT) * 1000000
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           round(count(*) / sum(ln(gap_s / 600.0)), 6) AS hill_alpha
+    FROM tail GROUP BY event_type
+    """,
+)
+def gap_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the inter-event-gap tail exponent per event
+    type (threshold form: alpha = n / sum ln(gap/u) over gaps above
+    u=600 s) — the heavy-tail diagnostic that tells you whether arrival
+    gaps are Pareto-like (alpha small: bursts separated by enormous
+    silences — reservoir and timeout sizing must plan for it) or
+    light-tailed. Complements user_burstiness (a CV-style index) with an
+    actual tail-law fit. The tail filter is an exact integer-micros
+    comparison, so both engines select identical gap sets; only the log
+    fold is float. Lag window partitioned by (user, type) — scale-safe."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    tail = seq.where(F.col("gap_us") > 600 * 1_000_000).select(
+        "event_type",
+        (F.col("gap_us").cast("double") / 1_000_000.0).alias("gap_s"),
+    )
+    return tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.log(F.col("gap_s") / 600.0)), 6
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mobility transition information measures (reuses the pings synth layer)
+# ---------------------------------------------------------------------------
+
+
+def _pings_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-timestamp device positions (caid, ts, cell) —
+    the OD-matrix position collapse (min cell per (caid, ts))."""
+    from ..plans.mobility import with_cells
+    from .pings import _cell_expr, _pings
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    return p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+
+
+def _pings_prefix_sql() -> str:
+    from .pings import _PINGS_CTE, _cell_sql
+
+    return (
+        "WITH "
+        + _PINGS_CTE.strip().removeprefix("WITH").strip()
+        + f""",
+    pos AS MATERIALIZED (
+        SELECT caid, cdmx_datetime, min({_cell_sql()}) AS cell
+        FROM pings GROUP BY caid, cdmx_datetime
+    )"""
+    )
+
+
+def _transitions_sql() -> str:
+    return (
+        _pings_prefix_sql()
+        + """,
+    seq AS (
+        SELECT caid, cell,
+               lag(cell) OVER (
+                   PARTITION BY caid ORDER BY cdmx_datetime ASC
+               ) AS prev_cell
+        FROM pos
+    ),
+    trans AS (
+        SELECT prev_cell AS from_cell, cell AS to_cell,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+        GROUP BY from_cell, to_cell
+    )"""
+    )
+
+
+@query(
+    "cell_transition_pmi",
+    oracle=_transitions_sql()
+    + """,
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM trans),
+    fm AS (SELECT from_cell, CAST(sum(n) AS BIGINT) AS nf FROM trans GROUP BY from_cell),
+    tm AS (SELECT to_cell, CAST(sum(n) AS BIGINT) AS nt FROM trans GROUP BY to_cell)
+    SELECT t.from_cell, t.to_cell, t.n,
+           round(ln(CAST(t.n AS DOUBLE) * CAST(tot.n_all AS DOUBLE)
+                    / (CAST(fm.nf AS DOUBLE) * CAST(tm.nt AS DOUBLE))), 6)
+               AS pmi
+    FROM trans t
+    JOIN fm ON t.from_cell = fm.from_cell
+    JOIN tm ON t.to_cell = tm.to_cell
+    CROSS JOIN tot
+    WHERE t.n >= 1
+    ORDER BY pmi DESC, t.from_cell ASC, t.to_cell ASC
+    LIMIT 40
+    """,
+)
+def cell_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of directed cell transitions — which
+    trips are over-represented relative to independent origin/destination
+    popularity (the mobility analogue of the certified pmi_collocations
+    on text bigrams; raw counts alone just re-rank the busiest cells).
+    Built on the OD transition stream (device_od_matrix's deterministic
+    position collapse + caid-partitioned lag); marginals are
+    cell-cardinality aggregates joined back (broadcast-able), PMI is one
+    log per realized pair, and the top-40 orders on (rounded pmi DESC,
+    from, to) — a total order (support gate kept at n>=1 so the
+    smoke tier stays non-degenerate; raise it at scale)."""
+    pos = _pings_cells(spark, sf_dir)
+    w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
+    seq = pos.select(
+        "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
+    )
+    trans = (
+        seq.where(
+            F.col("prev_cell").isNotNull()
+            & (F.col("prev_cell") != F.col("cell"))
+        )
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"),
+            F.col("cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.agg(F.sum("n").cast("long").alias("n_all"))
+    fm = trans.groupBy("from_cell").agg(F.sum("n").cast("long").alias("nf"))
+    tm = trans.groupBy("to_cell").agg(F.sum("n").cast("long").alias("nt"))
+    return (
+        trans.where(F.col("n") >= 1)
+        .join(fm, "from_cell")
+        .join(tm, "to_cell")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "from_cell",
+            "to_cell",
+            "n",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("n_all").cast("double")
+                    / (F.col("nf").cast("double") * F.col("nt").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("from_cell"), F.asc("to_cell"))
+        .limit(40)
+    )
+
+
+@query(
+    "device_exploration_quantiles",
+    oracle=_pings_prefix_sql()
+    + """,
+    per_dev AS (
+        SELECT caid,
+               CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells
+        FROM pos GROUP BY caid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_devices,
+           round(quantile_cont(CAST(n_cells AS DOUBLE) / n_pos, 0.10), 6) AS p10,
+           round(quantile_cont(CAST(n_cells AS DOUBLE) / n_pos, 0.25), 6) AS p25,
+           round(quantile_cont(CAST(n_cells AS DOUBLE) / n_pos, 0.50), 6) AS p50,
+           round(quantile_cont(CAST(n_cells AS DOUBLE) / n_pos, 0.75), 6) AS p75,
+           round(quantile_cont(CAST(n_cells AS DOUBLE) / n_pos, 0.90), 6) AS p90
+    FROM per_dev
+    """,
+)
+def device_exploration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the device exploration ratio (distinct cells
+    visited / positions recorded): explorers near 1, returners near 0 —
+    the population-level mobility-diversity profile next to the
+    per-device entropy (device_mobility_entropy ranks devices; this
+    gives the cohort shape planners actually read). One device-keyed
+    aggregate (count + count distinct per caid — map-side combined),
+    then a 5-point interpolated quantile fold over the device summary."""
+    pos = _pings_cells(spark, sf_dir)
+    per_dev = pos.groupBy("caid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.countDistinct("cell").cast("long").alias("n_cells"),
+    )
+    ratio = (F.col("n_cells").cast("double") / F.col("n_pos")).alias("r")
+    rd = per_dev.select(ratio)
+    return rd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_devices"),
+        F.round(F.expr("percentile(r, 0.10)"), 6).alias("p10"),
+        F.round(F.expr("percentile(r, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(r, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(r, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(r, 0.90)"), 6).alias("p90"),
+    )
+
+
+@query(
+    "cell_peak_hour",
+    oracle=_pings_prefix_sql()
+    + """,
+    ch AS (
+        SELECT cell, EXTRACT(hour FROM cdmx_datetime) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pos GROUP BY cell, hr
+    ),
+    win AS (
+        SELECT cell, hr, n,
+               CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_total,
+               row_number() OVER (
+                   PARTITION BY cell ORDER BY n DESC, hr ASC
+               ) AS rn
+        FROM ch
+    )
+    SELECT cell,
+           CAST(hr AS BIGINT) AS peak_hour,
+           n AS n_peak,
+           n_total,
+           round(CAST(n AS DOUBLE) / n_total, 6) AS peak_share
+    FROM win WHERE rn = 1
+    ORDER BY n_total DESC, cell ASC
+    LIMIT 50
+    """,
+)
+def cell_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell peak hour-of-day with its traffic share — the
+    cell-capacity scheduling rollup (when does each hotspot actually
+    peak, and how peaked is it). The argmax is the engine's W4 winner
+    kernel PARTITIONED by cell (count DESC, hour ASC — total order);
+    the per-cell total rides the same partition as a window sum over the
+    24-row-per-cell summary, so there is exactly one (cell, hour)
+    aggregate shuffle and one cell-partitioned window; top-50 busiest
+    cells by (total DESC, cell ASC)."""
+    pos = _pings_cells(spark, sf_dir)
+    ch = pos.groupBy(
+        "cell", F.hour("cdmx_datetime").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_tot = Window.partitionBy("cell")
+    w_rank = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("hr"))
+    win = ch.select(
+        "cell",
+        "hr",
+        "n",
+        F.sum("n").over(w_tot).cast("long").alias("n_total"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    return (
+        win.where(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("hr").cast("long").alias("peak_hour"),
+            F.col("n").alias("n_peak"),
+            "n_total",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "peak_share"
+            ),
+        )
+        .orderBy(F.desc("n_total"), F.asc("cell"))
+        .limit(50)
+    )
