@@ -1085,3 +1085,506 @@ def cell_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), F.asc("cell"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus divergence / novelty measures
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_jsd_matrix",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, t
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    dist AS (
+        SELECT c.source, c.t, CAST(c.c AS DOUBLE) / t.n AS p
+        FROM cnt c JOIN tot t ON c.source = t.source
+    ),
+    pairterms AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               sum(a.p / 2 * ln(2 * a.p / (a.p + b.p))
+                   + b.p / 2 * ln(2 * b.p / (a.p + b.p))) AS shared_term,
+               sum(a.p) AS pa_shared,
+               sum(b.p) AS pb_shared
+        FROM dist a JOIN dist b ON a.t = b.t AND a.source < b.source
+        GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b,
+           round(shared_term
+                 + (1 - pa_shared) / 2 * ln(2)
+                 + (1 - pb_shared) / 2 * ln(2), 6) + 0.0 AS jsd
+    FROM pairterms
+    """,
+)
+def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the symmetric, bounded divergence matrix behind
+    source-mix curation (source_unigram_kl measures drift from the
+    corpus mean; JSD says which sources duplicate each other, feeding
+    down-weighting decisions). Closed over the shared-vocabulary join:
+    JSD(P,Q) = sum_shared[p/2 ln(2p/(p+q)) + q/2 ln(2q/(p+q))]
+    + (1-sum p_shared)/2 ln2 + (1-sum q_shared)/2 ln2 — the exclusive
+    mass enters in closed form, so one token-keyed inner self-join of
+    the per-source distributions (map-side combined counts, never a
+    vocab x sources² blow-up) is the whole plan."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    dist = cnt.join(tot, "source").select(
+        "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = dist.select(
+        F.col("source").alias("src_a"), F.col("t").alias("t"), F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("src_b"), F.col("t").alias("t"), F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    terms = a.join(b, "t").where(F.col("src_a") < F.col("src_b"))
+    pair = terms.groupBy("src_a", "src_b").agg(
+        F.sum(
+            pa / 2 * F.log(2 * pa / (pa + pb)) + pb / 2 * F.log(2 * pb / (pa + pb))
+        ).alias("shared_term"),
+        F.sum(pa).alias("pa_shared"),
+        F.sum(pb).alias("pb_shared"),
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return pair.select(
+        "src_a",
+        "src_b",
+        (
+            F.round(
+                F.col("shared_term")
+                + (1 - F.col("pa_shared")) / 2 * ln2
+                + (1 - F.col("pb_shared")) / 2 * ln2,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jsd"),
+    )
+
+
+@query(
+    "ttr_by_length_bucket",
+    oracle="""
+    WITH per_doc AS (
+        SELECT n_chars // 100 AS bucket,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    )
+    SELECT CAST(bucket AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_uniq AS DOUBLE) / n_tok), 6) AS avg_ttr
+    FROM per_doc GROUP BY bucket
+    """,
+)
+def ttr_by_length_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length bucket (100-char bands) —
+    the lexical-diversity-vs-length curve every corpus curator checks
+    before setting a TTR quality gate, because raw TTR collapses as
+    documents grow (Heaps' law) and an unconditioned threshold would
+    just delete long documents. Map-only per-doc token stats fused with
+    the scan (array size / distinct-array size — no explode), one
+    bucket-cardinality groupBy."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = d.select(
+        F.expr("n_chars div 100").alias("bucket"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return per_doc.groupBy(
+        F.col("bucket").cast("long").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.avg(F.col("n_uniq").cast("double") / F.col("n_tok")), 6
+        ).alias("avg_ttr"),
+    )
+
+
+@query(
+    "doc_positional_novelty",
+    oracle="""
+    WITH tp AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) + 1),
+                   i -> struct_pack(pos := i,
+                                    tok := string_split(text, ' ')[i]))) AS u,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, source, u.tok,
+               min(u.pos) AS min_pos, max(u.pos) AS max_pos,
+               min(n_tok) AS n_tok
+        FROM tp GROUP BY doc_id, source, u.tok
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               sum(CASE WHEN min_pos > n_tok // 2 THEN 1 ELSE 0 END) AS novel2,
+               sum(CASE WHEN max_pos > n_tok // 2 THEN 1 ELSE 0 END) AS in2
+        FROM per_tok GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(novel2 AS DOUBLE) / in2), 6) AS avg_novelty
+    FROM per_doc WHERE in2 > 0 GROUP BY source
+    """,
+)
+def doc_positional_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional novelty: of the distinct tokens appearing in a
+    document's second half, what fraction never appeared in the first
+    half — near 0 for repetitive/looping text (the doc_repetition
+    failure mode seen positionally), higher for documents that keep
+    introducing vocabulary. Averaged per source. One posexplode to
+    (doc, token) min/max positions (map-side combined), a doc-level
+    fold, a source-level fold — integer position arithmetic throughout,
+    the only float is the final ratio."""
+    d = _load(spark, sf_dir, "documents")
+    tp = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    per_tok = tp.groupBy("doc_id", "source", "tok").agg(
+        F.min(F.col("pos0") + 1).alias("min_pos"),
+        F.max(F.col("pos0") + 1).alias("max_pos"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    h = F.expr("n_tok div 2")
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum(F.when(F.col("min_pos") > h, 1).otherwise(0)).alias("novel2"),
+        F.sum(F.when(F.col("max_pos") > h, 1).otherwise(0)).alias("in2"),
+    )
+    return (
+        per_doc.where(F.col("in2") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("novel2").cast("double") / F.col("in2")), 6
+            ).alias("avg_novelty"),
+        )
+    )
+
+
+@query(
+    "daily_count_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY d
+    ),
+    cum AS (
+        SELECT d, c,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+               CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_c
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        FROM daily
+    ),
+    stats AS (
+        SELECT d,
+               CAST(cum_c AS DOUBLE) / k AS mean_before,
+               CAST(s - cum_c AS DOUBLE) / (n - k) AS mean_after,
+               round(abs(CAST(cum_c AS DOUBLE) / k
+                         - CAST(s - cum_c AS DOUBLE) / (n - k))
+                     * sqrt(CAST(k AS DOUBLE) * (n - k) / n), 6) AS t_stat
+        FROM cum CROSS JOIN tot
+        WHERE k < n
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS split_date,
+           t_stat,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after
+    FROM stats
+    ORDER BY t_stat DESC, d ASC
+    LIMIT 1
+    """,
+)
+def daily_count_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point scan over the daily event-count series (the
+    first step of binary segmentation): the split day maximizing the
+    CUSUM-style two-sample statistic |mean_left - mean_right| *
+    sqrt(k(n-k)/n) — locates a level shift, where the certified
+    value_cusum_range only detects that drift exists and
+    hourly_anomaly_zscore flags single points. The fact collapses to a
+    calendar-bounded daily series (one groupBy); the scan over split
+    candidates is a running-sum window over those ~30 rows (the
+    deliberately calendar-bounded unpartitioned window, the
+    peak-concurrency carry discipline); argmax picks on the ROUNDED
+    statistic with the date as tie-break — a total order."""
+    e = _load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("k"),
+        F.sum("c").over(w).cast("long").alias("cum_c"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(F.col("k") < F.col("n"))
+    mean_before = F.col("cum_c").cast("double") / F.col("k")
+    mean_after = (F.col("s") - F.col("cum_c")).cast("double") / (
+        F.col("n") - F.col("k")
+    )
+    t_stat = F.round(
+        F.abs(mean_before - mean_after)
+        * F.sqrt(
+            F.col("k").cast("double")
+            * (F.col("n") - F.col("k"))
+            / F.col("n")
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_date"),
+            t_stat.alias("t_stat"),
+            F.round(mean_before, 6).alias("mean_before"),
+            F.round(mean_after, 6).alias("mean_after"),
+            F.col("d").alias("__d"),
+        )
+        .orderBy(F.desc("t_stat"), F.asc("__d"))
+        .limit(1)
+        .drop("__d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN margin / probe-cost diagnostics
+# ---------------------------------------------------------------------------
+
+_A10_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_A10_NORM = f"sqrt({_A10_DOT})"
+_N_MARGIN_QUERIES = 50
+_N_PROBE_QUERIES = 32
+_A10_N_SEEDS = 8
+
+
+@query(
+    "knn_margin_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {_N_MARGIN_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round({_A10_DOT.format(a='e.embedding', b='q.qe')}
+                     / ({_A10_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_A10_NORM.format(a='q.qe', b='q.qe')}), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    top2 AS (
+        SELECT qid, cosine,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+               ) AS rn
+        FROM scored
+    ),
+    m AS (
+        SELECT qid,
+               max(CASE WHEN rn = 1 THEN cosine END)
+               - max(CASE WHEN rn = 2 THEN cosine END) AS margin
+        FROM top2 WHERE rn <= 2 GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(margin), 6) AS avg_margin,
+           round(min(margin), 6) AS min_margin,
+           round(max(margin), 6) AS max_margin
+    FROM m
+    """,
+)
+def knn_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 vs top-2 cosine margin over {_N_MARGIN_QUERIES} probe
+    queries — the nearest-neighbor STABILITY diagnostic: a thin margin
+    means rank-1 flips under quantization/recall loss, so ANN error
+    budgets (rp-lsh probe count, IVF nprobe) must be set tighter. Exact
+    brute-force arm, deliberately: this is the calibration oracle next
+    to the bucketed production paths (the mutual_knn audit discipline);
+    scores round to the 1e-6 grid before ranking so the margin set is
+    engine-identical."""
+    from ..operators.similarity import as_double, cosine
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_MARGIN_QUERIES).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    top2 = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 2
+    )
+    m = top2.groupBy("qid").agg(
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("cosine")))
+            - F.max(F.when(F.col("rn") == 2, F.col("cosine")))
+        ).alias("margin")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("margin"), 6).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.round(F.max("margin"), 6).alias("max_margin"),
+    )
+
+
+@query(
+    "ivf_probe_sweep",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS se
+        FROM embeddings WHERE vec_id < {_A10_N_SEEDS}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id,
+               round({_A10_DOT.format(a='e.embedding', b='s.se')}
+                     / ({_A10_NORM.format(a='e.embedding', b='e.embedding')}
+                        * {_A10_NORM.format(a='s.se', b='s.se')}), 6) AS cosine
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS sz
+        FROM assign GROUP BY centroid_id
+    ),
+    qrank AS (
+        SELECT vec_id AS qid, centroid_id,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+               ) AS rn
+        FROM scored WHERE vec_id < {_N_PROBE_QUERIES}
+    ),
+    joined AS (
+        SELECT q.qid, q.rn, s.sz
+        FROM qrank q JOIN sizes s ON q.centroid_id = s.centroid_id
+        WHERE q.rn <= 4
+    ),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
+    folded AS (
+        SELECT CAST(sum(CASE WHEN rn <= 1 THEN sz ELSE 0 END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN rn <= 2 THEN sz ELSE 0 END) AS BIGINT) AS t2,
+               CAST(sum(CASE WHEN rn <= 4 THEN sz ELSE 0 END) AS BIGINT) AS t4,
+               CAST(count(DISTINCT qid) AS BIGINT) AS nq
+        FROM joined
+    )
+    SELECT CAST(np AS BIGINT) AS nprobe,
+           CAST(CASE np WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t4 END AS BIGINT)
+               AS total_candidates,
+           round(CAST(CASE np WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t4 END
+                      AS DOUBLE) / nq, 6) AS avg_per_query,
+           round(CAST(CASE np WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t4 END
+                      AS DOUBLE) / (nq * n_vecs), 6) AS corpus_share
+    FROM folded CROSS JOIN corpus
+    CROSS JOIN (SELECT unnest([1, 2, 4]) AS np)
+    """,
+)
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-cost model: candidate volume at nprobe = 1/2/4 over
+    {_N_PROBE_QUERIES} probe queries — the scan-cost side of the
+    recall/cost trade-off (ivf_recall_audit measures the recall side;
+    together they choose nprobe). Seeds, assignment argmax, and rounding
+    all match the certified ivf_assignments exactly; cluster sizes join
+    the per-query centroid ranks (an 8-row broadcast), and the three
+    probe depths fold as conditional sums in one pass — the corpus is
+    scanned once for assignment and never again."""
+    from ..operators.similarity import as_double, cosine, ivf_assign
+
+    e = _load(spark, sf_dir, "embeddings")
+    seeds = e.where(F.col("vec_id") < _A10_N_SEEDS)
+    assign = ivf_assign(e, seeds, "vec_id", "embedding")
+    sizes = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    q = e.where(F.col("vec_id") < _N_PROBE_QUERIES).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    sd = seeds.select(
+        F.col("vec_id").alias("centroid_id"),
+        as_double(F.col("embedding")).alias("sv"),
+    )
+    qs = q.crossJoin(F.broadcast(sd)).select(
+        "qid",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("sv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("centroid_id")
+    )
+    qrank = qs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 4)
+    joined = qrank.join(F.broadcast(sizes), "centroid_id")
+    corpus = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    folded = joined.agg(
+        F.sum(F.when(F.col("rn") <= 1, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("t1"),
+        F.sum(F.when(F.col("rn") <= 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("t2"),
+        F.sum(F.when(F.col("rn") <= 4, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("t4"),
+        F.countDistinct("qid").cast("long").alias("nq"),
+    ).crossJoin(F.broadcast(corpus))
+    stacked = folded.select(
+        F.expr(
+            "stack(3, 1L, t1, 2L, t2, 4L, t4) AS (nprobe, total_candidates)"
+        ),
+        "nq",
+        "n_vecs",
+    )
+    return stacked.select(
+        "nprobe",
+        "total_candidates",
+        F.round(
+            F.col("total_candidates").cast("double") / F.col("nq"), 6
+        ).alias("avg_per_query"),
+        F.round(
+            F.col("total_candidates").cast("double")
+            / (F.col("nq") * F.col("n_vecs")),
+            6,
+        ).alias("corpus_share"),
+    )
