@@ -107,6 +107,20 @@ def _revenue_col() -> F.Column:
     return expr
 
 
+def _revenue_col_long() -> F.Column:
+    """Revenue term as a plain BIGINT — the codegen fast path (DECIMAL(38,0)
+    aggregation runs on Int128 off the whole-stage fast path and showed up
+    as the data/duck 1.6-1.7x residual on the Q3/Q10 rollups at the 10x
+    tier, PLANS.md r9 floor table). Per-row bound: cents <= ~1e9 * 1e4 bp
+    = 1e13, so a SUM only overflows past ~9e5 rows per group at the
+    largest realistic prices — safe wherever the group is an ORDER
+    (lines-per-order is bounded small) or a per-order partial rollup
+    (orders-per-customer ~10 at every TPC-H SF); the unbounded-group
+    aggregates (pricing_summary's flag-level sums, nation-level Q5/Q7)
+    keep the DECIMAL(38,0) form."""
+    return _cents("l_extendedprice") * (10000 - _bp("l_discount"))
+
+
 @query(
     "top_unshipped_orders",
     oracle=f"""
@@ -147,7 +161,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
     )
     per_order = li.groupBy("l_orderkey").agg(
-        (F.sum(_revenue_col()).cast("double") / 1000000.0).alias("revenue")
+        (F.sum(_revenue_col_long()).cast("double") / 1000000.0).alias("revenue")
     )
     building = o.join(c, o.o_custkey == c.c_custkey, "left_semi")
     return (
@@ -327,15 +341,30 @@ def supplier_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS decorrelated to a left_semi join on the fact
-    (reference J2 semi idiom at TPC-H scale), then grouped counts."""
+    """TPC-H Q4 shape: EXISTS over lineitem per order (reference J2 semi
+    idiom at TPC-H scale), then grouped counts.
+
+    Single-pass plan (r10: the old form joined orders twice — once to
+    derive late keys, once as a left_semi): EXISTS(l_shipdate >
+    o_orderdate + 90) is MAX(flag) per order because o_orderdate is
+    constant within the order, so one lineitem⋈orders-1997 join (the
+    year filter makes the orders side a broadcast at bench scale; at
+    100 TB it's one keyed shuffle), a per-(order, priority) max — whose
+    hash(o_orderkey) exchange Catalyst reuses from the join — and a
+    priority-cardinality rollup. Lineitem is touched once, orders once,
+    and the only wide exchange carries one flag-bit row per matched
+    line pre-combined to order cardinality."""
     o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
-    li = _t(spark, sf_dir, "lineitem")
-    late = li.join(o, li.l_orderkey == o.o_orderkey).where(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
-    ).select("l_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late_flag = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+    ).otherwise(0)
+    per_order = j.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.max(late_flag).alias("late")
+    )
     return (
-        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        per_order.where(F.col("late") == 1)
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -401,7 +430,7 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(_revenue_col()).alias("rev_part"),
+        F.sum(_revenue_col_long()).alias("rev_part"),
         F.count(F.lit(1)).alias("cnt_part"),
     )
     per_cust = (
