@@ -352,7 +352,10 @@ DEMOTED: tuple[str, ...] = (
     "scd2_version_histogram",
     "stream_hourly_event_counts",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
-    # is never spent on a guaranteed err:no_oracle row --
+    # is never spent on a guaranteed err:no_oracle row.
+    # bucket_counts_approx gained a bounded-error verdict oracle in r10
+    # (sweep-certified); it stays in the tail because the round-10 prefix
+    # is full — promote it at the next rotation if a slot frees up. --
     "bucket_counts_approx",
     "pca_explained_variance",
     "two_hop_reach_sketch_audit",
