@@ -54,3 +54,77 @@ class Benchmark:
         )
         df.write.mode("append").parquet(self.table_path)
         return False
+
+
+_MEM_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def parse_mem_bytes(s: str) -> int:
+    """Parse a Spark memory string ('8g', '512m', '4096') to bytes."""
+    s = s.strip().lower()
+    for suf, mult in _MEM_SUFFIX.items():
+        if s.endswith(suf + "b"):
+            return int(float(s[:-2]) * mult)
+        if s.endswith(suf):
+            return int(float(s[:-1]) * mult)
+    return int(float(s))
+
+
+def sketch_agg_partitions(
+    spark: SparkSession,
+    n_keys: int,
+    buffer_bytes: int = 32 * 1024,
+    safety: int = 4,
+    max_partitions: int = 32_768,
+) -> int:
+    """Shuffle width for a sketch-typed aggregation (HLL / theta / KLL
+    UPDATABLE buffers, NOT their compact serialized form), derived from
+    the actual heap instead of a constant — the SCALING.md r9 memory
+    rule turned into code.
+
+    A hash aggregate buffers one updatable sketch (~``buffer_bytes``)
+    per distinct key in the task's partition, so a task needs
+    ``n_keys / partitions * buffer_bytes`` bytes of aggregation space.
+    This solves for the partition count that keeps that under
+    (execution memory / concurrent tasks / safety): execution memory =
+    heap * spark.memory.fraction; heap = spark.executor.memory when
+    set, else the live JVM's Runtime.maxMemory() (local mode: the
+    driver heap IS the executor heap).
+
+    Raises with the knob named when even ``max_partitions`` cannot fit
+    the buffers — the explicit-degradation contract: a 100 TB job
+    should fail telling the operator to raise spark.executor.memory or
+    shrink lgConfigK, not OOM mid-shuffle.
+    """
+    conf_mem = None
+    try:
+        conf_mem = spark.conf.get("spark.executor.memory")
+    except Exception:
+        pass
+    if conf_mem:
+        heap = parse_mem_bytes(conf_mem)
+    else:
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    try:
+        fraction = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    except Exception:
+        fraction = 0.6
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    per_task = heap * fraction / cores / safety
+    if per_task <= buffer_bytes:
+        raise RuntimeError(
+            "sketch_agg_partitions: execution memory per task "
+            f"({per_task:.0f} B) cannot hold even one updatable sketch "
+            f"buffer ({buffer_bytes} B) — raise spark.executor.memory or "
+            "lower the sketch's lgConfigK"
+        )
+    need = int(-(-(n_keys * buffer_bytes) // per_task))  # ceil
+    width = max(cores * 2, need)
+    if width > max_partitions:
+        raise RuntimeError(
+            f"sketch_agg_partitions: {n_keys} keys x {buffer_bytes} B "
+            f"updatable buffers need {width} partitions at the current "
+            f"heap (> cap {max_partitions}) — raise spark.executor.memory "
+            "or lower the sketch's lgConfigK"
+        )
+    return width

@@ -963,15 +963,25 @@ def _two_hop_sketch_estimates(spark: SparkSession, sf_dir: str):
     sketch table is node-sized fixed-width blobs (broadcastable), and
     the per-u union runs as a partial-aggregating groupBy, so the
     exchange carries at most nodes x 4 KB whatever the edge count."""
+    from ..utils import sketch_agg_partitions
     from .mobility import _colocation_edge_list
 
     edges = _colocation_edge_list(spark, sf_dir)
-    p = spark.sparkContext.defaultParallelism
     # hash(u)-partition the adjacency ONCE, at checkpoint time: every
     # sketch aggregate below buffers the ~32 KB UPDATABLE sketch per
     # key, so a task must only ever see its own u's (an unpartitioned
     # partial agg held nodes x 32 KB per task and OOM'd an 8 GB heap at
-    # the 10x tier before this).
+    # the 10x tier before this). The width is DERIVED from the heap
+    # (utils.sketch_agg_partitions — the SCALING r9 memory rule as
+    # code): n_nodes x 32 KB of updatable buffers spread so each task's
+    # share fits its execution-memory slice; estimated node count comes
+    # from one HLL pass over the edge endpoints (exactness is
+    # irrelevant — only the buffer-budget order of magnitude matters).
+    n_nodes_row = edges.select(
+        F.approx_count_distinct("a_user_id", 0.05).alias("n")
+    ).head()
+    n_nodes = int(2 * (n_nodes_row["n"] if n_nodes_row else 1)) + 1
+    width = sketch_agg_partitions(spark, n_nodes)
     adj = (
         edges.select(
             F.col("a_user_id").alias("u"), F.col("b_user_id").alias("v")
@@ -981,7 +991,7 @@ def _two_hop_sketch_estimates(spark: SparkSession, sf_dir: str):
                 F.col("b_user_id").alias("u"), F.col("a_user_id").alias("v")
             )
         )
-        .repartition(p * 2, "u")
+        .repartition(width, "u")
         .localCheckpoint(eager=False)
     )
     sk1 = adj.groupBy("u").agg(
