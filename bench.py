@@ -58,8 +58,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "label_centroids",
     "doc_token_stats",
-    # approx variant (no oracle: HLL is engine-specific) — measured to show
-    # the one-pass agg vs bucket_counts' exact two-phase distinct
+    # approx variant (bounded-error verdict oracle since r10) — measured to
+    # show the one-pass agg vs bucket_counts' exact two-phase distinct
     "bucket_counts_approx",
     # round-4 additions: map-only language ID, two-shuffle TF-IDF + window
     # limit, dual-role dimension join
@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     # and the IN-over-grouped-HAVING semi-join rewrite
     "nation_market_share",
     "large_volume_customers",
+    # round-10 additions: the distributed global-rank kernel at fact
+    # cardinality and the token-keyed distribution self-join
+    "order_price_rank_deciles",
+    "source_jsd_matrix",
 ]
 
 

@@ -64,14 +64,18 @@ def global_row_number(
     and no SinglePartition exchange over unbounded input — the fix named
     in VERDICT r9 "What's wrong" §1.
     """
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
     order = [F.col(c) for c in order_cols]
+    # Width: an explicit num_partitions pins the range shuffle (and is
+    # exempt from AQE coalescing); the default leaves it to
+    # spark.sql.shuffle.partitions WITH AQE free to coalesce small
+    # outputs — correctness is placement-independent because the offsets
+    # below are computed from whatever partitions actually materialize.
+    if num_partitions is not None:
+        parted = df.repartitionByRange(num_partitions, *order)
+    else:
+        parted = df.repartitionByRange(*order)
     base = (
-        df.repartitionByRange(num_partitions, *order)
-        .withColumn("__pid", F.spark_partition_id())
+        parted.withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     counts = (
