@@ -951,6 +951,10 @@ def cell_transition_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("to_cell"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # referenced by tot/fm/tm AND the final join — without this the
+        # md5 ping derivation + lag window re-execute 4x (plan_audit
+        # lead; the repo's checkpoint-on-reuse rule)
+        .localCheckpoint(eager=False)
     )
     tot = trans.agg(F.sum("n").cast("long").alias("n_all"))
     fm = trans.groupBy("from_cell").agg(F.sum("n").cast("long").alias("nf"))
@@ -1142,7 +1146,9 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     dist = cnt.join(tot, "source").select(
         "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
-    )
+    # both sides of the pair self-join read this frame — checkpoint so
+    # the tokenize+count subtree runs once (plan_audit lead)
+    ).localCheckpoint(eager=False)
     a = dist.select(
         F.col("source").alias("src_a"), F.col("t").alias("t"), F.col("p").alias("pa")
     )
