@@ -393,7 +393,19 @@ DEMOTED: tuple[str, ...] = (
 # "driver-green round 10" comment; (2) move any never-certified leftovers
 # out of this tuple so they float into the round-11 prefix; (3) run
 # tools/check_rotation.py — it must print PASS.
-DEFERRED: tuple[str, ...] = ()
+DEFERRED: tuple[str, ...] = (
+    # round-11 registrations (workload/analytics11.py): sweep-verified
+    # this round, they float into the round-11 prefix at the next
+    # rotation.
+    "value_psi_halves",
+    "order_priority_markov",
+    "customer_order_burstiness",
+    "supplier_part_gini",
+    "doc_simpson_diversity",
+    "embedding_dim0_anova",
+    "quantity_uniformity_chi2",
+    "home_work_separation",
+)
 
 
 def load_all() -> None:
@@ -416,6 +428,9 @@ def load_all() -> None:
     # analytics10 after analytics9: round-10 registrations fill the prefix
     # slots left after the 27 never-certified round-9 names.
     from . import analytics10  # noqa: F401
+    # analytics11 last: every query it registers is in DEFERRED (round-11
+    # candidates, sweep-verified now).
+    from . import analytics11  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:

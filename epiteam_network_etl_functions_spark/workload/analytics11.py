@@ -1,0 +1,587 @@
+"""Round-11 analytics (registered into the DEFERRED tier this round:
+sweep-verified now, they float into the round-11 driver prefix).
+
+Families: distribution-drift monitoring (PSI), categorical sequence
+structure on orders, per-customer cadence burstiness, supply-base
+concentration, corpus diversity (Simpson), embedding-coordinate ANOVA,
+uniformity goodness-of-fit, and the home/work separation mobility
+product.
+
+IMPORT ORDER CONTRACT: imported LAST by ``workload.load_all``; every
+name here is listed in ``workload.DEFERRED`` so nothing can evict a
+round-10 query from the driver prefix (the rotation invariant
+tools/check_rotation.py enforces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from ..session import prep
+from . import query
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, table)
+
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 50  # value in [0, ~500): 10 fixed 50-wide buckets
+
+
+@query(
+    "value_psi_halves",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               least(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                     {_PSI_BUCKETS - 1}) AS bucket
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, half, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM b GROUP BY event_type, half, bucket
+    ),
+    tot AS (
+        SELECT event_type, half, CAST(sum(c) AS BIGINT) AS n
+        FROM cnt GROUP BY event_type, half
+    ),
+    grid AS (
+        SELECT t1.event_type, g.bucket,
+               coalesce(c1.c, 0) AS c1, t1.n AS n1,
+               coalesce(c2.c, 0) AS c2, t2.n AS n2
+        FROM (SELECT event_type, n FROM tot WHERE half = 1) t1
+        JOIN (SELECT event_type, n FROM tot WHERE half = 2) t2
+          ON t1.event_type = t2.event_type
+        CROSS JOIN (SELECT unnest(range({_PSI_BUCKETS})) AS bucket) g
+        LEFT JOIN cnt c1 ON c1.event_type = t1.event_type
+                        AND c1.half = 1 AND c1.bucket = g.bucket
+        LEFT JOIN cnt c2 ON c2.event_type = t1.event_type
+                        AND c2.half = 2 AND c2.bucket = g.bucket
+    )
+    SELECT event_type,
+           CAST(min(n1) AS BIGINT) AS n_first_half,
+           CAST(min(n2) AS BIGINT) AS n_second_half,
+           round(sum(
+               (CAST(c2 + 1 AS DOUBLE) / (n2 + {_PSI_BUCKETS})
+                - CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BUCKETS}))
+               * ln((CAST(c2 + 1 AS DOUBLE) / (n2 + {_PSI_BUCKETS}))
+                    / (CAST(c1 + 1 AS DOUBLE) / (n1 + {_PSI_BUCKETS})))
+           ), 6) + 0.0 AS psi
+    FROM grid GROUP BY event_type
+    """,
+)
+def value_psi_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution between the
+    first and second half of the month, per event type — the standard
+    drift monitor a training-data pipeline runs between ingestion
+    batches (PSI < 0.1 stable, > 0.25 action). Fixed-width buckets (no
+    data-dependent quantile edges — bucket membership is exact integer
+    arithmetic on both engines) with add-one smoothing so empty cells
+    contribute finitely. One fact pass to (type, half, bucket) counts;
+    everything after is a constant 5x2x10 grid."""
+    e = _load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        F.least(
+            (F.col("value") / _PSI_WIDTH).cast("long"),
+            F.lit(_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("event_type", "half").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    t1 = tot.where(F.col("half") == 1).select("event_type", F.col("n").alias("n1"))
+    t2 = tot.where(F.col("half") == 2).select("event_type", F.col("n").alias("n2"))
+    buckets = spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    c1 = cnt.where(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    c2 = cnt.where(F.col("half") == 2).select(
+        "event_type", "bucket", F.col("c").alias("c2")
+    )
+    grid = (
+        t1.join(t2, "event_type")
+        .crossJoin(F.broadcast(buckets))
+        .join(c1, ["event_type", "bucket"], "left")
+        .join(c2, ["event_type", "bucket"], "left")
+        .fillna(0, ["c1", "c2"])
+    )
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + _PSI_BUCKETS)
+    p2 = (F.col("c2") + 1).cast("double") / (F.col("n2") + _PSI_BUCKETS)
+    return grid.groupBy("event_type").agg(
+        F.min("n1").cast("long").alias("n_first_half"),
+        F.min("n2").cast("long").alias("n_second_half"),
+        (F.round(F.sum((p2 - p1) * F.log(p2 / p1)), 6) + F.lit(0.0)).alias(
+            "psi"
+        ),
+    )
+
+
+@query(
+    "order_priority_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT o_orderpriority AS cur,
+               lag(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    ),
+    trans AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    rowtot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS rn FROM trans GROUP BY prev)
+    SELECT t.prev AS prev_priority, t.cur AS next_priority, t.n,
+           round(CAST(t.n AS DOUBLE) / r.rn, 6) AS prob
+    FROM trans t JOIN rowtot r ON t.prev = r.prev
+    """,
+)
+def order_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of a customer's consecutive
+    order priorities — do urgent orders beget urgent orders, or is
+    priority memoryless? (The orders-side sibling of the certified
+    events markov_transition_probs; independence would make every row of
+    the matrix equal the priority marginals.) Customer-partitioned lag
+    (scale-safe), one 25-cell count, row-normalized."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowtot = trans.groupBy("prev").agg(F.sum("n").cast("long").alias("rn"))
+    return trans.join(rowtot, "prev").select(
+        F.col("prev").alias("prev_priority"),
+        F.col("cur").alias("next_priority"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("rn"), 6).alias("prob"),
+    )
+
+
+@query(
+    "customer_order_burstiness",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS g
+        FROM seq WHERE prev IS NOT NULL
+    ),
+    per_c AS (
+        SELECT o_custkey,
+               avg(g) AS mu, stddev_samp(g) AS sigma
+        FROM gaps GROUP BY o_custkey HAVING count(*) >= 2
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg((p.sigma - p.mu) / (p.sigma + p.mu)), 6) + 0.0
+               AS avg_burstiness
+    FROM per_c p JOIN customer c ON p.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customer_order_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (sigma - mu)/(sigma + mu) of each
+    customer's inter-order gaps, averaged by segment: B < 0 regular
+    subscription-like cadence, B ~ 0 Poisson, B > 0 bursty — the
+    per-entity cadence diagnostic where reorder_latency_by_segment only
+    reports central tendency. Gaps are exact integer days; the customer
+    window is partitioned (scale-safe); customers need >= 2 gaps for a
+    defined sample sigma (the Welch-test gate discipline)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev"),
+    )
+    gaps = seq.where(F.col("prev").isNotNull()).select(
+        "o_custkey",
+        F.datediff("o_orderdate", "prev").cast("long").alias("g"),
+    )
+    per_c = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.avg("g").alias("mu"),
+            F.stddev_samp("g").alias("sigma"),
+        )
+        .where(F.col("ng") >= 2)
+    )
+    b = (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu"))
+    return (
+        per_c.join(F.broadcast(c), per_c.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.round(F.avg(b), 6) + F.lit(0.0)).alias("avg_burstiness"),
+        )
+    )
+
+
+@query(
+    "supplier_part_gini",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT n_parts,
+               row_number() OVER (ORDER BY n_parts ASC, l_suppkey ASC) AS i
+        FROM sp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(n_parts) AS BIGINT) AS total_assignments,
+           round((2.0 * sum(i * n_parts)
+                  - (count(*) + 1.0) * sum(n_parts))
+                 / (count(*) * sum(n_parts)), 6) + 0.0 AS gini
+    FROM ranked
+    """,
+)
+def supplier_part_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of catalog breadth across suppliers (distinct
+    parts each supplier actually shipped) — the supply-base
+    concentration scorecard next to supplier_herfindahl (which weighs
+    revenue; this weighs assortment). Same exact-integer rank formula
+    as the certified colocation_degree_gini, over the supplier-sized
+    summary (the global rank window is dim-bounded by construction)."""
+    li = _load(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts")
+    )
+    w = Window.orderBy(F.asc("n_parts"), F.asc("l_suppkey"))
+    ranked = sp.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_suppliers"),
+        F.sum("n_parts").cast("long").alias("total_assignments"),
+        (
+            F.round(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("n_parts"))
+                    - (n + 1.0) * F.sum("n_parts")
+                )
+                / (n * F.sum("n_parts")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+@query(
+    "doc_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, t
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source)
+    SELECT c.source,
+           CAST(min(t.n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(sum((CAST(c.c AS DOUBLE) / t.n) * (CAST(c.c AS DOUBLE) / t.n)),
+                 6) AS simpson,
+           round(1.0 / sum((CAST(c.c AS DOUBLE) / t.n)
+                           * (CAST(c.c AS DOUBLE) / t.n)), 6)
+               AS effective_vocab
+    FROM cnt c JOIN tot t ON c.source = t.source
+    GROUP BY c.source
+    """,
+)
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration (sum p²) and its inverse (effective
+    vocabulary size) per source — the collision-probability diversity
+    measure next to entropy (doc_char_entropy) and Heaps' growth
+    (source_heaps_law): 1/sum p² is how many equally-common words the
+    source behaves as having, the corpus analogue of Herfindahl's
+    effective-competitor count. Map-side combined unigram counts, one
+    source-keyed fold; p = c/N is a ratio of exact integers so both
+    engines square identical doubles."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.min("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(F.sum(p * p), 6).alias("simpson"),
+            F.round(1.0 / F.sum(p * p), 6).alias("effective_vocab"),
+        )
+    )
+
+
+_A11_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "embedding_dim0_anova",
+    oracle="""
+    WITH norms AS (
+        SELECT label, round(CAST(embedding[1] AS DOUBLE), 6) AS x
+        FROM embeddings
+    ),
+    g AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_g, avg(x) AS m_g
+        FROM norms GROUP BY label
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS m FROM norms),
+    ssb AS (
+        SELECT sum(n_g * (m_g - t.m) * (m_g - t.m)) AS ss_between,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g CROSS JOIN tot t
+    ),
+    ssw AS (
+        SELECT sum((x - g.m_g) * (x - g.m_g)) AS ss_within
+        FROM norms nr JOIN g ON nr.label = g.label
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_vectors,
+           CAST(b.k - 1 AS BIGINT) AS dof_between,
+           CAST(t.n - b.k AS BIGINT) AS dof_within,
+           round((b.ss_between / (b.k - 1))
+                 / (w.ss_within / (t.n - b.k)), 6) AS f_statistic
+    FROM ssb b CROSS JOIN ssw w CROSS JOIN tot t
+    """,
+)
+def embedding_dim0_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of the embedding's FIRST coordinate across
+    labels — is class information linearly readable off a single
+    dimension (the per-coordinate view of what label_cosine_separation
+    measures in aggregate, and the significance test behind
+    embedding_dim_variance's ranking). The L2 norm would be the classic
+    magnitude-leak test, but this corpus is unit-normalized (all norms
+    exactly 1 — ss_within = 0, F undefined), which is itself a verified
+    property (test_round11). Coordinates are rounded to the 1e-6 grid
+    FIRST (the certified embedding_norms discipline), so both engines
+    fold identical doubles into the moment sums; one pass for the
+    coordinate, label-sized moment tables after."""
+    e = _load(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "label",
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x"),
+    )
+    g = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.avg("x").alias("m_g"),
+    )
+    tot = norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("x").alias("m")
+    )
+    ssb = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_g")
+                * (F.col("m_g") - F.col("m"))
+                * (F.col("m_g") - F.col("m"))
+            ).alias("ss_between"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    ssw = (
+        norms.join(F.broadcast(g), "label")
+        .agg(
+            F.sum(
+                (F.col("x") - F.col("m_g")) * (F.col("x") - F.col("m_g"))
+            ).alias("ss_within")
+        )
+    )
+    return (
+        ssb.crossJoin(ssw)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            (F.col("k") - 1).cast("long").alias("dof_between"),
+            (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+            F.round(
+                (F.col("ss_between") / (F.col("k") - 1))
+                / (F.col("ss_within") / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("f_statistic"),
+        )
+    )
+
+
+@query(
+    "quantity_uniformity_chi2",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY q
+    ),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+        FROM obs
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_lines,
+           CAST(t.k - 1 AS BIGINT) AS dof,
+           round(sum((o - CAST(t.n AS DOUBLE) / t.k)
+                     * (o - CAST(t.n AS DOUBLE) / t.k)
+                     / (CAST(t.n AS DOUBLE) / t.k)), 6) AS chi2
+    FROM obs CROSS JOIN tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def quantity_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit of the order-quantity distribution
+    against uniform over its realized support — the data-generator
+    sanity check (synthetic pipelines are supposed to draw quantity
+    uniformly; a skew here means the generator or an upstream filter
+    drifted). Complements mktsegment_nation_chi2 (independence) with
+    the one-sample GoF form. One 50-row observed table; every count is
+    an exact integer and the expected value n/k is the only float."""
+    li = _load(spark, sf_dir, "lineitem")
+    obs = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    exp = F.col("n").cast("double") / F.col("k")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            F.round(
+                F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6
+            ).alias("chi2")
+        )
+        .select(
+            F.col("n").cast("long").alias("n_lines"),
+            (F.col("k") - 1).cast("long").alias("dof"),
+            "chi2",
+        )
+    )
+
+
+@query(
+    "home_work_separation",
+    oracle=None,  # installed below (needs the pings CTE from workload.pings)
+)
+def home_work_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance between each device's NIGHT anchor cell (hour >= 22 or
+    < 6 — the reference's home-inference window, P7) and its WORKDAY
+    anchor cell (9 <= hour < 17), as a Chebyshev-grid-distance
+    histogram — the commute-separation product the reference's home
+    pipeline stops one step short of. Anchors are the W4 winner kernel
+    per (device, regime) (count DESC, cell ASC — total order); the
+    grid distance parses the square-cell ids to integer coordinates
+    (hexgrid F3's metric on the fallback lattice); devices need both
+    anchors (inner join at device cardinality). Distances cap at 10 for
+    a bounded histogram."""
+    from ..operators.winners import top1_per_key
+    from .pings import _cell_expr, _pings
+    from ..plans.mobility import with_cells
+
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    hr = F.hour("cdmx_datetime")
+    night = p.where((hr >= 22) | (hr < 6))
+    work = p.where((hr >= 9) & (hr < 17))
+
+    def anchor(df: DataFrame, name: str) -> DataFrame:
+        counts = df.groupBy("caid", "cell").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        won = top1_per_key(
+            counts, ["caid"], [F.desc("n"), F.asc("cell")]
+        )
+        return won.select("caid", F.col("cell").alias(name))
+
+    j = anchor(night, "home_cell").join(anchor(work, "work_cell"), "caid")
+    hx = F.split("home_cell", ":")
+    wx = F.split("work_cell", ":")
+    cheb = F.greatest(
+        F.abs(hx[1].cast("long") - wx[1].cast("long")),
+        F.abs(hx[2].cast("long") - wx[2].cast("long")),
+    )
+    return (
+        j.select(F.least(cheb, F.lit(10)).cast("long").alias("grid_distance"))
+        .groupBy("grid_distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_devices"))
+    )
+
+
+def _install_home_work_oracle() -> None:
+    from . import ORACLES
+    from .pings import _PINGS_CTE, _cell_sql
+
+    ORACLES["home_work_separation"] = f"""
+    WITH {_PINGS_CTE.strip().removeprefix('WITH').strip()},
+    pc AS (
+        SELECT caid, {_cell_sql()} AS cell,
+               EXTRACT(hour FROM cdmx_datetime) AS hr
+        FROM pings
+    ),
+    night AS (
+        SELECT caid, cell, count(*) AS n FROM pc
+        WHERE hr >= 22 OR hr < 6 GROUP BY caid, cell
+    ),
+    work AS (
+        SELECT caid, cell, count(*) AS n FROM pc
+        WHERE hr >= 9 AND hr < 17 GROUP BY caid, cell
+    ),
+    home_w AS (
+        SELECT caid, cell AS home_cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY n DESC, cell ASC
+            ) AS rn FROM night
+        ) WHERE rn = 1
+    ),
+    work_w AS (
+        SELECT caid, cell AS work_cell FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY caid ORDER BY n DESC, cell ASC
+            ) AS rn FROM work
+        ) WHERE rn = 1
+    ),
+    j AS (
+        SELECT h.caid,
+               string_split(h.home_cell, ':') AS hp,
+               string_split(w.work_cell, ':') AS wp
+        FROM home_w h JOIN work_w w ON h.caid = w.caid
+    )
+    SELECT CAST(least(greatest(
+               abs(CAST(hp[2] AS BIGINT) - CAST(wp[2] AS BIGINT)),
+               abs(CAST(hp[3] AS BIGINT) - CAST(wp[3] AS BIGINT))
+           ), 10) AS BIGINT) AS grid_distance,
+           CAST(count(*) AS BIGINT) AS n_devices
+    FROM j GROUP BY grid_distance
+    """
+
+
+_install_home_work_oracle()
