@@ -1448,9 +1448,14 @@ def knn_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < _N_MARGIN_QUERIES).select(
         F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
     )
+    # crossJoin output partitioning = the streamed side's FILE partitions
+    # (one parquet file -> one task scoring every pair); spread the
+    # corpus first so the interpreted cosine fold parallelizes (the
+    # repo's BNLJ-width rule, PLANS.md r9; 2.4 s -> sub-second at the
+    # 10x tier).
     c = e.select(
         F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cv")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cid") != F.col("qid"))
