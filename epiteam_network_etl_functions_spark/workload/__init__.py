@@ -405,6 +405,7 @@ DEFERRED: tuple[str, ...] = (
     "embedding_dim0_anova",
     "quantity_uniformity_chi2",
     "home_work_separation",
+    "stream_sliding_hour_value",
 )
 
 

@@ -585,3 +585,81 @@ def _install_home_work_oracle() -> None:
 
 
 _install_home_work_oracle()
+
+
+_A11_STREAM_COUNTER = [0]
+
+
+@query(
+    "stream_sliding_hour_value",
+    oracle="""
+    WITH contrib AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
+               CAST(round(value * 100) AS BIGINT)
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM contrib GROUP BY ws, event_type
+    """,
+)
+def stream_sliding_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING with a SLIDING window (2 h length, 1 h
+    slide) — the overlapping-window operator the streaming family did
+    not yet certify (tumbling agg, stream-stream join, dedup, and
+    stateful sessions are; sliding exercises the one-event-to-many-
+    windows state path). Epoch-anchored window(ts, '2 hours', '1 hour')
+    assigns each event to exactly the two hourly starts
+    {trunc(ts), trunc(ts) - 1h}, which is what the oracle's UNION ALL
+    states in batch SQL — so once the availableNow stream drains, the
+    state machine must reproduce the batch rollup bit-for-bit (exact
+    integer cents, no float order dependence). Complete mode into a
+    memory sink is legitimate because the result is calendar x type
+    bounded; production swaps update mode + watermark eviction
+    (streaming/windows.py)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    e = _load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_stream_sliding_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    e.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    _A11_STREAM_COUNTER[0] += 1
+    name = f"graft_stream_sliding_{os.getpid()}_{_A11_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
