@@ -406,6 +406,9 @@ DEFERRED: tuple[str, ...] = (
     "quantity_uniformity_chi2",
     "home_work_separation",
     "stream_sliding_hour_value",
+    "sim_measure_rank_corr",
+    "od_gravity_fit",
+    "cosine_l2_rank_agreement",
 )
 
 

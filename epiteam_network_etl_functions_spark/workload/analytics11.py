@@ -663,3 +663,387 @@ def stream_sliding_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("value_cents").cast("bigint").alias("value_cents"),
     )
+
+
+@query(
+    "sim_measure_rank_corr",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, t
+    ),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    dist AS (
+        SELECT c.source, c.t, CAST(c.c AS DOUBLE) / t.n AS p
+        FROM cnt c JOIN tot t ON c.source = t.source
+    ),
+    vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY source),
+    pair AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS inter,
+               sum(a.p / 2 * ln(2 * a.p / (a.p + b.p))
+                   + b.p / 2 * ln(2 * b.p / (a.p + b.p))) AS shared_term,
+               sum(a.p) AS pa, sum(b.p) AS pb
+        FROM dist a JOIN dist b ON a.t = b.t AND a.source < b.source
+        GROUP BY src_a, src_b
+    ),
+    m AS (
+        SELECT p.src_a, p.src_b,
+               round(p.shared_term + (1 - p.pa) / 2 * ln(2)
+                     + (1 - p.pb) / 2 * ln(2), 6) + 0.0 AS jsd,
+               round(CAST(p.inter AS DOUBLE)
+                     / (va.v + vb.v - p.inter), 6) AS jac
+        FROM pair p
+        JOIN vocab va ON va.source = p.src_a
+        JOIN vocab vb ON vb.source = p.src_b
+    ),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY jsd, src_a, src_b) AS BIGINT)
+                   AS r_jsd,
+               CAST(row_number() OVER (ORDER BY -jac, src_a, src_b) AS BIGINT)
+                   AS r_jac
+        FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(1.0 - 6.0 * CAST(sum((r_jsd - r_jac) * (r_jsd - r_jac))
+                                  AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE)
+                    * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                       - 1.0)), 6) AS spearman_rho
+    FROM ranked
+    """,
+)
+def sim_measure_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank agreement between the two source-similarity
+    measures the engine ships — probabilistic (pairwise JSD, low =
+    similar) and set-based (vocabulary Jaccard, high = similar) — the
+    measure-consistency audit (the lsh_ppjoin_consistency discipline
+    applied to divergence metrics): strong agreement means the cheap
+    Jaccard can pre-filter for the expensive JSD at scale. One
+    token-keyed distribution self-join computes BOTH measures (count
+    for Jaccard, p-weighted terms for JSD — no second pass); ranks over
+    the 190-pair summary use the integer-permutation Spearman closed
+    form (balance_spend_spearman's discipline; the rank windows are
+    pair-cardinality, constant in data size)."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    dist = cnt.join(tot, "source").select(
+        "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
+    ).localCheckpoint(eager=False)
+    a = dist.select(
+        F.col("source").alias("src_a"), "t", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("src_b"), "t", F.col("p").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    pair = (
+        a.join(b, "t")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("inter"),
+            F.sum(
+                pa / 2 * F.log(2 * pa / (pa + pb))
+                + pb / 2 * F.log(2 * pb / (pa + pb))
+            ).alias("shared_term"),
+            F.sum(pa).alias("pa_s"),
+            F.sum(pb).alias("pb_s"),
+        )
+    )
+    import math
+
+    ln2 = math.log(2.0)
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    m = (
+        pair.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.round(
+                    F.col("shared_term")
+                    + (1 - F.col("pa_s")) / 2 * ln2
+                    + (1 - F.col("pb_s")) / 2 * ln2,
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jsd"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("inter")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    ranked = m.select(
+        F.row_number()
+        .over(Window.orderBy("jsd", "src_a", "src_b"))
+        .cast("long")
+        .alias("r_jsd"),
+        F.row_number()
+        .over(Window.orderBy(F.col("jac").desc(), "src_a", "src_b"))
+        .cast("long")
+        .alias("r_jac"),
+    )
+    d2 = (F.col("r_jsd") - F.col("r_jac")) * (F.col("r_jsd") - F.col("r_jac"))
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0) * F.sum(d2).cast("double") / (n * (n * n - 1.0)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "od_gravity_fit",
+    oracle=None,  # installed below (needs the pings CTE from workload.pings)
+)
+def od_gravity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model fit of the OD matrix: OLS slope/intercept/R² of
+    ln(trips_ij) on ln(outflow_i x inflow_j) — the classic spatial-
+    interaction law (trips ~ (mass_i x mass_j)^beta), and the model
+    audit the raw device_od_matrix product feeds at 100 TB (a bad fit
+    flags structurally-coupled cells the certified transition-PMI then
+    localizes). Same deterministic transition stream as
+    device_od_matrix; marginals join back cell-keyed; the regression is
+    the closed-form moment fold (part_size_price_regression's shape) —
+    all counts exact integers, the only floats are the two logs and
+    the final moments."""
+    from .analytics10 import _pings_cells
+
+    pos = _pings_cells(spark, sf_dir)
+    w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
+    seq = pos.select(
+        "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
+    )
+    trans = (
+        seq.where(
+            F.col("prev_cell").isNotNull()
+            & (F.col("prev_cell") != F.col("cell"))
+        )
+        .groupBy(
+            F.col("prev_cell").alias("from_cell"),
+            F.col("cell").alias("to_cell"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    fm = trans.groupBy("from_cell").agg(F.sum("n").cast("long").alias("nf"))
+    tm = trans.groupBy("to_cell").agg(F.sum("n").cast("long").alias("nt"))
+    j = trans.join(fm, "from_cell").join(tm, "to_cell")
+    x = F.log(F.col("nf").cast("double") * F.col("nt").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    nn = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxx, sxy, syy = F.sum(x * x), F.sum(x * y), F.sum(y * y)
+    # degenerate-input guard on EXACT INTEGER distinct counts (a float
+    # variance==0 test would be summation-order dependent): a defined
+    # fit needs >= 2 distinct masses AND >= 2 distinct trip counts —
+    # tiny SFs where every OD pair has n=1 report a zero fit instead of
+    # dividing by a zero variance.
+    defined = (
+        F.countDistinct(F.col("nf") * F.col("nt")) >= 2
+    ) & (F.countDistinct(F.col("n")) >= 2)
+    slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nn
+    r2 = (
+        (nn * sxy - sx * sy)
+        * (nn * sxy - sx * sy)
+        / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    )
+    zero = F.lit(0.0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_od_pairs"),
+        (F.round(F.when(defined, slope).otherwise(zero), 6) + zero).alias(
+            "beta"
+        ),
+        (F.round(F.when(defined, intercept).otherwise(zero), 6) + zero).alias(
+            "intercept"
+        ),
+        F.round(F.when(defined, r2).otherwise(zero), 6).alias("r2"),
+    )
+
+
+def _install_od_gravity_oracle() -> None:
+    from . import ORACLES
+    from .pings import _PINGS_CTE, _cell_sql
+
+    ORACLES["od_gravity_fit"] = f"""
+    WITH {_PINGS_CTE.strip().removeprefix('WITH').strip()},
+    pos AS MATERIALIZED (
+        SELECT caid, cdmx_datetime, min({_cell_sql()}) AS cell
+        FROM pings GROUP BY caid, cdmx_datetime
+    ),
+    seq AS (
+        SELECT caid, cell,
+               lag(cell) OVER (
+                   PARTITION BY caid ORDER BY cdmx_datetime ASC
+               ) AS prev_cell
+        FROM pos
+    ),
+    trans AS (
+        SELECT prev_cell AS from_cell, cell AS to_cell,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE prev_cell IS NOT NULL AND prev_cell <> cell
+        GROUP BY from_cell, to_cell
+    ),
+    fm AS (SELECT from_cell, CAST(sum(n) AS BIGINT) AS nf FROM trans GROUP BY from_cell),
+    tm AS (SELECT to_cell, CAST(sum(n) AS BIGINT) AS nt FROM trans GROUP BY to_cell),
+    pts AS (
+        SELECT ln(CAST(t.n AS DOUBLE)) AS y,
+               ln(CAST(fm.nf AS DOUBLE) * CAST(tm.nt AS DOUBLE)) AS x,
+               fm.nf * tm.nt AS xm,
+               t.n AS nn
+        FROM trans t
+        JOIN fm ON t.from_cell = fm.from_cell
+        JOIN tm ON t.to_cell = tm.to_cell
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_od_pairs,
+           round(CASE WHEN count(DISTINCT xm) >= 2 AND count(DISTINCT nn) >= 2
+                 THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+                      / (count(*) * sum(x * x) - sum(x) * sum(x))
+                 ELSE 0.0 END, 6) + 0.0 AS beta,
+           round(CASE WHEN count(DISTINCT xm) >= 2 AND count(DISTINCT nn) >= 2
+                 THEN (sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                                / (count(*) * sum(x * x) - sum(x) * sum(x))
+                                * sum(x)) / count(*)
+                 ELSE 0.0 END, 6) + 0.0 AS intercept,
+           round(CASE WHEN count(DISTINCT xm) >= 2 AND count(DISTINCT nn) >= 2
+                 THEN (count(*) * sum(x * y) - sum(x) * sum(y))
+                      * (count(*) * sum(x * y) - sum(x) * sum(y))
+                      / ((count(*) * sum(x * x) - sum(x) * sum(x))
+                         * (count(*) * sum(y * y) - sum(y) * sum(y)))
+                 ELSE 0.0 END, 6) AS r2
+    FROM pts
+    """
+
+
+_install_od_gravity_oracle()
+
+
+_A11_K = 10
+_A11_NQ = 20
+_A11_L2 = (
+    "sqrt(list_sum(list_transform(range(1, len({a})+1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+@query(
+    "cosine_l2_rank_agreement",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {_A11_NQ}
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id,
+               round({_A11_DOT.format(a='e.embedding', b='q.qe')}
+                     / (sqrt({_A11_DOT.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_A11_DOT.format(a='q.qe', b='q.qe')})), 6)
+                   AS cosine,
+               round({_A11_L2.format(a='e.embedding', b='q.qe')}, 6) AS l2
+        FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    rc AS (
+        SELECT qid, vec_id,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+               ) AS r_cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY l2 ASC, vec_id ASC
+               ) AS r_l2
+        FROM scored
+    ),
+    ov AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN r_cos <= {_A11_K} AND r_l2 <= {_A11_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both_k
+        FROM rc GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CAST(both_k AS DOUBLE)
+                     / (2 * {_A11_K} - both_k)), 6) AS mean_jaccard,
+           CAST(min(both_k) AS BIGINT) AS min_overlap
+    FROM ov
+    """,
+)
+def cosine_l2_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_A11_K} agreement between cosine and Euclidean retrieval
+    over {_A11_NQ} probe queries (mean Jaccard of the two top-k sets +
+    worst-case overlap) — the metric-choice audit: on unit-normalized
+    embeddings L2 is a monotone transform of cosine, so disagreement
+    here would mean the corpus is NOT actually normalized and every
+    cosine-bucketed ANN structure (rp-lsh, IVF) silently mis-ranks.
+    Pairs both certified retrieval arms in one scored pass (cosine and
+    L2 from the same join row); per-query ranks are qid-partitioned
+    windows (scale-safe); exact brute-force audit arm by design."""
+    from ..operators.similarity import as_double, cosine
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _A11_NQ).select(
+        F.col("vec_id").alias("qid"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), as_double(F.col("embedding")).alias("cv")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    diff = F.zip_with(
+        F.col("cv"), F.col("qv"), lambda a, b: (a - b) * (a - b)
+    )
+    l2 = F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            F.round(l2, 6).alias("l2"),
+        )
+    )
+    w_cos = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    w_l2 = Window.partitionBy("qid").orderBy(F.asc("l2"), F.asc("cid"))
+    rc = scored.select(
+        "qid",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+    ov = rc.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                (F.col("r_cos") <= _A11_K) & (F.col("r_l2") <= _A11_K), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_k")
+    )
+    return ov.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.col("both_k").cast("double") / (2 * _A11_K - F.col("both_k"))
+            ),
+            6,
+        ).alias("mean_jaccard"),
+        F.min("both_k").cast("long").alias("min_overlap"),
+    )
