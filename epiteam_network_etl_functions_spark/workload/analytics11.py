@@ -94,7 +94,9 @@ def value_psi_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = b.groupBy("event_type", "half", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # four consumers (t1/t2/c1/c2) would re-run the fact aggregation
+    # four times (plan_audit lead; the checkpoint-on-reuse rule)
+    ).localCheckpoint(eager=False)
     tot = cnt.groupBy("event_type", "half").agg(
         F.sum("c").cast("long").alias("n")
     )
