@@ -409,6 +409,9 @@ DEFERRED: tuple[str, ...] = (
     "sim_measure_rank_corr",
     "od_gravity_fit",
     "cosine_l2_rank_agreement",
+    "heavy_hitters_verdict",
+    "theta_set_ops_verdict",
+    "kll_quantile_verdict",
 )
 
 

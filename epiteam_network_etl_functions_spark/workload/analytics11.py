@@ -1049,3 +1049,175 @@ def cosine_l2_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_jaccard"),
         F.min("both_k").cast("long").alias("min_overlap"),
     )
+
+
+@query(
+    "heavy_hitters_verdict",
+    oracle="""
+    WITH pc AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_lines FROM pc)
+    SELECT CAST(min(t.n_lines) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_flagged,
+           TRUE AS all_found
+    FROM pc CROSS JOIN tot t
+    WHERE pc.n * 400 >= t.n_lines
+    """,
+)
+def heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k frequent-items sketch
+    (Datasketches, Spark 4) — the 100 TB hot-key detector (the input to
+    salting plans like the certified hot_cell_salt_plan), certified by
+    its NO-FALSE-NEGATIVE guarantee: every part whose true line count
+    is >= 1/400 of the stream must appear in a top-k sketch sized well
+    above the 1/400 error bound. The sketch's item order and estimates
+    are merge-order dependent (never hashed); the driver compares the
+    exact flagged-item census and the guarantee verdict, both
+    deterministic. Oracle computes the same census exactly and asserts
+    TRUE."""
+    li = _load(spark, sf_dir, "lineitem")
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pc.agg(F.sum("n").cast("long").alias("n_lines"))
+    flagged = (
+        pc.crossJoin(F.broadcast(tot))
+        .where(F.col("n") * 400 >= F.col("n_lines"))
+        .select("l_partkey", "n", "n_lines")
+        .localCheckpoint(eager=False)
+    )
+    sketch = li.select(
+        F.explode(
+            F.expr("approx_top_k_estimate(approx_top_k_accumulate(l_partkey, 4096), 4096)")
+        ).alias("e")
+    ).select(F.col("e.item").alias("l_partkey"))
+    found = flagged.join(sketch, "l_partkey", "left_semi")
+    n_found = found.agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        flagged.agg(
+            F.min("n_lines").cast("long").alias("n_lines"),
+            F.count(F.lit(1)).cast("long").alias("n_flagged"),
+        )
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_lines",
+            "n_flagged",
+            (F.col("nf") == F.col("n_flagged")).alias("all_found"),
+        )
+    )
+
+
+@query(
+    "theta_set_ops_verdict",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS n_union,
+           TRUE AS within_bound
+    """,
+)
+def theta_set_ops_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra on THETA sketches (Datasketches,
+    Spark 4): |viewers|, |purchasers|, their intersection and union —
+    the mergeable set-operation sketch that HLL cannot do (HLL unions
+    but never intersects), and the 100 TB form of every overlap/funnel
+    census. Certified by the verdict pattern: Spark computes the exact
+    counts (hash-compared) AND the four theta estimates, asserting each
+    within 5 standard errors (theta default lgK=12 -> ~1.6% rse, bound
+    10% + small-count floor); the estimates themselves are never
+    hashed. Sketches build in ONE pass over the two slices and combine
+    map-side — at scale the exact arm disappears and only the
+    fixed-width sketch blobs move."""
+    e = _load(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "view").select("user_id")
+    b = e.where(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        a.agg(F.expr("theta_sketch_agg(user_id)").alias("ska"))
+        .crossJoin(b.agg(F.expr("theta_sketch_agg(user_id)").alias("skb")))
+        .select(
+            F.expr("theta_sketch_estimate(ska)").alias("est_a"),
+            F.expr("theta_sketch_estimate(skb)").alias("est_b"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(ska, skb))"
+            ).alias("est_i"),
+            F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias(
+                "est_u"
+            ),
+        )
+    )
+    na = a.distinct().count()
+    nb = b.distinct().count()
+    ni = a.distinct().intersect(b.distinct()).count()
+    nu = a.distinct().union(b.distinct()).distinct().count()
+    ok = None
+    for est, exact in (("est_a", na), ("est_b", nb), ("est_i", ni), ("est_u", nu)):
+        cond = F.abs(F.col(est) - F.lit(float(exact))) <= 0.10 * exact + 3.0
+        ok = cond if ok is None else (ok & cond)
+    return sk.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.lit(ni).cast("long").alias("n_intersect"),
+        F.lit(nu).cast("long").alias("n_union"),
+        ok.alias("within_bound"),
+    )
+
+
+@query(
+    "kll_quantile_verdict",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def kll_quantile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantiles via the KLL sketch (Datasketches, Spark 4) —
+    the MERGEABLE quantile summary (GK approx_percentile certified in
+    median_sketch_verdict is not a mergeable-across-shards sketch in
+    the Datasketches sense; KLL is what a 1000-executor pipeline
+    aggregates hierarchically). Verdict form: the sketch's value answers
+    at ranks 0.5/0.99 (kll_sketch_get_quantile — the rank argument must
+    be a literal, so the check runs in value-out direction) are joined
+    back and their TRUE ranks measured by counting; each must sit
+    within the KLL(200) normalized rank error (~1.65% at one sigma;
+    bound 8% + small-count floor) of its target — a rank-space
+    assertion, scale-free, and the sketch's value-space output is never
+    hashed. Exact quantiles ride along as the hash-compared columns
+    (the certified value_quantiles interpolation discipline)."""
+    e = _load(spark, sf_dir, "events")
+    est = e.groupBy("event_type").agg(
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(value, 200), 0.5)"
+        ).alias("k50"),
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "kll_sketch_agg_double(value, 200), 0.99)"
+        ).alias("k99"),
+    )
+    j = e.join(F.broadcast(est), "event_type")
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    le50 = F.sum(F.when(F.col("value") <= F.col("k50"), 1).otherwise(0))
+    le99 = F.sum(F.when(F.col("value") <= F.col("k99"), 1).otherwise(0))
+    return j.groupBy("event_type").agg(
+        n.cast("long").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        (
+            (F.abs(le50.cast("double") / nd - 0.5) <= 0.08 + 2 / nd)
+            & (F.abs(le99.cast("double") / nd - 0.99) <= 0.08 + 2 / nd)
+        ).alias("within_bound"),
+    )
