@@ -412,6 +412,8 @@ DEFERRED: tuple[str, ...] = (
     "heavy_hitters_verdict",
     "theta_set_ops_verdict",
     "kll_quantile_verdict",
+    "bitmap_distinct_users",
+    "count_min_freq_verdict",
 )
 
 
