@@ -414,6 +414,25 @@ DEFERRED: tuple[str, ...] = (
     "kll_quantile_verdict",
     "bitmap_distinct_users",
     "count_min_freq_verdict",
+    # round-12-candidate registrations (workload/analytics12.py): they
+    # fill the round-11 prefix together with the analytics11 family
+    # (the next rotation promotes DEFERRED names ahead of DEMOTED).
+    "returned_share_by_brand",
+    "lineitem_tax_discount_grid",
+    "discount_cap_counterfactual",
+    "part_name_term_head",
+    "linenumber_position_profile",
+    "brand_peak_ship_month",
+    "domestic_revenue_share",
+    "international_order_share",
+    "nation_customer_supplier_balance",
+    "acctbal_outliers_by_nation",
+    "negative_balance_share",
+    "region_parttype_affinity",
+    "supplier_breadth_histogram",
+    "ship_lag_by_weekday",
+    "quantity_outlier_orders",
+    "unit_price_retail_gap",
 )
 
 
@@ -440,6 +459,9 @@ def load_all() -> None:
     # analytics11 last: every query it registers is in DEFERRED (round-11
     # candidates, sweep-verified now).
     from . import analytics11  # noqa: F401
+    # analytics12 after analytics11: also fully DEFERRED (round-12
+    # candidates that top up the round-11 prefix to a full 50).
+    from . import analytics12  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:
