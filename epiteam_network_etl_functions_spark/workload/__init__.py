@@ -433,6 +433,16 @@ DEFERRED: tuple[str, ...] = (
     "ship_lag_by_weekday",
     "quantity_outlier_orders",
     "unit_price_retail_gap",
+    "day_hour_profile_distance",
+    "user_type_entropy_histogram",
+    "daily_top_decile_share",
+    "error_rate_by_hour_wilson",
+    "week_over_week_user_jaccard",
+    "session_entry_exit_matrix",
+    "user_decile_migration",
+    "type_hourly_amplitude",
+    "activity_gap_profile",
+    "user_weekday_concentration",
 )
 
 

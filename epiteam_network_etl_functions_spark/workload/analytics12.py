@@ -1021,3 +1021,808 @@ def unit_price_retail_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("below_retail_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream behaviour profiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "day_hour_profile_distance",
+    oracle="""
+    WITH cnt AS (
+        SELECT CAST(day(ts) AS BIGINT) AS d,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY d, h
+    ),
+    dt AS (SELECT d, CAST(sum(n) AS BIGINT) AS nd FROM cnt GROUP BY d),
+    ht AS (SELECT h, CAST(sum(n) AS BIGINT) AS nh FROM cnt GROUP BY h),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM cnt),
+    grid AS (
+        SELECT dt.d, hh.h, coalesce(c.n, 0) AS c, dt.nd,
+               coalesce(ht.nh, 0) AS nh, g.grand
+        FROM dt
+        CROSS JOIN (SELECT unnest(range(24)) AS h) hh
+        LEFT JOIN cnt c ON c.d = dt.d AND c.h = hh.h
+        LEFT JOIN ht ON ht.h = hh.h
+        CROSS JOIN g
+    )
+    SELECT d AS day, CAST(min(nd) AS BIGINT) AS n_events,
+           round(sum(abs(CAST(c AS DOUBLE) / nd
+                         - CAST(nh AS DOUBLE) / grand)), 6) + 0.0
+               AS l1_distance
+    FROM grid GROUP BY day
+    """,
+)
+def day_hour_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 distance between each day's hourly activity profile and the
+    global hourly profile — the intraday-shape drift monitor (a spiky
+    outage day scores high even when its total volume is normal). One
+    fact pass to the 30 x 24 (day, hour) counts (checkpointed: four
+    consumers re-aggregate the summary, not the fact); the comparison
+    grid is a broadcast 24-row cross join, missing hours contribute the
+    global mass exactly."""
+    e = _load(spark, sf_dir, "events")
+    cnt = (
+        e.groupBy(
+            F.dayofmonth("ts").cast("long").alias("d"),
+            F.hour("ts").cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dt = cnt.groupBy("d").agg(F.sum("n").cast("long").alias("nd"))
+    ht = cnt.groupBy("h").agg(F.sum("n").cast("long").alias("nh"))
+    g = cnt.agg(F.sum("n").cast("long").alias("grand"))
+    hours = spark.range(24).select(F.col("id").cast("long").alias("h"))
+    grid = (
+        dt.crossJoin(F.broadcast(hours))
+        .join(cnt, ["d", "h"], "left")
+        .join(F.broadcast(ht), "h", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "d",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("c"),
+            "nd",
+            F.coalesce(F.col("nh"), F.lit(0)).alias("nh"),
+            "grand",
+        )
+    )
+    term = F.abs(
+        F.col("c").cast("double") / F.col("nd")
+        - F.col("nh").cast("double") / F.col("grand")
+    )
+    return grid.groupBy(F.col("d").alias("day")).agg(
+        F.min("nd").cast("long").alias("n_events"),
+        (F.round(F.sum(term), 6) + F.lit(0.0)).alias("l1_distance"),
+    )
+
+
+@query(
+    "user_type_entropy_histogram",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS nu FROM cnt GROUP BY user_id
+    ),
+    ent AS (
+        SELECT c.user_id,
+               min(t.nu) AS nu,
+               round(-sum((CAST(c.n AS DOUBLE) / t.nu)
+                          * ln(CAST(c.n AS DOUBLE) / t.nu)), 6) + 0.0 AS e
+        FROM cnt c JOIN tot t ON c.user_id = t.user_id
+        GROUP BY c.user_id
+    )
+    SELECT CAST(floor(e / 0.05) AS BIGINT) AS entropy_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(e) / count(*), 6) + 0.0 AS avg_entropy,
+           round(CAST(sum(nu) AS DOUBLE) / count(*), 6) AS avg_events
+    FROM ent GROUP BY entropy_bucket
+    """,
+)
+def user_type_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user event-type entropy (how specialized is
+    each user's behaviour), 0.05-nat buckets — the behavioural-mix
+    segmentation. The (user, type) counts and user totals share one
+    user-keyed shuffle (ReuseExchange); entropy derives from exact
+    integer counts and is rounded BEFORE bucketing so the bucket edge
+    is decided on the same value both engines hash."""
+    e = _load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("user_id").agg(F.sum("n").cast("long").alias("nu"))
+    p = F.col("n").cast("double") / F.col("nu")
+    ent = (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("nu").alias("nu"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("e"),
+        )
+    )
+    return ent.groupBy(
+        F.floor(F.col("e") / 0.05).cast("long").alias("entropy_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.round(F.sum("e") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "avg_entropy"
+        ),
+        F.round(F.sum("nu").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_events"
+        ),
+    )
+
+
+@query(
+    "daily_top_decile_share",
+    oracle="""
+    WITH uv AS (
+        SELECT CAST(day(ts) AS BIGINT) AS d, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY d, user_id
+    ),
+    r AS (
+        SELECT d, user_id, cents,
+               row_number() OVER (
+                   PARTITION BY d ORDER BY cents DESC, user_id ASC
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY d) AS BIGINT) AS nu
+        FROM uv
+    )
+    SELECT d AS day,
+           CAST(min(nu) AS BIGINT) AS n_users,
+           CAST(min(CAST(ceil(nu * 0.1) AS BIGINT)) AS BIGINT) AS k_top,
+           round(CAST(sum(CASE WHEN rn <= ceil(nu * 0.1) THEN cents
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(cents), 6) + 0.0 AS top_share
+    FROM r GROUP BY day
+    """,
+)
+def daily_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value concentration: the share of each day's total value
+    contributed by the top 10% of that day's users — the whale-watch
+    metric. Exact integer cents per (day, user); the rank and the
+    day-size ride ONE day-partitioned window shuffle (never a global
+    sort — the partition key is the day, so width is bounded by daily
+    actives at any scale); ceil(n/10) keeps at least one whale."""
+    e = _load(spark, sf_dir, "events")
+    uv = e.groupBy(
+        F.dayofmonth("ts").cast("long").alias("d"), "user_id"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_rank = Window.partitionBy("d").orderBy(
+        F.desc("cents"), F.asc("user_id")
+    )
+    w_all = Window.partitionBy("d")
+    r = uv.select(
+        "d",
+        "cents",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("nu"),
+    )
+    k = F.ceil(F.col("nu") * 0.1).cast("long")
+    top = F.when(F.col("rn") <= k, F.col("cents")).otherwise(F.lit(0))
+    return r.groupBy(F.col("d").alias("day")).agg(
+        F.min("nu").cast("long").alias("n_users"),
+        F.min(k).cast("long").alias("k_top"),
+        (
+            F.round(F.sum(top).cast("double") / F.sum("cents"), 6)
+            + F.lit(0.0)
+        ).alias("top_share"),
+    )
+
+
+@query(
+    "error_rate_by_hour_wilson",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ne
+        FROM events GROUP BY hour_of_day
+    )
+    SELECT hour_of_day, n, ne AS n_errors,
+           round(CAST(ne AS DOUBLE) / n, 6) + 0.0 AS error_rate,
+           round(((CAST(ne AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  - 1.96 * sqrt((CAST(ne AS DOUBLE) / n)
+                                * (1 - CAST(ne AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_lo,
+           round(((CAST(ne AS DOUBLE) / n + 1.96 * 1.96 / (2 * n))
+                  + 1.96 * sqrt((CAST(ne AS DOUBLE) / n)
+                                * (1 - CAST(ne AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_hi
+    FROM h
+    """,
+)
+def error_rate_by_hour_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day error rate with a Wilson 95% interval — the SLO
+    dashboard row that stays honest at low-traffic hours (the interval
+    widens instead of the point estimate lying). One 24-group map-side
+    aggregate; the interval is closed-form double arithmetic on exact
+    integer counts (z = 1.96 pinned as a literal on both engines)."""
+    e = _load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("ne"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("ne").cast("double") / n
+    center = p + z * z / (2 * n)
+    rad = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return h.select(
+        "hour_of_day",
+        "n",
+        F.col("ne").alias("n_errors"),
+        (F.round(p, 6) + F.lit(0.0)).alias("error_rate"),
+        (F.round((center - rad) / denom, 6) + F.lit(0.0)).alias("wilson_lo"),
+        (F.round((center + rad) / denom, 6) + F.lit(0.0)).alias("wilson_hi"),
+    )
+
+
+@query(
+    "week_over_week_user_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_diff('day', DATE '1970-01-05',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+        FROM events
+    ),
+    a AS (SELECT wk, CAST(count(*) AS BIGINT) AS nu FROM d GROUP BY wk),
+    inter AS (
+        SELECT d1.wk AS wk, CAST(count(*) AS BIGINT) AS n_common
+        FROM d d1 JOIN d d2
+          ON d1.user_id = d2.user_id AND d2.wk = d1.wk + 1
+        GROUP BY d1.wk
+    )
+    SELECT cur.wk AS week_idx,
+           cur.nu AS n_week,
+           nxt.nu AS n_next_week,
+           coalesce(i.n_common, 0) AS n_common,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (cur.nu + nxt.nu - coalesce(i.n_common, 0)), 6) + 0.0
+               AS jaccard
+    FROM a cur
+    JOIN a nxt ON nxt.wk = cur.wk + 1
+    LEFT JOIN inter i ON i.wk = cur.wk
+    """,
+)
+def week_over_week_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of consecutive weekly active-user sets — the
+    churn-vs-stickiness trend at set level (DAU/WAU tells you size;
+    this tells you whether it is the SAME users). Weeks are epoch-Monday
+    indexed (no engine week-number semantics); the distinct (user, week)
+    frame feeds both the per-week sizes and the user-keyed
+    self-intersection join, which shuffles once on user_id."""
+    e = _load(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) / 7.0
+    ).cast("long")
+    d = e.select("user_id", wk.alias("wk")).distinct().localCheckpoint(
+        eager=False
+    )
+    a = d.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    d2 = d.select(
+        F.col("user_id").alias("user_id2"), F.col("wk").alias("wk2")
+    )
+    inter = (
+        d.join(
+            d2,
+            (F.col("user_id") == F.col("user_id2"))
+            & (F.col("wk2") == F.col("wk") + 1),
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cur = a.select(F.col("wk").alias("week_idx"), F.col("nu").alias("n_week"))
+    nxt = a.select(
+        (F.col("wk") - 1).alias("week_idx"), F.col("nu").alias("n_next_week")
+    )
+    out = (
+        cur.join(nxt, "week_idx")
+        .join(
+            inter.select(F.col("wk").alias("week_idx"), "n_common"),
+            "week_idx",
+            "left",
+        )
+        .select(
+            "week_idx",
+            "n_week",
+            "n_next_week",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        )
+    )
+    return out.select(
+        "week_idx",
+        "n_week",
+        "n_next_week",
+        "n_common",
+        (
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_week") + F.col("n_next_week") - F.col("n_common")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jaccard"),
+    )
+
+
+@query(
+    "session_entry_exit_matrix",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN prev_us IS NULL
+                         OR (epoch_us(ts) - prev_us) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM sessions
+    ),
+    pairs AS (
+        SELECT en.entry_type, ex.exit_type
+        FROM (SELECT user_id, session_id, event_type AS entry_type
+              FROM ranked WHERE rn_a = 1) en
+        JOIN (SELECT user_id, session_id, event_type AS exit_type
+              FROM ranked WHERE rn_d = 1) ex
+          ON en.user_id = ex.user_id AND en.session_id = ex.session_id
+    ),
+    m AS (
+        SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM pairs GROUP BY entry_type, exit_type
+    )
+    SELECT entry_type, exit_type, n_sessions,
+           round(CAST(n_sessions AS DOUBLE)
+                 / (SELECT sum(n_sessions) FROM m), 6) + 0.0 AS share
+    FROM m
+    """,
+)
+def session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-type x exit-type matrix over 30-minute-gap sessions — what
+    do journeys start and end with (the funnel bookends). Reuses the
+    sessionize kernel (lag + running-sum over ONE user-partitioned
+    window shuffle); entry/exit winners are W4 row_numbers over the
+    same (user, session) partitioning in both directions, so the whole
+    query is one wide exchange plus 25-cell aggregates."""
+    from ..operators.sessions import sessionize
+
+    e = _load(spark, sf_dir, "events")
+    s = sessionize(
+        e.select("user_id", "event_id", "ts", "event_type"),
+        "user_id",
+        "ts",
+        "event_id",
+        gap_seconds=1800,
+    )
+    w_a = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    w_d = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = s.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    ).localCheckpoint(eager=False)
+    en = ranked.where(F.col("rn_a") == 1).select(
+        "user_id", "session_id", F.col("event_type").alias("entry_type")
+    )
+    ex = ranked.where(F.col("rn_d") == 1).select(
+        "user_id", "session_id", F.col("event_type").alias("exit_type")
+    )
+    m = (
+        en.join(ex, ["user_id", "session_id"])
+        .groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .localCheckpoint(eager=False)
+    )
+    tot = m.agg(F.sum("n_sessions").cast("long").alias("tot"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        (
+            F.round(F.col("n_sessions").cast("double") / F.col("tot"), 6)
+            + F.lit(0.0)
+        ).alias("share"),
+    )
+
+
+@query(
+    "user_decile_migration",
+    oracle="""
+    WITH h AS (
+        SELECT user_id,
+               CASE WHEN day(ts) <= 15 THEN 1 ELSE 2 END AS half,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id, half
+    ),
+    ranked AS (
+        SELECT user_id, half, cents,
+               row_number() OVER (
+                   PARTITION BY half ORDER BY cents DESC, user_id ASC
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY half) AS BIGINT) AS nh
+        FROM h
+    ),
+    dec AS (
+        SELECT user_id, half,
+               CAST(floor((rn - 1) * 10.0 / nh) AS BIGINT) AS decile
+        FROM ranked
+    )
+    SELECT coalesce(d1.decile, -1) AS decile_first_half,
+           coalesce(d2.decile, -1) AS decile_second_half,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT user_id, decile FROM dec WHERE half = 1) d1
+    FULL OUTER JOIN (SELECT user_id, decile FROM dec WHERE half = 2) d2
+      ON d1.user_id = d2.user_id
+    GROUP BY decile_first_half, decile_second_half
+    """,
+)
+def user_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-decile migration matrix between the two halves of the
+    month (-1 = inactive in that half) — the revenue-cohort churn grid.
+    Ranks come from the distributed global_row_number kernel over ONE
+    range exchange ordered by (half, -cents, user) with per-half
+    offsets subtracted, so no engine-side window ever sees a
+    fact-cardinality single partition (the r9-verdict rank rule); the
+    oracle's per-half row_number produces identical rank values."""
+    from ..operators.winners import global_row_number
+
+    e = _load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "user_id",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_row_number(
+        h.withColumn("neg_cents", -F.col("cents")),
+        ["half", "neg_cents", "user_id"],
+        "r",
+    )
+    counts = h.groupBy("half").agg(
+        F.count(F.lit(1)).cast("long").alias("nh")
+    )
+    n1 = counts.agg(
+        F.sum(F.when(F.col("half") == 1, F.col("nh")).otherwise(0))
+        .cast("long")
+        .alias("n1")
+    )
+    offs = counts.crossJoin(F.broadcast(n1)).select(
+        "half",
+        "nh",
+        F.when(F.col("half") == 1, F.lit(0))
+        .otherwise(F.col("n1"))
+        .cast("long")
+        .alias("off"),
+    )
+    dec = ranked.join(F.broadcast(offs), "half").select(
+        "user_id",
+        "half",
+        F.floor((F.col("r") - F.col("off") - 1) * 10.0 / F.col("nh"))
+        .cast("long")
+        .alias("decile"),
+    )
+    d1 = dec.where(F.col("half") == 1).select(
+        "user_id", F.col("decile").alias("dec1")
+    )
+    d2 = dec.where(F.col("half") == 2).select(
+        "user_id", F.col("decile").alias("dec2")
+    )
+    return (
+        d1.join(d2, "user_id", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("dec1"), F.lit(-1))
+            .cast("long")
+            .alias("decile_first_half"),
+            F.coalesce(F.col("dec2"), F.lit(-1))
+            .cast("long")
+            .alias("decile_second_half"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "type_hourly_amplitude",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, h
+    ),
+    grid AS (
+        SELECT t.event_type, hh.h, coalesce(c.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM cnt) t
+        CROSS JOIN (SELECT unnest(range(24)) AS h) hh
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = hh.h
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(max(n) AS BIGINT) AS peak_count,
+               CAST(min(n) AS BIGINT) AS trough_count
+        FROM grid GROUP BY event_type
+    ),
+    pk AS (
+        SELECT event_type, h AS peak_hour
+        FROM (
+            SELECT event_type, h,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY n DESC, h ASC
+                   ) AS rn
+            FROM grid
+        ) WHERE rn = 1
+    )
+    SELECT s.event_type, s.n_total,
+           CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+           s.peak_count, s.trough_count,
+           round((s.peak_count - s.trough_count)
+                 / (CAST(s.n_total AS DOUBLE) / 24.0), 6) + 0.0
+               AS amplitude
+    FROM s JOIN pk ON s.event_type = pk.event_type
+    """,
+)
+def type_hourly_amplitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal amplitude per event type: (peak - trough) / hourly mean
+    over the full 24-hour grid (missing hours count as zero), plus the
+    peak hour — how tide-like is each behaviour. One fact pass to the
+    5 x 24 counts; grid completion is a broadcast cross join; peak is
+    the W4 argmax over the 120-row summary."""
+    e = _load(spark, sf_dir, "events")
+    cnt = (
+        e.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    types = cnt.select("event_type").distinct()
+    hours = spark.range(24).select(F.col("id").cast("long").alias("h"))
+    grid = (
+        types.crossJoin(F.broadcast(hours))
+        .join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = grid.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.max("n").cast("long").alias("peak_count"),
+        F.min("n").cast("long").alias("trough_count"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("h"))
+    pk = (
+        grid.select(
+            "event_type", "h", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("h").alias("peak_hour"))
+    )
+    return s.join(pk, "event_type").select(
+        "event_type",
+        "n_total",
+        F.col("peak_hour").cast("long").alias("peak_hour"),
+        "peak_count",
+        "trough_count",
+        (
+            F.round(
+                (F.col("peak_count") - F.col("trough_count"))
+                / (F.col("n_total").cast("double") / 24.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("amplitude"),
+    )
+
+
+@query(
+    "activity_gap_profile",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(count(*) + 1 AS BIGINT) AS n_events,
+               round(quantile_cont(CAST(gap_us AS DOUBLE), 0.50)
+                     / 1000000.0, 6) AS median_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, n_events, median_gap_s,
+               row_number() OVER (
+                   ORDER BY n_events DESC, user_id ASC
+               ) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS nu
+        FROM u
+    )
+    SELECT CAST(floor((rn - 1) * 4.0 / nu) AS BIGINT) AS activity_quartile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+           round(quantile_cont(median_gap_s, 0.50), 6) AS median_gap_secs
+    FROM ranked GROUP BY activity_quartile
+    """,
+)
+def activity_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median inter-event gap by user-activity quartile (quartile 0 =
+    most active) — do heavy users also burst faster? Gaps are exact
+    integer microseconds from ONE user-partitioned window; the user
+    quartile comes from the distributed global_row_number kernel (count
+    DESC, user ASC — never a fact-wide single-partition window), and
+    the per-quartile median-of-medians is the interpolated percentile
+    both engines share. Users with a single event have no gap and are
+    excluded (documented)."""
+    from ..operators.winners import global_row_number
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    g = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    u = (
+        g.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+            F.round(
+                F.expr("percentile(CAST(gap_us AS DOUBLE), 0.50)")
+                / 1000000.0,
+                6,
+            ).alias("median_gap_s"),
+        )
+    )
+    ranked = global_row_number(
+        u.withColumn("neg_n", -F.col("n_events")),
+        ["neg_n", "user_id"],
+        "rn",
+    )
+    nu = u.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    q = ranked.crossJoin(F.broadcast(nu)).select(
+        "n_events",
+        "median_gap_s",
+        F.floor((F.col("rn") - 1) * 4.0 / F.col("nu"))
+        .cast("long")
+        .alias("activity_quartile"),
+    )
+    return q.groupBy("activity_quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.round(F.expr("percentile(median_gap_s, 0.50)"), 6).alias(
+            "median_gap_secs"
+        ),
+    )
+
+
+@query(
+    "user_weekday_concentration",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, wd
+    ),
+    tot AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS nu FROM cnt GROUP BY user_id
+    ),
+    modal AS (
+        SELECT c.user_id, c.n AS n_modal, t.nu
+        FROM (
+            SELECT user_id, n,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, wd ASC
+                   ) AS rn
+            FROM cnt
+        ) c JOIN tot t ON c.user_id = t.user_id
+        WHERE c.rn = 1
+    )
+    SELECT CAST(floor(n_modal * 10.0 / nu) AS BIGINT) AS share_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(nu) AS DOUBLE) / count(*), 6) AS avg_events,
+           round(sum(CAST(n_modal AS DOUBLE) / nu) / count(*), 6) + 0.0
+               AS avg_modal_share
+    FROM modal GROUP BY share_bucket
+    """,
+)
+def user_weekday_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is each user's activity on their favourite
+    weekday — histogram of modal-weekday share (bucket 10 = single-day
+    users, ~1.4/10 = uniform). The modal day is the W4 winner kernel
+    partitioned BY USER (count DESC, weekday ASC tie-break, pinned
+    Mon=0 mapping); the share bucket is integer-exact (n*10/nu floor);
+    (user, weekday) counts and user totals share one user-keyed
+    exchange."""
+    e = _load(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        "user_id", F.expr("weekday(ts)").cast("long").alias("wd")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("user_id").agg(F.sum("n").cast("long").alias("nu"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("wd"))
+    modal = (
+        cnt.select("user_id", "n", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .join(tot, "user_id")
+        .select("user_id", F.col("n").alias("n_modal"), "nu")
+    )
+    return modal.groupBy(
+        F.floor(F.col("n_modal") * 10.0 / F.col("nu"))
+        .cast("long")
+        .alias("share_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("nu").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_events"
+        ),
+        (
+            F.round(
+                F.sum(F.col("n_modal").cast("double") / F.col("nu"))
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_modal_share"),
+    )
