@@ -443,6 +443,15 @@ DEFERRED: tuple[str, ...] = (
     "type_hourly_amplitude",
     "activity_gap_profile",
     "user_weekday_concentration",
+    "lang_char_trigram_head",
+    "term_position_profile",
+    "token_run_length_audit",
+    "nearest_centroid_confusion",
+    "cosine_to_mean_histogram",
+    "embedding_grid_occupancy",
+    "jl_distortion_audit",
+    "morton_bucket_extent",
+    "zonemap_prune_audit",
 )
 
 

@@ -1826,3 +1826,756 @@ def user_weekday_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("avg_modal_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lang_char_trigram_head",
+    oracle="""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tri AS (
+        SELECT lang, substr(w, CAST(i AS INTEGER), 3) AS trigram
+        FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    cnt AS (
+        SELECT lang, trigram, CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n FROM (
+        SELECT lang, trigram, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, trigram ASC
+               ) AS rn
+        FROM cnt
+    ) WHERE rn <= 15
+    """,
+)
+def lang_char_trigram_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 word-internal character trigrams per language — the
+    feature head a character-n-gram language-ID model keys on (the
+    engine's doc_language_id consumes these signals; this query exposes
+    the ranked head itself). explode(words) -> explode(offsets) is a
+    map-only 1->N fan-out that fuses with the scan; the (lang, trigram)
+    aggregate combines map-side, and the top-15 is the W4 winner kernel
+    over the per-lang summary."""
+    d = _load(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 3)
+    tri = words.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 2), i -> substr(w, i, 3))")
+        ).alias("trigram"),
+    )
+    cnt = tri.groupBy("lang", "trigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        cnt.select("lang", "trigram", "n", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 15)
+        .select("lang", "trigram", "n")
+    )
+
+
+@query(
+    "term_position_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    top AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY term
+        ORDER BY n DESC, term ASC LIMIT 20
+    )
+    SELECT t.term, top.n,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           round(sum((t.pos - 1.0) / (t.n_tok - 1.0)) / count(*), 6) + 0.0
+               AS mean_relpos
+    FROM toks t JOIN top ON t.term = top.term
+    GROUP BY t.term, top.n
+    """,
+)
+def term_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean normalized position (0 = document start, 1 = end) of the
+    top-20 corpus terms — the positional-bias probe (are boilerplate
+    terms front-loaded?). One posexplode feeds both the global head
+    (TakeOrdered, 20 rows broadcast back as a semi-filter) and the
+    positional aggregate; every doc has >= 10 tokens so the 0/0 edge
+    cannot occur (TESTDATA)."""
+    d = _load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+    j = toks.join(F.broadcast(top), "term")
+    return j.groupBy("term", "n").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        (
+            F.round(
+                F.sum(
+                    F.col("pos0").cast("double") / (F.col("n_tok") - 1.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_relpos"),
+    )
+
+
+@query(
+    "token_run_length_audit",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id, term, pos,
+               CASE WHEN lag(term) OVER (
+                        PARTITION BY doc_id ORDER BY pos ASC
+                    ) IS DISTINCT FROM term THEN 1 ELSE 0 END AS is_new
+        FROM toks
+    ),
+    runs AS (
+        SELECT doc_id, term,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY pos ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS run_id
+        FROM flagged
+    ),
+    run_len AS (
+        SELECT doc_id, run_id, CAST(count(*) AS BIGINT) AS rl
+        FROM runs GROUP BY doc_id, run_id
+    ),
+    doc_max AS (
+        SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run
+        FROM run_len GROUP BY doc_id
+    )
+    SELECT max_run, CAST(count(*) AS BIGINT) AS n_docs
+    FROM doc_max GROUP BY max_run
+    """,
+)
+def token_run_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each document's longest identical-adjacent-token
+    run — the stutter detector (degenerate generation and scraped
+    boilerplate show up as long runs; a corpus gate drops max_run >= 4).
+    The lag -> running-sum run construction is the sessionize kernel's
+    shape applied to token streams, partitioned by doc (never global);
+    three cascaded aggregates all combine map-side."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.asc("pos"))
+    flagged = toks.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.when(
+            ~F.lag("term").over(w).eqNullSafe(F.col("term")), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flagged.select(
+        "doc_id", F.sum("is_new").over(wrun).cast("long").alias("run_id")
+    )
+    run_len = runs.groupBy("doc_id", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rl")
+    )
+    doc_max = run_len.groupBy("doc_id").agg(
+        F.max("rl").cast("long").alias("max_run")
+    )
+    return doc_max.groupBy("max_run").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space audits
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "nearest_centroid_confusion",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, pos, round(avg(v), 6) + 0.0 AS c
+        FROM ex GROUP BY clabel, pos
+    ),
+    carr AS (
+        SELECT clabel, list(c ORDER BY pos ASC) AS cv
+        FROM cent GROUP BY clabel
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))), 6)
+                   AS d2
+        FROM embeddings e CROSS JOIN carr c
+    ),
+    win AS (
+        SELECT vec_id, label, clabel,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2 ASC, clabel ASC
+               ) AS rn
+        FROM dist
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(clabel AS BIGINT) AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM win WHERE rn = 1
+    GROUP BY true_label, predicted_label
+    """,
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix: assign every
+    vector to the closest per-label mean (L2, centroids rounded to 6
+    so both engines score against bit-identical prototypes) and cross-
+    tabulate against the true label — the embedding-quality smoke test
+    (a separable space is near-diagonal). Centroids come from one
+    posexplode aggregate (10 x 64 rows, broadcast back); distances are
+    a zip_with index-order fold per (vector, centroid) — 10 rows per
+    vector, never a pairwise corpus join; the argmin is the W4 winner
+    kernel partitioned by vec_id."""
+    from ..operators.similarity import as_double
+
+    e = _load(spark, sf_dir, "embeddings")
+    prep(spark)
+    ex = e.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding")))
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v")
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("c")
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .alias("cv")
+    )
+    dist = e.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    as_double(F.col("embedding")),
+                    F.col("cv"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("clabel"))
+    return (
+        dist.select("vec_id", "label", "clabel", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("clabel").cast("long").alias("predicted_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+@query(
+    "cosine_to_mean_histogram",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    mv AS (
+        SELECT list(m ORDER BY pos ASC) AS mvec FROM (
+            SELECT pos, round(avg(v), 6) + 0.0 AS m FROM ex GROUP BY pos
+        )
+    ),
+    cosd AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * m.mvec[i]))
+                     / (sqrt(list_sum(list_transform(
+                            range(1, len(e.embedding) + 1),
+                            i -> CAST(e.embedding[i] AS DOUBLE)
+                                 * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(
+                            range(1, len(m.mvec) + 1),
+                            i -> m.mvec[i] * m.mvec[i])))), 6) + 0.0 AS cos
+        FROM embeddings e CROSS JOIN mv m
+    )
+    SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(cos) / count(*), 6) + 0.0 AS avg_cosine
+    FROM cosd GROUP BY cos_bucket
+    """,
+)
+def cosine_to_mean_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each vector's cosine similarity to the corpus mean
+    vector (0.1-wide buckets) — the anisotropy probe (a healthy
+    embedding space is centered; a cone-collapsed one piles up near 1).
+    The mean is one posexplode aggregate folded back to a single
+    64-wide broadcast row (rounded to 6 = bit-identical prototypes);
+    the per-vector cosine is an index-order zip fold, map-only after
+    the broadcast."""
+    from ..operators.similarity import as_double
+
+    e = _load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding")))
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+    mv = (
+        ex.groupBy("pos")
+        .agg((F.round(F.avg("v"), 6) + F.lit(0.0)).alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("mvec")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            as_double(F.col("embedding")),
+            F.col("mvec"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    n_v = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                as_double(F.col("embedding")),
+                as_double(F.col("embedding")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    n_m = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("mvec"), F.col("mvec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    cosd = e.crossJoin(F.broadcast(mv)).select(
+        "vec_id",
+        (F.round(dot / (n_v * n_m), 6) + F.lit(0.0)).alias("cos"),
+    )
+    return cosd.groupBy(
+        F.floor(F.col("cos") * 10).cast("long").alias("cos_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (F.round(F.sum("cos") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "avg_cosine"
+        ),
+    )
+
+
+@query(
+    "embedding_grid_occupancy",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cell_x,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT)
+                   AS cell_y,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY cell_x, cell_y
+    ),
+    tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM cells)
+    SELECT cell_x, cell_y, n_vecs,
+           round(CAST(n_vecs AS DOUBLE) / tot.n, 6) + 0.0 AS share
+    FROM cells CROSS JOIN tot
+    ORDER BY n_vecs DESC, cell_x ASC, cell_y ASC
+    LIMIT 30
+    """,
+)
+def embedding_grid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy of a fixed 0.1-wide grid over the first two embedding
+    coordinates, top-30 cells — the coarse-quantization density map
+    (the 2-D shadow of an IVF cell-size audit: hot cells mean probe
+    imbalance). Pure map-side quantize + count; floor of an exact
+    float-to-double cast is bit-deterministic on both engines."""
+    e = _load(spark, sf_dir, "embeddings")
+    cells = e.groupBy(
+        F.floor(F.col("embedding").getItem(0).cast("double") / 0.1)
+        .cast("long")
+        .alias("cell_x"),
+        F.floor(F.col("embedding").getItem(1).cast("double") / 0.1)
+        .cast("long")
+        .alias("cell_y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    tot = cells.agg(F.sum("n_vecs").cast("long").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cell_x",
+            "cell_y",
+            "n_vecs",
+            (
+                F.round(F.col("n_vecs").cast("double") / F.col("n"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_vecs"), F.asc("cell_x"), F.asc("cell_y"))
+        .limit(30)
+    )
+
+
+from ..operators.similarity import random_planes
+
+_JL_PLANES = random_planes(64, 16, seed=1212)
+_JL_SAMPLE = 40  # 780 pairs: the audit arm is O(sample^2) by design
+
+
+def _jl_proj_sql() -> str:
+    dots = []
+    for p in _JL_PLANES:
+        lit = "list_value(" + ", ".join(repr(v) for v in p) + ")"
+        dots.append(f"round({_DOT.format(a='embedding', b=lit)}, 6)")
+    return "list_value(" + ", ".join(dots) + ")"
+
+
+@query(
+    "jl_distortion_audit",
+    oracle=f"""
+    WITH pr AS (
+        SELECT vec_id, embedding, {_jl_proj_sql()} AS proj
+        FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> (CAST(a.embedding[i] AS DOUBLE)
+                           - CAST(b.embedding[i] AS DOUBLE))
+                          * (CAST(a.embedding[i] AS DOUBLE)
+                             - CAST(b.embedding[i] AS DOUBLE)))), 6) AS d2o,
+               round(list_sum(list_transform(range(1, 17),
+                     i -> (a.proj[i] - b.proj[i])
+                          * (a.proj[i] - b.proj[i]))), 6) AS d2p
+        FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+        SELECT round(sqrt(d2p) / (4.0 * sqrt(d2o)), 6) + 0.0 AS distortion
+        FROM pairs WHERE d2o > 0
+    )
+    SELECT CAST(floor(distortion / 0.05) AS BIGINT) AS distortion_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(distortion) / count(*), 6) + 0.0 AS avg_distortion,
+           round(min(distortion), 6) + 0.0 AS min_distortion,
+           round(max(distortion), 6) + 0.0 AS max_distortion
+    FROM r GROUP BY distortion_bucket
+    """,
+)
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project 64-dim vectors
+    onto 16 seeded Gaussian planes (the same literal planes inlined in
+    both engines, projections rounded to 6 = bit-identical inputs) and
+    histogram the pairwise-distance ratio ||Pa-Pb|| / (sqrt(16)·||a-b||)
+    over a 40-vector sample (780 pairs) — the dimensionality-reduction
+    safety check before shipping a cheaper ANN index. The pair join is
+    sample-bounded by construction; at 100 TB the sample stays O(1)
+    while the projection itself is the map-only scale path."""
+    from ..operators.similarity import as_double
+
+    e = _load(spark, sf_dir, "embeddings")
+    dots = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    as_double(F.col("embedding")),
+                    F.array(*[F.lit(float(v)) for v in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+        for p in _JL_PLANES
+    ]
+    pr = (
+        e.where(F.col("vec_id") < _JL_SAMPLE)
+        .select("vec_id", "embedding", F.array(*dots).alias("proj"))
+        .localCheckpoint(eager=False)
+    )
+    b = pr.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("emb_b"),
+        F.col("proj").alias("proj_b"),
+    )
+    d2o = F.round(
+        F.aggregate(
+            F.zip_with(
+                as_double(F.col("embedding")),
+                as_double(F.col("emb_b")),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    d2p = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("proj"), F.col("proj_b"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    pairs = (
+        pr.join(b, F.col("vec_id") < F.col("vb"))
+        .select(d2o.alias("d2o"), d2p.alias("d2p"))
+        .where(F.col("d2o") > 0)
+    )
+    r = pairs.select(
+        (
+            F.round(F.sqrt("d2p") / (4.0 * F.sqrt("d2o")), 6) + F.lit(0.0)
+        ).alias("distortion")
+    )
+    return r.groupBy(
+        F.floor(F.col("distortion") / 0.05).cast("long").alias(
+            "distortion_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.round(F.sum("distortion") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("avg_distortion"),
+        (F.round(F.min("distortion"), 6) + F.lit(0.0)).alias("min_distortion"),
+        (F.round(F.max("distortion"), 6) + F.lit(0.0)).alias("max_distortion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse layout audits
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """22-bit Morton interleave of two 11-bit coords — identical text
+    parses in Spark SQL and DuckDB (>>/& on BIGINT)."""
+    terms = []
+    for k in range(11):
+        terms.append(f"((({x} >> {k}) & 1) * {1 << (2 * k)})")
+        terms.append(f"((({y} >> {k}) & 1) * {1 << (2 * k + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+from .extended import _hash_bucket_sql
+
+
+@query(
+    "morton_bucket_extent",
+    oracle=f"""
+    WITH xy AS (
+        SELECT {_hash_bucket_sql('event_id', 2000, 'lat')} AS x,
+               {_hash_bucket_sql('event_id', 2000, 'lon')} AS y
+        FROM events
+    ),
+    m AS (
+        SELECT x, y, ({_morton_sql('x', 'y')} >> 14) AS zbucket FROM xy
+    )
+    SELECT CAST(zbucket AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_pings,
+           CAST(count(DISTINCT x * 2048 + y) AS BIGINT) AS n_cells,
+           CAST(max(x) - min(x) AS BIGINT) AS x_span,
+           CAST(max(y) - min(y) AS BIGINT) AS y_span
+    FROM m GROUP BY zbucket
+    ORDER BY n_pings DESC, zbucket ASC
+    LIMIT 40
+    """,
+)
+def morton_bucket_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file-clustering audit over the synthetic ping
+    grid: interleave the 11-bit cell coordinates, bucket by the top 8
+    Morton bits (= one file in a Z-ordered layout) and report each
+    bucket's spatial extent — the guarantee a Z-ordered writer gives a
+    spatial range scan is x_span, y_span <= 127 per bucket, which this
+    output exhibits and a pytest invariant locks. Bit interleaving is
+    exact integer arithmetic (same >>/& text both engines); one
+    map-side aggregate, top-40 hottest buckets."""
+    from ..operators.sampling import hash_bucket
+
+    e = _load(spark, sf_dir, "events")
+    xy = e.select(
+        hash_bucket(F.col("event_id"), 2000, "lat").alias("x"),
+        hash_bucket(F.col("event_id"), 2000, "lon").alias("y"),
+    )
+    m = xy.withColumn(
+        "zbucket", F.expr(f"{_morton_sql('x', 'y')} >> 14")
+    )
+    return (
+        m.groupBy(F.col("zbucket").cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pings"),
+            F.countDistinct(F.col("x") * 2048 + F.col("y"))
+            .cast("long")
+            .alias("n_cells"),
+            (F.max("x") - F.min("x")).cast("long").alias("x_span"),
+            (F.max("y") - F.min("y")).cast("long").alias("y_span"),
+        )
+        .orderBy(F.desc("n_pings"), F.asc("zbucket"))
+        .limit(40)
+    )
+
+
+@query(
+    "zonemap_prune_audit",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(day(ts) AS BIGINT) AS d, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ev),
+    day_files AS (
+        SELECT 'day_partitioned' AS scheme, d AS file_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM ev GROUP BY d
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents ASC, event_id ASC) AS rn
+        FROM ev
+    ),
+    sort_files AS (
+        SELECT 'value_sorted' AS scheme,
+               CAST(floor((rn - 1) * 30.0 / n.n_rows) AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM ranked CROSS JOIN n
+        GROUP BY scheme, file_id
+    ),
+    files AS (
+        SELECT * FROM day_files UNION ALL SELECT * FROM sort_files
+    ),
+    th AS (SELECT unnest(range(1, 10)) * 50 AS threshold)
+    SELECT CAST(th.threshold AS BIGINT) AS threshold, f.scheme,
+           CAST(sum(CASE WHEN f.max_cents >= th.threshold * 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(sum(CASE WHEN f.max_cents >= th.threshold * 100
+                         THEN f.cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+           round(CAST(sum(CASE WHEN f.max_cents >= th.threshold * 100
+                               THEN f.cnt ELSE 0 END) AS DOUBLE)
+                 / min(n.n_rows), 6) + 0.0 AS scan_fraction
+    FROM files f CROSS JOIN th CROSS JOIN n
+    GROUP BY threshold, f.scheme
+    """,
+)
+def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer) pruning yield under two file layouts —
+    30 day-partitioned files vs 30 value-sort-clustered files — for the
+    predicate value >= t, t in 50..450: the day layout scans everything
+    at every threshold (daily max ≈ global max: zone maps on an
+    uncorrelated column are dead weight) while the sorted layout's scan
+    fraction falls linearly — the measured argument for sort-clustering
+    the filter column. The sorted file id comes from the distributed
+    global_row_number kernel (never a fact-wide single-partition
+    window in the engine; the oracle's window form is value-identical);
+    thresholds are a 9-row broadcast grid."""
+    from ..operators.winners import global_row_number
+
+    e = _load(spark, sf_dir, "events")
+    ev = e.select(
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    day_files = ev.groupBy(F.col("d").alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("cents").cast("long").alias("max_cents"),
+    ).select(F.lit("day_partitioned").alias("scheme"), "file_id", "cnt", "max_cents")
+    ranked = global_row_number(ev, ["cents", "event_id"], "rn")
+    sort_files = (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.floor((F.col("rn") - 1) * 30.0 / F.col("n_rows"))
+            .cast("long")
+            .alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .select(
+            F.lit("value_sorted").alias("scheme"), "file_id", "cnt", "max_cents"
+        )
+    )
+    files = day_files.unionByName(sort_files)
+    th = spark.range(1, 10).select(
+        (F.col("id") * 50).cast("long").alias("threshold")
+    )
+    j = files.crossJoin(F.broadcast(th)).crossJoin(F.broadcast(n))
+    hit = F.col("max_cents") >= F.col("threshold") * 100
+    return j.groupBy("threshold", "scheme").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_files_scanned"),
+        F.sum(F.when(hit, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        (
+            F.round(
+                F.sum(F.when(hit, F.col("cnt")).otherwise(0)).cast("double")
+                / F.min("n_rows"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("scan_fraction"),
+    )
