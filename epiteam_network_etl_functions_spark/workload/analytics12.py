@@ -1321,7 +1321,12 @@ def week_over_week_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select("user_id", wk.alias("wk")).distinct().localCheckpoint(
         eager=False
     )
-    a = d.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    a = (
+        d.groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("nu"))
+        # consumed as cur AND nxt (plan_audit lead)
+        .localCheckpoint(eager=False)
+    )
     d2 = d.select(
         F.col("user_id").alias("user_id2"), F.col("wk").alias("wk2")
     )
@@ -1527,7 +1532,10 @@ def user_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("cents")
-    )
+    # three consumers (kernel input, per-half counts, the n1 scalar)
+    # would re-run the fact aggregation (plan_audit lead; the
+    # checkpoint-on-reuse rule)
+    ).localCheckpoint(eager=False)
     ranked = global_row_number(
         h.withColumn("neg_cents", -F.col("cents")),
         ["half", "neg_cents", "user_id"],
