@@ -452,6 +452,22 @@ DEFERRED: tuple[str, ...] = (
     "jl_distortion_audit",
     "morton_bucket_extent",
     "zonemap_prune_audit",
+    # round-12-candidate registrations, second tranche
+    # (workload/analytics13.py).
+    "order_value_gini_by_segment",
+    "monthly_revenue_anomaly",
+    "customer_value_cv_histogram",
+    "order_total_coverage_ratio",
+    "return_rate_by_price_band",
+    "quarter_end_load_factor",
+    "second_event_latency_histogram",
+    "error_recovery_latency",
+    "modal_weekday_stability",
+    "vocab_head_turnover",
+    "cell_revisit_quantiles",
+    "join_key_skew_profile",
+    "hash_partition_balance_audit",
+    "compaction_bin_plan",
 )
 
 
@@ -481,6 +497,8 @@ def load_all() -> None:
     # analytics12 after analytics11: also fully DEFERRED (round-12
     # candidates that top up the round-11 prefix to a full 50).
     from . import analytics12  # noqa: F401
+    # analytics13: second round-12-candidate tranche, fully DEFERRED.
+    from . import analytics13  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:
