@@ -104,3 +104,76 @@ def test_top_decile_share_bounds(spark):
         assert 1 <= r["k_top"] == -(-r["n_users"] // 10)
         assert 0.0 < r["top_share"] <= 1.0
         assert r["top_share"] * r["n_users"] >= r["k_top"] * 0.999999
+
+
+# ---------------------------------------------------------------------------
+# analytics13 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_gini_bounds_and_rank_sanity(spark):
+    rows = _run(spark, "order_value_gini_by_segment").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0, r
+        assert r["n_orders"] > 0
+
+
+def test_compaction_plan_contiguous_and_complete(spark):
+    """Files cover disjoint contiguous day ranges and conserve rows."""
+    rows = sorted(
+        _run(spark, "compaction_bin_plan").collect(),
+        key=lambda r: r["file_id"],
+    )
+    assert rows
+    total_days = sum(r["n_days"] for r in rows)
+    assert total_days == 30
+    prev_max = 0
+    for r in rows:
+        assert r["day_min"] > prev_max, "file ranges overlap or reorder"
+        assert r["day_max"] - r["day_min"] + 1 == r["n_days"], (
+            "file spans a day hole"
+        )
+        prev_max = r["day_max"]
+
+
+def test_hash_partition_balance_near_uniform(spark):
+    rows = _run(spark, "hash_partition_balance_audit").collect()
+    assert len(rows) == 32
+    assert abs(sum(r["ratio_to_mean"] for r in rows) - 32.0) < 1e-3
+    # md5 on a uniform key: no bucket should be wildly off at sf0.001
+    assert all(0.2 < r["ratio_to_mean"] < 3.0 for r in rows)
+
+
+def test_join_key_skew_factor_at_least_one(spark):
+    rows = _run(spark, "join_key_skew_profile").collect()
+    assert {r["key_name"] for r in rows} == {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+    }
+    for r in rows:
+        assert r["skew_factor"] >= 1.0 - 1e-9
+        assert r["max_rows_per_key"] >= r["p99"] >= r["p50"] > 0
+
+
+def test_recovery_shares_sum_to_one(spark):
+    rows = _run(spark, "error_recovery_latency").collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_quarter_end_load_factor_reasonable(spark):
+    """Uniform synthetic orderdates: every complete quarter's load
+    factor should sit near 1 (no quarter-end hockey stick)."""
+    rows = _run(spark, "quarter_end_load_factor").collect()
+    assert rows
+    complete = [r for r in rows if r["n_orders"] > 50]
+    assert complete
+    # individual quarters are noisy at sf0.001 (~56 orders/quarter);
+    # bound each loosely and pin the order-weighted mean near 1
+    for r in complete:
+        assert 0.0 <= r["load_factor"] < 5.0, r
+    n = sum(r["n_orders"] for r in complete)
+    mean = sum(r["load_factor"] * r["n_orders"] for r in complete) / n
+    assert 0.6 < mean < 1.6, mean
