@@ -468,6 +468,7 @@ DEFERRED: tuple[str, ...] = (
     "join_key_skew_profile",
     "hash_partition_balance_audit",
     "compaction_bin_plan",
+    "props_variant_k_histogram",
 )
 
 

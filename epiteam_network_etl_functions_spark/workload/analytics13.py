@@ -1041,3 +1041,43 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("long").alias("day_max"),
         F.sum("n").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "props_variant_k_histogram",
+    oracle="""
+    WITH k AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+        FROM events
+    )
+    SELECT event_type,
+           CAST(kv // 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(kv) AS DOUBLE) / count(*), 6) AS avg_k
+    FROM k GROUP BY event_type, k_bucket
+    """,
+)
+def props_variant_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram of the JSON payload field via Spark 4's
+    VARIANT path: parse_json once into the binary semi-structured
+    type, then variant_get typed extraction — the modern engine form
+    of the reference's JSON round-trips (§2.8 JSON family), staying
+    JVM-side and shredding-ready instead of per-row string re-parsing
+    (get_json_object re-parses the string per call; a VARIANT parses
+    once and serves every extraction). DuckDB oracle uses its native
+    json_extract — same values, independently derived."""
+    e = _load(spark, sf_dir, "events")
+    k = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("kv"),
+    )
+    return k.groupBy(
+        "event_type",
+        F.floor(F.col("kv") / 10).cast("long").alias("k_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("kv").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_k"
+        ),
+    )
