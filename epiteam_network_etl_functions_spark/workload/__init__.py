@@ -469,6 +469,12 @@ DEFERRED: tuple[str, ...] = (
     "hash_partition_balance_audit",
     "compaction_bin_plan",
     "props_variant_k_histogram",
+    # round-12-candidate registrations, third tranche
+    # (workload/analytics14.py).
+    "gap_exponential_ks",
+    "doc_length_lognormal_params",
+    "dict_encoding_gain_audit",
+    "sample_estimate_error_curve",
 )
 
 
@@ -500,6 +506,8 @@ def load_all() -> None:
     from . import analytics12  # noqa: F401
     # analytics13: second round-12-candidate tranche, fully DEFERRED.
     from . import analytics13  # noqa: F401
+    # analytics14: third round-12-candidate tranche, fully DEFERRED.
+    from . import analytics14  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:
