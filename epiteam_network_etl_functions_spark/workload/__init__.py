@@ -475,6 +475,7 @@ DEFERRED: tuple[str, ...] = (
     "doc_length_lognormal_params",
     "dict_encoding_gain_audit",
     "sample_estimate_error_curve",
+    "stream_static_enrichment",
 )
 
 

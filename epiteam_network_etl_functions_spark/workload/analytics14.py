@@ -326,3 +326,76 @@ def sample_estimate_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("rel_error"),
     ).drop("thr")
+
+
+_A14_STREAM_COUNTER = [0]
+
+
+@query(
+    "stream_static_enrichment",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               CAST((min(day(ts)) - 1) // 7 + 1 AS BIGINT) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT d.cohort_week, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort_week, e.event_type
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING stream-STATIC join — the dimension
+    enrichment path (stream fact x broadcast-refreshed batch dim) the
+    streaming family had not yet certified (tumbling, sliding,
+    stream-stream, dedup, and stateful sessions are). The static side
+    is the first-seen cohort-week dim computed batch-side; each
+    micro-batch joins it broadcast, so state is dim-sized and the
+    drained availableNow stream must reproduce the batch join + rollup
+    bit-for-bit (exact integer cents)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    e = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    dim = e.groupBy("user_id").agg(
+        (
+            F.floor((F.min(F.dayofmonth("ts")) - 1) / 7) + 1
+        ).cast("long").alias("cohort_week")
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_stream_dim_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    e.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("cohort_week", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    _A14_STREAM_COUNTER[0] += 1
+    name = f"graft_stream_dim_{os.getpid()}_{_A14_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_cents").cast("bigint").alias("value_cents"),
+    )
