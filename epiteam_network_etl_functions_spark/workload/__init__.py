@@ -476,6 +476,19 @@ DEFERRED: tuple[str, ...] = (
     "dict_encoding_gain_audit",
     "sample_estimate_error_curve",
     "stream_static_enrichment",
+    # round-12-candidate registrations, fourth tranche
+    # (workload/analytics15.py).
+    "nation_revenue_volatility",
+    "nation_top_brand",
+    "priority_mix_by_value_quintile",
+    "order_ship_weekday_matrix",
+    "parttype_size_chi2",
+    "monthly_revenue_autocorr",
+    "session_type_richness",
+    "value_by_session_position",
+    "zipf_abbreviation_curve",
+    "knn_radius_histogram",
+    "partial_merge_consistency",
 )
 
 
@@ -509,6 +522,8 @@ def load_all() -> None:
     from . import analytics13  # noqa: F401
     # analytics14: third round-12-candidate tranche, fully DEFERRED.
     from . import analytics14  # noqa: F401
+    # analytics15: fourth round-12-candidate tranche, fully DEFERRED.
+    from . import analytics15  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:
