@@ -739,8 +739,13 @@ def knn_radius_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
     )
+    # the corpus often arrives as ONE parquet partition at bench scale;
+    # without a spread the broadcast join scores all sample x corpus
+    # pairs in a single task (the knn_margin_stats BNLJ-width lesson,
+    # PLANS.md r10)
+    corpus = e.repartition(spark.sparkContext.defaultParallelism)
     scored = (
-        e.crossJoin(F.broadcast(anchors))
+        corpus.crossJoin(F.broadcast(anchors))
         .where(F.col("vec_id") != F.col("qa"))
         .select(
             "qa",
