@@ -177,3 +177,61 @@ def test_quarter_end_load_factor_reasonable(spark):
     n = sum(r["n_orders"] for r in complete)
     mean = sum(r["load_factor"] * r["n_orders"] for r in complete) / n
     assert 0.6 < mean < 1.6, mean
+
+
+# ---------------------------------------------------------------------------
+# analytics14/15 invariants
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_nonnegative_and_dof(spark):
+    rows = _run(spark, "parttype_size_chi2").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["chi2"] >= 0.0
+    assert r["dof"] >= 1
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_autocorr_in_unit_interval(spark):
+    r = _run(spark, "monthly_revenue_autocorr").collect()[0]
+    assert -1.0 <= r["lag1_autocorr"] <= 1.0
+    assert r["n_pairs"] >= 70
+
+
+def test_quintile_mix_shares(spark):
+    rows = _run(spark, "priority_mix_by_value_quintile").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["value_quintile"], 0.0)
+        by_q[r["value_quintile"]] += r["share"]
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, s in by_q.items():
+        assert abs(s - 1.0) < 1e-3, (q, s)
+
+
+def test_sample_error_curve_shrinks_broadly(spark):
+    """Larger samples should estimate better in aggregate: the 20%
+    estimate must beat the 1% estimate (individual adjacent fractions
+    can invert by luck on one dataset)."""
+    rows = {r["sample_pct"]: r for r in _run(spark, "sample_estimate_error_curve").collect()}
+    assert set(rows) == {1, 2, 5, 10, 20}
+    assert rows[20]["rel_error"] <= rows[1]["rel_error"] + 1e-9
+    for r in rows.values():
+        # CLT-scaled bound: a 10-row sample (1% at sf0.001) can miss big
+        bound = max(0.3, 3.0 / max(r["n_sampled"], 1) ** 0.5)
+        assert r["rel_error"] < bound, r
+
+
+def test_ks_d_in_unit_interval(spark):
+    for r in _run(spark, "gap_exponential_ks").collect():
+        assert 0.0 <= r["ks_d"] <= 1.0
+        assert r["mean_gap_s"] > 0
+
+
+def test_dict_gain_bounds(spark):
+    rows = _run(spark, "dict_encoding_gain_audit").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_distinct"] <= r["n_rows"]
+        assert r["gain"] < 1.0
