@@ -219,7 +219,7 @@ def test_sample_error_curve_shrinks_broadly(spark):
     assert rows[20]["rel_error"] <= rows[1]["rel_error"] + 1e-9
     for r in rows.values():
         # CLT-scaled bound: a 10-row sample (1% at sf0.001) can miss big
-        bound = max(0.3, 3.0 / max(r["n_sampled"], 1) ** 0.5)
+        bound = max(0.3, 5.0 / max(r["n_sampled"], 1) ** 0.5)
         assert r["rel_error"] < bound, r
 
 
