@@ -489,6 +489,9 @@ DEFERRED: tuple[str, ...] = (
     "zipf_abbreviation_curve",
     "knn_radius_histogram",
     "partial_merge_consistency",
+    "cents_fraction_bias",
+    "linenumber_density_audit",
+    "temporal_integrity_audit",
 )
 
 

@@ -833,3 +833,145 @@ def partial_merge_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
     return merged.join(du, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Data-forensics audits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cents_fraction_bias",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(round(value * 100) AS BIGINT) % 100 AS frac
+        FROM events
+    ),
+    c AS (
+        SELECT frac, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY frac
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+    SELECT frac, n,
+           round(CAST(n AS DOUBLE) / t.tot, 6) + 0.0 AS share,
+           round(CAST(n AS DOUBLE) / t.tot * 100.0, 6) + 0.0 AS lift
+    FROM c CROSS JOIN t
+    ORDER BY n DESC, frac ASC
+    LIMIT 10
+    """,
+)
+def cents_fraction_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cent fractions of the value column with their lift over
+    the uniform 1/100 expectation — price-point forensics (human-priced
+    data piles up on .00/.99/.50; a lift near 1 everywhere certifies a
+    synthetic generator, which is this corpus's finding). Map-side
+    modulo + count; the total is a 100-row re-aggregate."""
+    e = _load(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.round(F.col("value") * 100).cast("long") % 100).alias("frac")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
+        eager=False
+    )
+    t = c.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "frac",
+            "n",
+            (
+                F.round(F.col("n").cast("double") / F.col("tot"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.round(F.col("n").cast("double") / F.col("tot") * 100.0, 6)
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n"), F.asc("frac"))
+        .limit(10)
+    )
+
+
+@query(
+    "linenumber_density_audit",
+    oracle="""
+    WITH p AS (
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(max(l_linenumber) AS BIGINT) AS max_ln
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN max_ln = n_lines THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dense,
+           round(CAST(sum(CASE WHEN max_ln = n_lines THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) + 0.0 AS dense_share
+    FROM p GROUP BY n_lines
+    """,
+)
+def linenumber_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are an order's line numbers the dense sequence 1..n, or were
+    lines deleted upstream? Share of orders whose max(linenumber)
+    equals their line count, by order size — the child-table
+    completeness forensic (this corpus is mostly SPARSE, i.e. the
+    generator samples line numbers; a real OLTP extract is dense).
+    One orderkey aggregate and a 7-row histogram."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.max("l_linenumber").cast("long").alias("max_ln"),
+    )
+    dense = F.when(F.col("max_ln") == F.col("n_lines"), 1).otherwise(0)
+    return p.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(dense).cast("long").alias("n_dense"),
+        (
+            F.round(F.sum(dense).cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("dense_share"),
+    )
+
+
+@query(
+    "temporal_integrity_audit",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           round(CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               + 0.0 AS violation_share,
+           CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE))) AS BIGINT)
+               AS min_lag_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_year
+    """,
+)
+def temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-before-order violations per order year — the causal-order
+    integrity check between independently generated parent/child
+    facts (this corpus HAS violations, and quantifying them is the
+    audit's job; a clean extract shows zeros). One orderkey join into
+    a 7-row year rollup, integer day arithmetic."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    viol = F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+    return j.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (
+            F.round(F.sum(viol).cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("violation_share"),
+        F.min(F.datediff("l_shipdate", "o_orderdate"))
+        .cast("long")
+        .alias("min_lag_days"),
+    )
