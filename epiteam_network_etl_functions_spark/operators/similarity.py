@@ -349,12 +349,19 @@ def correlation_matrix(
     mapInPandas partials); the first moments from posexplode + groupBy,
     whose map-side partial aggregation also ships only partitions×d rows.
     Both moment frames are d- or d²-sized, so every join here broadcasts."""
-    g = gram_matrix(df, vec_col, dim, digits=None)
+    # g feeds the main join AND both diagonal extracts; mu feeds both
+    # margins — without pinning these d²-/d-sized summaries the corpus
+    # mapInPandas (gram) runs three times (plan_audit lead, r10:
+    # corpus scans 5 -> 2, 0.66 -> ~0.4 s at sf0.1)
+    g = gram_matrix(df, vec_col, dim, digits=None).localCheckpoint(
+        eager=False
+    )
     mu = (
         df.select(F.posexplode(as_double(F.col(vec_col))).alias("i", "v"))
         .withColumn("i", F.col("i") + 1)
         .groupBy("i")
         .agg((F.sum("v") / F.count(F.lit(1))).alias("mu"))
+        .localCheckpoint(eager=False)
     )
     diag = g.where(F.col("i") == F.col("j")).select(
         F.col("i").alias("d_i"), F.col("m_ij").alias("m_d")

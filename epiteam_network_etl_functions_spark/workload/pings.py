@@ -1397,8 +1397,14 @@ def cell_daily_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
     pres = p.select(
         "cell", F.to_date("cdmx_datetime").alias("day"), "caid"
-    ).distinct()
-    sizes = pres.groupBy("cell", "day").agg(F.count(F.lit(1)).alias("n"))
+    # three consumers (sizes, shifted copy, intersection join) would
+    # re-run the md5 ping synthesis + distinct (plan_audit lead, r10)
+    ).distinct().localCheckpoint(eager=False)
+    sizes = (
+        pres.groupBy("cell", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumed as na AND the s2 shift
+    )
     nxt = pres.select(
         "cell", F.date_sub(F.col("day"), 1).alias("day"), "caid"
     )

@@ -1849,7 +1849,9 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     du = e.select(
         F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    # three consumers (dau, day spine, band join) would re-run the
+    # fact distinct (plan_audit lead, r10)
+    ).distinct().localCheckpoint(eager=False)
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     days = du.select("day").distinct()
     d = days.alias("d")
@@ -3200,7 +3202,8 @@ def peak_concurrency_partitioned(
     day_us = 86_400_000_000
     pts = _session_endpoints(spark, sf_dir).withColumn(
         "day", F.expr(f"us div {day_us}")
-    )
+    # consumed by the carry totals AND the sweep (plan_audit lead, r10)
+    ).localCheckpoint(eager=False)
     day_tot = pts.groupBy("day").agg(F.sum("delta").alias("tot"))
     w_days = (
         Window.orderBy(F.col("day").asc())
@@ -3221,7 +3224,9 @@ def peak_concurrency_partitioned(
     )
     run = pts.withColumn("in_day", F.sum("delta").over(w_day_sweep)).join(
         F.broadcast(carry), "day"
-    ).select("us", (F.col("in_day") + F.col("carry")).alias("conc"))
+    ).select(
+        "us", (F.col("in_day") + F.col("carry")).alias("conc")
+    ).localCheckpoint(eager=False)  # consumed by the max AND the argmax join
     mx = run.agg(F.max("conc").alias("max_concurrent"))
     return (
         run.join(F.broadcast(mx), run.conc == mx.max_concurrent)

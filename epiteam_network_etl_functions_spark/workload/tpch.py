@@ -1857,6 +1857,10 @@ def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.sum(_revenue_col()).cast("decimal(38,0)").alias("rev"))
+        # consumed by the total AND the final select: without a
+        # checkpoint the 5-table join + aggregation runs twice
+        # (plan_audit lead, r10: scans 10 -> 5)
+        .localCheckpoint(eager=False)
     )
     tot = rr.agg(F.sum("rev").cast("decimal(38,0)").alias("t"))
     return rr.crossJoin(F.broadcast(tot)).select(
