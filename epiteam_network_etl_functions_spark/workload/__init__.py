@@ -492,6 +492,7 @@ DEFERRED: tuple[str, ...] = (
     "cents_fraction_bias",
     "linenumber_density_audit",
     "temporal_integrity_audit",
+    "stream_update_mode_counts",
 )
 
 

@@ -975,3 +975,76 @@ def temporal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_lag_days"),
     )
+
+
+_A15_STREAM_COUNTER = [0]
+
+
+@query(
+    "stream_update_mode_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING in UPDATE output mode — the re-emission
+    path the streaming family had not yet certified (complete-mode
+    aggs, stream-stream, stream-static, dedup, and stateful sessions
+    are). The source is split into multiple micro-batches
+    (maxFilesPerTrigger over a day-partitioned write), so hot
+    (window, type) keys are UPDATED several times; the memory sink
+    accumulates every emission and the drained result is recovered as
+    max(count) per key — counts only grow, so the last update is the
+    max, and it must equal the batch rollup exactly. Watermark is set
+    wide (40 days) so cross-batch disorder cannot drop rows: the
+    certified surface is update-mode re-emission, not eviction
+    (eviction is exercised by streaming/windows.py's production
+    configuration)."""
+    import os
+    import tempfile
+
+    prep(spark)
+    e = _load(spark, sf_dir, "events").select("event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="graft_stream_upd_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    # day-partitioned write -> ~30 files -> ~6 micro-batches at 5/trigger
+    e.withColumn("d", F.dayofmonth("ts")).repartition(
+        30, F.col("d")
+    ).drop("d").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 5)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "40 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _A15_STREAM_COUNTER[0] += 1
+    name = f"graft_stream_upd_{os.getpid()}_{_A15_STREAM_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.max("n").cast("bigint").alias("n_events"))
+    )
