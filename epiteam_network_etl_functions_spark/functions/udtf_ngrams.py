@@ -55,7 +55,7 @@ def ngrams_via_kernel(df: DataFrame, text_col: str, n: int) -> DataFrame:
                 F.array_join(F.slice(words, i + 1, n), " ").alias("ngram"),
             ),
         ),
-    ).otherwise(F.array().cast(f"array<struct<pos:int,ngram:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,ngram:string>>"))
     return df.select(F.explode(grams).alias("g")).select(
         F.col("g.pos").alias("pos"), F.col("g.ngram").alias("ngram")
     )

@@ -128,3 +128,28 @@ def sketch_agg_partitions(
             "or lower the sketch's lgConfigK"
         )
     return width
+
+
+def drain_available_now(query, tmp_dir: str | None = None, timeout: int = 300) -> None:
+    """Block until an availableNow streaming query fully drains.
+
+    `StreamingQuery.awaitTermination(timeout)` returns False on timeout
+    without raising; reading the memory sink at that point silently
+    yields plausible-looking undercounts on a loaded host. Raise
+    instead. Also removes the query's scratch dir (re-landed source
+    parquet + checkpoint) so repeated sweeps/bench runs don't leak
+    /tmp disk — the memory sink holds its rows driver-side, so the
+    files are not needed after the drain.
+    """
+    import shutil
+
+    try:
+        if not query.awaitTermination(timeout):
+            query.stop()
+            raise RuntimeError(
+                f"streaming query {query.name!r} did not drain "
+                f"within {timeout}s; refusing to read a partial sink"
+            )
+    finally:
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)

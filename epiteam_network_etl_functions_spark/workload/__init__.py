@@ -360,6 +360,57 @@ DEMOTED: tuple[str, ...] = (
     "pca_explained_variance",
     "two_hop_reach_sketch_audit",
     "two_hop_reach_sketched",
+    # driver-green round 10 (CORRECTNESS_r10: 50/50 hash_match).
+    "balance_spend_spearman",
+    "priority_price_mannwhitney",
+    "mktsegment_nation_chi2",
+    "value_ewma_control",
+    "orders_seasonal_index",
+    "source_unigram_kl",
+    "markov_entropy_rate",
+    "brand_price_theil",
+    "two_hop_reach_histogram",
+    "stream_purchase_error_pairs",
+    "two_hop_reach_capped",
+    "doc_unigram_logprob",
+    "stream_dedup_event_counts",
+    "priority_price_kruskal_wallis",
+    "hourly_poisson_dispersion",
+    "stream_closed_sessions",
+    "jsonl_roundtrip_digest",
+    "hard_negative_pairs",
+    "part_basket_lift",
+    "hard_negative_bucketed",
+    "hard_negative_recall_audit",
+    "supplier_late_rate_wilson",
+    "event_type_lift_matrix",
+    "customer_value_trend_slopes",
+    "referential_integrity_audit",
+    "primary_key_audit",
+    "value_dow_hour_decomposition",
+    "order_price_rank_deciles",
+    "user_value_pareto",
+    "approx_distinct_users_verdict",
+    "median_sketch_verdict",
+    "order_status_priority_matrix",
+    "supplier_year_rank_change",
+    "shipping_sla_by_month",
+    "reorder_latency_by_segment",
+    "part_brand_price_iqr",
+    "rolling_7d_active_users",
+    "session_gap_sensitivity",
+    "concurrency_histogram",
+    "value_theil_by_type",
+    "gap_tail_hill",
+    "cell_transition_pmi",
+    "device_exploration_quantiles",
+    "cell_peak_hour",
+    "source_jsd_matrix",
+    "ttr_by_length_bucket",
+    "doc_positional_novelty",
+    "daily_count_changepoint",
+    "knn_margin_stats",
+    "ivf_probe_sweep",
 )
 
 # Round-9 rotation (executed per the round-8 script): the 50 names
@@ -388,68 +439,24 @@ DEMOTED: tuple[str, ...] = (
 # tests/test_registry.py): list(REGISTRY)[:50] has zero overlap with the
 # union of hash_match:true names across CORRECTNESS_r01..r09.
 #
-# ROUND-11 ROTATION SCRIPT (execute first thing next round): (1) move the
-# names CORRECTNESS_r10 certifies green into DEMOTED above under a
-# "driver-green round 10" comment; (2) move any never-certified leftovers
-# out of this tuple so they float into the round-11 prefix; (3) run
-# tools/check_rotation.py — it must print PASS.
+# ROUND-11 ROTATION EXECUTED: the 50 CORRECTNESS_r10-green names moved
+# into DEMOTED above ("driver-green round 10" block); the 17 analytics11
+# names plus the first 33 analytics12 names were promoted out of this
+# tuple so they form the round-11 prefix. tools/check_rotation.py: OK.
+#
+# ROUND-12 ROTATION SCRIPT (execute first thing next round): (1) move the
+# names CORRECTNESS_r11 certifies green into DEMOTED above under a
+# "driver-green round 11" comment; (2) move the next never-certified
+# leftovers (the remaining analytics12 tail + analytics13/14/15 names
+# below) out of this tuple so they float into the round-12 prefix; (3)
+# run tools/check_rotation.py — it must print PASS.
 DEFERRED: tuple[str, ...] = (
-    # round-11 registrations (workload/analytics11.py): sweep-verified
-    # this round, they float into the round-11 prefix at the next
-    # rotation.
-    "value_psi_halves",
-    "order_priority_markov",
-    "customer_order_burstiness",
-    "supplier_part_gini",
-    "doc_simpson_diversity",
-    "embedding_dim0_anova",
-    "quantity_uniformity_chi2",
-    "home_work_separation",
-    "stream_sliding_hour_value",
-    "sim_measure_rank_corr",
-    "od_gravity_fit",
-    "cosine_l2_rank_agreement",
-    "heavy_hitters_verdict",
-    "theta_set_ops_verdict",
-    "kll_quantile_verdict",
-    "bitmap_distinct_users",
-    "count_min_freq_verdict",
-    # round-12-candidate registrations (workload/analytics12.py): they
-    # fill the round-11 prefix together with the analytics11 family
-    # (the next rotation promotes DEFERRED names ahead of DEMOTED).
-    "returned_share_by_brand",
-    "lineitem_tax_discount_grid",
-    "discount_cap_counterfactual",
-    "part_name_term_head",
-    "linenumber_position_profile",
-    "brand_peak_ship_month",
-    "domestic_revenue_share",
-    "international_order_share",
-    "nation_customer_supplier_balance",
-    "acctbal_outliers_by_nation",
-    "negative_balance_share",
-    "region_parttype_affinity",
-    "supplier_breadth_histogram",
-    "ship_lag_by_weekday",
-    "quantity_outlier_orders",
-    "unit_price_retail_gap",
-    "day_hour_profile_distance",
-    "user_type_entropy_histogram",
-    "daily_top_decile_share",
-    "error_rate_by_hour_wilson",
-    "week_over_week_user_jaccard",
-    "session_entry_exit_matrix",
-    "user_decile_migration",
-    "type_hourly_amplitude",
-    "activity_gap_profile",
-    "user_weekday_concentration",
-    "lang_char_trigram_head",
-    "term_position_profile",
-    "token_run_length_audit",
-    "nearest_centroid_confusion",
-    "cosine_to_mean_histogram",
-    "embedding_grid_occupancy",
-    "jl_distortion_audit",
+    # ROUND-11 ROTATION EXECUTED: the 17 analytics11 names and the first
+    # 33 analytics12 names were promoted out of this tuple into the
+    # round-11 prefix (they are the 50 never-certified names the driver
+    # samples this round). What remains below floats into the round-12
+    # prefix at the next rotation.
+    # round-12-candidate registrations (workload/analytics12.py), tail:
     "morton_bucket_extent",
     "zonemap_prune_audit",
     # round-12-candidate registrations, second tranche

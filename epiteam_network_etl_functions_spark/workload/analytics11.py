@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 from ..session import prep
+from ..utils import drain_available_now
 from . import query
 
 
@@ -656,7 +657,7 @@ def stream_sliding_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias(
             "window_start"

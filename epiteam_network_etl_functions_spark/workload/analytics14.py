@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 from ..session import prep
+from ..utils import drain_available_now
 from . import query
 from .extended import _hash_bucket_sql
 
@@ -392,7 +393,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return spark.table(name).select(
         F.col("cohort_week").cast("long").alias("cohort_week"),
         "event_type",

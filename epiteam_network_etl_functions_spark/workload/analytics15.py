@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
 from ..session import prep
+from ..utils import drain_available_now
 from . import query
 from .tpch import _SQL_BP, _SQL_CENTS, _cents
 
@@ -1037,7 +1038,7 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return (
         spark.table(name)
         .groupBy(

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .. import catalog
 from ..operators.winners import global_row_number
 from ..session import prep
+from ..utils import drain_available_now
 from . import query
 
 
@@ -808,7 +809,7 @@ def stream_purchase_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return (
         spark.table(name)
         .groupBy(F.col("p_user").alias("user_id"))
@@ -1221,7 +1222,7 @@ def stream_dedup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return spark.table(name).select("event_type", "n_unique_events")
 
 
@@ -1429,7 +1430,7 @@ def stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1475,6 +1476,12 @@ def jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang", "n_chars"
     )
     tmp = tempfile.mkdtemp(prefix="graft_jsonl_rt_")
+    # the returned frame lazily re-reads the shards, so the dir cannot be
+    # removed here; reclaim it at interpreter exit instead of leaking /tmp
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     out = os.path.join(tmp, "shards")
     write_jsonl_shards(d, out, records_per_shard=500)
     back = read_jsonl(spark, out)

@@ -18,6 +18,7 @@ from .. import catalog
 from ..operators.cdc import scd2_apply, upsert_latest
 from ..operators.winners import top1_per_key
 from ..session import prep
+from ..utils import drain_available_now
 from . import query
 
 CUTOVER = "2024-01-21"  # ~2/3 history, ~1/3 updates at every sf
@@ -229,7 +230,7 @@ def stream_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_available_now(q, tmp)
     return spark.table(name).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour_s"),
         "event_type",
