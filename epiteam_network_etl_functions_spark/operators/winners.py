@@ -37,8 +37,25 @@ def global_row_number(
     out_col: str = "r",
     num_partitions: int | None = None,
 ) -> DataFrame:
+    ranked, _ = global_row_number_and_total(
+        df, order_cols, out_col=out_col, num_partitions=num_partitions
+    )
+    return ranked
+
+
+def global_row_number_and_total(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "r",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
     """Exact global ROW_NUMBER() OVER (ORDER BY *order_cols) without a
-    single-partition sort.
+    single-partition sort; also returns the exact total row count.
+
+    The total is the sum of the per-partition counts the kernel already
+    collects for its offsets — callers that would otherwise run a
+    separate ``df.count()`` job (e.g. decile = (rk-1)*K div n) get it
+    for free.
 
     ``order_cols`` must be a deterministic total order (include a unique
     tie-break key) — then the ranks are value-identical to the
@@ -112,7 +129,7 @@ def global_row_number(
             ).cast("long"),
         )
         .drop("__pid", "__mid", "__off")
-    )
+    ), running
 
 
 def category_winner(

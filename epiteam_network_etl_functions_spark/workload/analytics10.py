@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .. import catalog
-from ..operators.winners import global_row_number
+from ..operators.winners import (
+    global_row_number,
+    global_row_number_and_total,
+)
 from ..session import prep
 from . import query
 
@@ -73,13 +76,13 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification surface (the r9 verdict's named fix, promoted to a
     product query)."""
     o = _load(spark, sf_dir, "orders")
-    # row count resolved to a plan-build LITERAL (parquet footer
-    # metadata — no data scan): the tfidf r9 discipline. Deriving it
-    # from the ranked frame instead re-executed the kernel's window
-    # subtree twice more (probe_floor showed data/duck 5.03 before;
-    # 0.36 s of the 0.73 s wall was those re-passes).
-    n_tot = o.count()
-    ranked = global_row_number(
+    # n_tot is a plan-build LITERAL taken from the rank kernel's own
+    # per-partition count collect (sum of offsets) — zero extra jobs.
+    # Deriving it from the ranked frame instead re-executed the kernel's
+    # window subtree twice more (probe_floor showed data/duck 5.03
+    # before; 0.36 s of the 0.73 s wall was those re-passes), and a
+    # separate o.count() job was one whole scheduling floor (~0.08 s).
+    ranked, n_tot = global_row_number_and_total(
         o.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             "o_totalprice",
@@ -87,7 +90,8 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["o_totalprice", "o_orderkey"],
         "rk",
-    ).select("cents", "rk")
+    )
+    ranked = ranked.select("cents", "rk")
     return (
         ranked.select(
             F.expr(f"((rk - 1) * 10) div {n_tot}L")
