@@ -500,6 +500,24 @@ DEFERRED: tuple[str, ...] = (
     "linenumber_density_audit",
     "temporal_integrity_audit",
     "stream_update_mode_counts",
+    # round-12-candidate registrations, fifth tranche
+    # (workload/analytics16.py): new API surfaces — parquet_meta +
+    # graphml + geojson Python DataSources, both UDTF forms, append-mode
+    # eviction + foreachBatch streaming — plus five new-territory
+    # rollups. Tops round-12 prefix supply up to exactly 50.
+    "footer_stats_content_parity",
+    "footer_rowcount_audit",
+    "graphml_roundtrip_edges",
+    "geojson_dim_roundtrip",
+    "udtf_session_stats",
+    "udtf_top_bigrams",
+    "stream_append_closed_windows",
+    "stream_foreach_batch_totals",
+    "returnflag_linestatus_cramers_v",
+    "doc_sentence_length_profile",
+    "source_char_class_census",
+    "acctbal_ks_customer_supplier",
+    "schema_evolution_union",
 )
 
 
@@ -535,6 +553,9 @@ def load_all() -> None:
     from . import analytics14  # noqa: F401
     # analytics15: fourth round-12-candidate tranche, fully DEFERRED.
     from . import analytics15  # noqa: F401
+    # analytics16: fifth round-12-candidate tranche (round-11 surface
+    # registrations), fully DEFERRED.
+    from . import analytics16  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:

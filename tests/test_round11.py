@@ -1,0 +1,264 @@
+"""Round-11 surface tests: parquet_meta / graphml DataSources, the
+TABLE-argument sessionize UDTF, and the streaming append/foreachBatch
+queries' invariants the SQL oracles can't express."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# parquet_meta DataSource
+# ---------------------------------------------------------------------------
+
+
+def _meta(spark, path):
+    from epiteam_network_etl_functions_spark.sources.parquet_meta_datasource import (
+        register_parquet_meta,
+    )
+
+    register_parquet_meta(spark)
+    return spark.read.format("parquet_meta").option("path", path).load()
+
+
+def test_parquet_meta_matches_duckdb_bytes(spark):
+    """Byte-level differential vs DuckDB's parquet_metadata() — the
+    fields the oracle query can't check because content SQL can't see
+    them (compressed/uncompressed sizes, row-group bytes)."""
+    ours = {
+        (r["file"], r["row_group"], r["path_in_schema"]): (
+            r["num_values"],
+            r["compressed_bytes"],
+            r["uncompressed_bytes"],
+            r["rg_total_bytes"],
+        )
+        for r in _meta(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    theirs = {}
+    for row in con.execute(
+        f"""SELECT file_name, row_group_id, path_in_schema, num_values,
+                   total_compressed_size, total_uncompressed_size,
+                   row_group_bytes
+            FROM parquet_metadata('{SF_DIR}/*.parquet')"""
+    ).fetchall():
+        # DuckDB renders nested leaf paths as "a, list, element";
+        # pyarrow (and this source) as "a.list.element"
+        theirs[(os.path.basename(row[0]), row[1], row[2].replace(", ", "."))] = (
+            row[3],
+            row[4],
+            row[5],
+            row[6],
+        )
+    assert ours == theirs
+
+
+def test_parquet_meta_partitions_per_file(spark):
+    df = _meta(spark, SF_DIR)
+    assert df.rdd.getNumPartitions() == 10  # one footer fetch per file
+
+
+def test_parquet_meta_paths_option(spark):
+    df = (
+        spark.read.format("parquet_meta")
+        .option(
+            "paths",
+            f"{SF_DIR}/orders.parquet,{SF_DIR}/region.parquet",
+        )
+        .load()
+    )
+    files = {r["file"] for r in df.select("file").distinct().collect()}
+    assert files == {"orders.parquet", "region.parquet"}
+
+
+# ---------------------------------------------------------------------------
+# graphml reader
+# ---------------------------------------------------------------------------
+
+
+def test_graphml_roundtrip_exact(spark, tmp_path):
+    """Writer -> reader round trip preserves the exact node and edge
+    sets, including node attributes."""
+    from epiteam_network_etl_functions_spark.operators.graphs import (
+        write_graphml,
+    )
+    from epiteam_network_etl_functions_spark.sources.graphml_datasource import (
+        register_graphml_source,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a_node bigint, b_node bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (9, "iso")],
+        "node_id bigint, label string",
+    )
+    path = str(tmp_path / "g.graphml")
+    stats = write_graphml(
+        path, edges, nodes=nodes, attr_cols=["label"]
+    )
+    assert stats == {"nodes": 4, "edges": 3}
+
+    register_graphml_source(spark)
+    g = spark.read.format("graphml").option("path", path).load()
+    got_nodes = {
+        r["node_id"]: r["attrs"]
+        for r in g.where("element = 'node'").collect()
+    }
+    assert set(got_nodes) == {"1", "2", "3", "9"}
+    assert json.loads(got_nodes["9"]) == {"label": "iso"}
+    got_edges = {
+        (r["src"], r["dst"]) for r in g.where("element = 'edge'").collect()
+    }
+    assert got_edges == {("1", "2"), ("2", "3"), ("1", "3")}
+
+
+def test_graphml_reader_networkx_style_namespace(spark, tmp_path):
+    """The reader parses documents regardless of attribute declaration
+    order and tolerates self-closing node tags."""
+    xml = """<?xml version='1.0' encoding='utf-8'?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d0" for="node" attr.name="home" attr.type="string" />
+  <graph edgedefault="undirected">
+    <node id="a"><data key="d0">H1</data></node>
+    <node id="b" />
+    <edge source="a" target="b" />
+  </graph>
+</graphml>
+"""
+    path = str(tmp_path / "h.graphml")
+    with open(path, "w") as f:
+        f.write(xml)
+    from epiteam_network_etl_functions_spark.sources.graphml_datasource import (
+        register_graphml_source,
+    )
+
+    register_graphml_source(spark)
+    g = spark.read.format("graphml").option("path", path).load()
+    rows = {(r["element"], r["node_id"], r["src"], r["dst"]) for r in g.collect()}
+    assert ("node", "a", None, None) in rows
+    assert ("node", "b", None, None) in rows
+    assert ("edge", None, "a", "b") in rows
+    attrs = {
+        r["node_id"]: r["attrs"] for r in g.where("element='node'").collect()
+    }
+    assert json.loads(attrs["a"]) == {"home": "H1"}
+    assert attrs["b"] is None
+
+
+# ---------------------------------------------------------------------------
+# sessionize UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_udtf_matches_window_form(spark):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.functions.udtf_sessionize import (
+        register_sessionize_udtf,
+    )
+
+    register_sessionize_udtf(spark)
+    e = catalog.load(spark, SF_DIR, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS ts"
+    )
+    e.createOrReplaceTempView("__t11_ev")
+    udtf_out = spark.sql(
+        """SELECT * FROM sessionize(
+               TABLE(SELECT user_id, ts FROM __t11_ev)
+               PARTITION BY user_id ORDER BY ts)"""
+    )
+    ref = spark.sql(
+        """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                        OR ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM __t11_ev),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, min(ts) AS session_start_us,
+               max(ts) AS session_end_us,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        """
+    )
+    assert udtf_out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(udtf_out).count() == 0
+
+
+def test_sessionize_udtf_gap_boundary(spark):
+    """Gap exactly == threshold stays in-session; threshold + 1 us
+    splits."""
+    from epiteam_network_etl_functions_spark.functions.udtf_sessionize import (
+        GAP_SECONDS,
+        register_sessionize_udtf,
+    )
+
+    register_sessionize_udtf(spark)
+    gap = GAP_SECONDS * 1_000_000
+    rows = [(7, 0), (7, gap), (7, 2 * gap + 1)]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts bigint"
+    ).createOrReplaceTempView("__t11_edge")
+    out = spark.sql(
+        """SELECT * FROM sessionize(
+               TABLE(SELECT user_id, ts FROM __t11_edge)
+               PARTITION BY user_id ORDER BY ts)"""
+    ).collect()
+    assert [(r["n_events"]) for r in sorted(out, key=lambda r: r["session_start_us"])] == [2, 1]
+
+
+# ---------------------------------------------------------------------------
+# streaming invariants
+# ---------------------------------------------------------------------------
+
+
+def test_stream_append_never_emits_flush_window(spark):
+    """The sentinel '__flush__' window must never appear in the sink
+    (its window never closes)."""
+    from epiteam_network_etl_functions_spark.workload import analytics16
+
+    out = analytics16.stream_append_closed_windows(spark, SF_DIR)
+    assert out.where(F.col("event_type") == "__flush__").count() == 0
+    # and every real (hour, type) cell appears exactly once
+    dup = (
+        out.groupBy("window_start", "event_type")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+
+def test_stream_foreach_batch_multiple_batches(spark):
+    """The foreachBatch sink actually sees multiple micro-batches (the
+    maxFilesPerTrigger split) and their union is exact."""
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.workload import analytics16
+
+    out = analytics16.stream_foreach_batch_totals(spark, SF_DIR)
+    expect = (
+        catalog.load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0
