@@ -1,0 +1,123 @@
+"""Deterministic replay of a parquet table as a Python STREAMING data
+source (Spark 4 ``SimpleDataSourceStreamReader``).
+
+The certified streaming family reads re-landed parquet through the
+native file source; this module covers the remaining half of the Python
+DataSource API — a custom *streaming* reader with offset tracking:
+
+    spark.dataSource.register(ReplayDataSource)
+    spark.readStream.format("replay")
+        .option("path", ".../events.parquet")
+        .option("rows_per_batch", "2000").load()
+
+Offsets are row positions (``{"pos": n}``), so replay is deterministic
+and exactly-once: restarting from a checkpoint resumes at the committed
+row position. The simple-reader API is DRIVER-side by design (Spark
+prefetches each batch on the driver and ships it); it is the right
+surface for modest control-plane streams — a 100 TB replay would
+implement the partition-planning ``streamReader`` instead, same offset
+model, one partition per row-group span.
+
+Used by the ``stream_python_source_counts`` driver query
+(workload/analytics17.py) and locked batch-for-batch by
+``tests/test_replay_source.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+
+class _RowsIterator:
+    """List-backed iterator. Spark's simple-reader prefetch cache both
+    iterates the value returned by ``read`` AND ``copy.copy``s it at
+    partition-planning time — a generator satisfies neither, a bare
+    list is not an iterator; this is the minimal object that is both."""
+
+    def __init__(self, rows: list[tuple]):
+        self._rows = rows
+        self._i = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._rows):
+            raise StopIteration
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+
+class ReplayStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("replay source requires a path")
+        self.rows_per_batch = int(options.get("rows_per_batch", "2000"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _total(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def _slice(self, start: int, end: int) -> list[tuple]:
+        # materialized (not a generator): Spark's prefetch cache
+        # copy.copy()s the returned iterator during partition planning,
+        # which requires a copyable sequence
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(self.path)
+        chunk = table.slice(start, end - start)
+        rows: list[tuple] = []
+        for batch in chunk.to_batches():
+            rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        return rows
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        total = self._total()
+        end = min(pos + self.rows_per_batch, total)
+        if end <= pos:
+            return _RowsIterator([]), {"pos": pos}
+        return _RowsIterator(self._slice(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay-on-recovery path: positions fully define the slice
+        return _RowsIterator(self._slice(start["pos"], end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # source data is immutable; nothing to clean up
+
+
+class ReplayDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "replay"
+
+    def schema(self):
+        # declared from the parquet footer so the stream's schema always
+        # matches the replayed file
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("replay source requires a path")
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+
+    def simpleStreamReader(self, schema):
+        return ReplayStreamReader(self.options)
+
+
+def register_replay_source(spark) -> None:
+    try:
+        spark.dataSource.register(ReplayDataSource)
+    except Exception:
+        pass

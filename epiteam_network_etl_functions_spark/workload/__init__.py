@@ -518,6 +518,8 @@ DEFERRED: tuple[str, ...] = (
     "source_char_class_census",
     "acctbal_ks_customer_supplier",
     "schema_evolution_union",
+    "stream_python_source_counts",
+    "python_writer_roundtrip",
 )
 
 

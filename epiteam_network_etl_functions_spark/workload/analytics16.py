@@ -877,3 +877,104 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("source").cast("long").alias("n_with_source"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource streaming reader + writer surfaces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_python_source_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python STREAMING DataSource surface
+    (sources/replay_datasource.py, SimpleDataSourceStreamReader): the
+    events table replays through a custom offset-tracked source in
+    deterministic 2500-row micro-batches, and the complete-mode rollup
+    drained from the memory sink must equal the batch rollup — offsets,
+    prefetch-cache iteration, and the recovery read path all certified
+    by one hash row."""
+    import shutil
+
+    prep(spark)
+    from ..sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", src)
+        .option("rows_per_batch", "2500")
+        .load()
+    )
+    # ts arrives as TIMESTAMP(NANOS)-derived timestamp; the rollup is
+    # type-agnostic (counts + integer cents)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    _A16_STREAM_COUNTER[0] += 1
+    name = f"graft_stream_replay_{os.getpid()}_{_A16_STREAM_COUNTER[0]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_stream_replay_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # replay sources drain deterministically
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("cents").cast("bigint").alias("value_cents"),
+    )
+
+
+@query(
+    "python_writer_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def python_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource WRITER surface
+    (sources/jsonl_writer_datasource.py): documents are written through
+    the two-phase task-commit JSONL sink (staging -> rename-on-commit +
+    manifest) and re-read with the native JSON reader under an explicit
+    schema — the per-(lang, source) rollup certifies that every task's
+    shard was committed exactly once and the encoding round-trips."""
+    prep(spark)
+    from ..sources.jsonl_writer_datasource import register_jsonl_writer
+
+    register_jsonl_writer(spark)
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="graft_pywriter_rt_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the shards
+    out = os.path.join(tmp, "docs")
+    os.makedirs(out, exist_ok=True)
+    d.repartition(8).write.format("jsonl_py").mode("append").save(out)
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).json(os.path.join(out, "*.jsonl"))
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -262,3 +262,138 @@ def test_stream_foreach_batch_multiple_batches(spark):
     )
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# replay streaming source
+# ---------------------------------------------------------------------------
+
+
+def test_replay_source_batch_determinism(spark, tmp_path):
+    """The replay source emits ceil(n / rows_per_batch) batches and the
+    drained total equals the file's row count."""
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    src = f"{SF_DIR}/events.parquet"
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", src)
+        .option("rows_per_batch", "300")
+        .load()
+    )
+    q = (
+        stream.groupBy().count()
+        .writeStream.format("memory")
+        .queryName("t11_replay")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    last_batch = q.lastProgress["batchId"]
+    q.stop()
+    total = spark.table("t11_replay").collect()[0][0]
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows
+    assert total == n
+    assert last_batch + 1 >= (n + 299) // 300  # all row-batches ran
+
+
+def test_replay_source_checkpoint_recovery(spark, tmp_path):
+    """Restarting from the checkpoint resumes at the committed offset:
+    the second run re-reads nothing and the final count is still exact
+    (offset state, not the memory sink, carries the position)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    src = f"{SF_DIR}/events.parquet"
+    ck = str(tmp_path / "ck2")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.format("replay")
+            .option("path", src)
+            .option("rows_per_batch", "400")
+            .load()
+        )
+        return (
+            stream.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(out).count()
+    q = start()  # resume: committed offset == total, nothing new
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert back.count() == n1
+    import pyarrow.parquet as pq
+
+    assert back.select("event_id").distinct().count() == pq.ParquetFile(
+        src
+    ).metadata.num_rows
+
+
+# ---------------------------------------------------------------------------
+# jsonl_py writer
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_writer_manifest_and_exactness(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.sources.jsonl_writer_datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    d = catalog.load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    out = str(tmp_path / "docs")
+    os.makedirs(out)
+    d.repartition(4).write.format("jsonl_py").mode("append").save(out)
+
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(man["shards"]) == 4
+    assert man["total_rows"] == d.count()
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    back = spark.read.schema("doc_id long, lang string, n_chars long").json(
+        os.path.join(out, "*.jsonl")
+    )
+    assert back.count() == d.count()
+    assert back.exceptAll(d).count() == 0
+    assert d.exceptAll(back).count() == 0
+
+
+def test_jsonl_writer_overwrite_replaces_shards(spark, tmp_path):
+    from epiteam_network_etl_functions_spark.sources.jsonl_writer_datasource import (
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    out = str(tmp_path / "o")
+    os.makedirs(out)
+    a = spark.range(10).selectExpr("id AS doc_id")
+    b = spark.range(3).selectExpr("id + 100 AS doc_id")
+    a.coalesce(1).write.format("jsonl_py").mode("append").save(out)
+    b.coalesce(1).write.format("jsonl_py").mode("overwrite").save(out)
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == 3
+    back = spark.read.schema("doc_id long").json(os.path.join(out, "*.jsonl"))
+    assert sorted(r["doc_id"] for r in back.collect()) == [100, 101, 102]
