@@ -353,10 +353,11 @@ DEMOTED: tuple[str, ...] = (
     "stream_hourly_event_counts",
     # -- rows-only by design (no SQL oracle exists); tail so a prefix slot
     # is never spent on a guaranteed err:no_oracle row.
-    # bucket_counts_approx gained a bounded-error verdict oracle in r10
-    # (sweep-certified); it stays in the tail because the round-10 prefix
-    # is full — promote it at the next rotation if a slot frees up. --
-    "bucket_counts_approx",
+    # (round-11: bucket_counts_approx PROMOTED out of this tail — it
+    # gained a bounded-error verdict oracle in r10 and its only driver
+    # row is the stale r04 err:no_oracle; it takes prefix slot 1 by
+    # registration order so a green row supersedes the ERR. The displaced
+    # 50th promoted name, jl_distortion_audit, floats to round 12.) --
     "pca_explained_variance",
     "two_hop_reach_sketch_audit",
     "two_hop_reach_sketched",
