@@ -32,6 +32,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -97,6 +98,70 @@ class JsonlWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming variant: same staging -> rename protocol, but commits
+    are PER MICRO-BATCH (``commit(messages, batchId)``) and each batch
+    writes its own manifest ``_MANIFEST-<batchId>.json`` — the
+    idempotence handle a restarted batch needs (a replayed batchId
+    overwrites its own manifest, never another batch's shards get
+    double-counted by a manifest-trusting reader)."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_py sink requires a path")
+        self.fields = [f.name for f in schema.fields]
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.staging, name), "w", encoding="utf-8") as f:
+            for row in iterator:
+                obj = {k: row[k] for k in self.fields}
+                f.write(json.dumps(obj, ensure_ascii=False))
+                f.write("\n")
+                n += 1
+        return JsonlCommitMessage(name, n)
+
+    def commit(self, messages, batchId: int):
+        shards = []
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                os.path.join(self.staging, m.shard),
+                os.path.join(self.path, m.shard),
+            )
+            shards.append({"shard": m.shard, "n_rows": m.n_rows})
+        shards.sort(key=lambda s: s["shard"])
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "shards": shards,
+                    "total_rows": sum(s["n_rows"] for s in shards),
+                },
+                f,
+                indent=2,
+            )
+        # drop the staging dir when this batch drained it completely;
+        # non-empty means an orphan from a failed attempt — keep it for
+        # inspection rather than deleting silently
+        try:
+            os.rmdir(self.staging)
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class JsonlWriterDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -104,6 +169,9 @@ class JsonlWriterDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return JsonlWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return JsonlStreamWriter(self.options, schema)
 
 
 def register_jsonl_writer(spark) -> None:

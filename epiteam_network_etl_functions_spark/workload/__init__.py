@@ -521,6 +521,7 @@ DEFERRED: tuple[str, ...] = (
     "schema_evolution_union",
     "stream_python_source_counts",
     "python_writer_roundtrip",
+    "stream_python_sink_roundtrip",
 )
 
 

@@ -978,3 +978,68 @@ def python_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@query(
+    "stream_python_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Python-DataSource STREAMING PIPE: the replay source
+    (SimpleDataSourceStreamReader) feeds micro-batches straight into the
+    jsonl_py STREAMING WRITER (DataSourceStreamWriter — per-batch
+    staging -> rename commit with a per-batchId manifest), and the
+    re-read union of every batch's shards must equal the batch rollup.
+    With stream_python_source_counts and python_writer_roundtrip this
+    closes the 2x2 batch/stream x read/write matrix of the Python
+    DataSource API."""
+    import shutil
+
+    prep(spark)
+    from ..sources.jsonl_writer_datasource import register_jsonl_writer
+    from ..sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    register_jsonl_writer(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_stream_pysink_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the shards
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", src)
+        .option("rows_per_batch", "2500")
+        .load()
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    q = (
+        stream.writeStream.format("jsonl_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.schema(
+        "event_id long, event_type string, cents long"
+    ).json(os.path.join(out, "*.jsonl"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

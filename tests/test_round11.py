@@ -397,3 +397,54 @@ def test_jsonl_writer_overwrite_replaces_shards(spark, tmp_path):
     assert man["total_rows"] == 3
     back = spark.read.schema("doc_id long").json(os.path.join(out, "*.jsonl"))
     assert sorted(r["doc_id"] for r in back.collect()) == [100, 101, 102]
+
+
+def test_jsonl_stream_writer_per_batch_manifests(spark, tmp_path):
+    """The streaming writer commits per micro-batch: one
+    _MANIFEST-<batchId>.json per batch, manifested totals sum to the
+    source row count, no staging leftovers."""
+    from epiteam_network_etl_functions_spark.sources.jsonl_writer_datasource import (
+        register_jsonl_writer,
+    )
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    register_jsonl_writer(spark)
+    src = f"{SF_DIR}/events.parquet"
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", src)
+        .option("rows_per_batch", "400")
+        .load()
+        .select("event_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("jsonl_py")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifests = sorted(
+        f for f in os.listdir(out) if f.startswith("_MANIFEST-")
+    )
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows
+    assert len(manifests) >= (n + 399) // 400
+    total = 0
+    for m in manifests:
+        total += json.load(open(os.path.join(out, m)))["total_rows"]
+    assert total == n
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.schema("event_id long, event_type string").json(
+        os.path.join(out, "*.jsonl")
+    )
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
