@@ -522,6 +522,8 @@ DEFERRED: tuple[str, ...] = (
     "stream_python_source_counts",
     "python_writer_roundtrip",
     "stream_python_sink_roundtrip",
+    "embedding_norms_arrow",
+    "udtf_dynamic_json_cols",
 )
 
 

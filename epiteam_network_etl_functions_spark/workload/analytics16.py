@@ -1043,3 +1043,66 @@ def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("value_cents"),
     )
+
+
+@query(
+    "embedding_norms_arrow",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow batch API (operators/arrow_kernels.py): per-vector
+    L2 norms computed from the ListArray's FLAT VALUES BUFFER with one
+    vectorized numpy pass — no pandas object boxing, no per-row Python.
+    Locked against the same SQL fold as the JVM-side embedding_norms
+    (certified r1), so the Arrow path and the F.aggregate path can never
+    drift. This is the engine's third Python batch surface after pandas
+    UDFs and mapInPandas — the one multimodal/vector kernels should
+    prefer when the data is already columnar."""
+    from ..operators.arrow_kernels import l2_norms_arrow
+
+    e = _load(spark, sf_dir, "embeddings")
+    return l2_norms_arrow(e)
+
+
+@query(
+    "udtf_dynamic_json_cols",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+               AS k_decade,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN json_extract_string(props, '$.absent')
+                           IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_absent_nonnull
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY k_decade
+    """,
+)
+def udtf_dynamic_json_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyze() UDTF surface (functions/udtf_jsoncols.py): the
+    output SCHEMA is computed at plan time from the constant key list —
+    ``json_cols(props, 'k,absent')`` yields a ``k`` column and an
+    ``absent`` column (all-NULL, proving missing keys degrade to NULL
+    rather than erroring). The decade rollup of the extracted value is
+    locked against engine-native JSON path extraction on both sides."""
+    from ..functions.udtf_jsoncols import register_jsoncols_udtf
+
+    e = _load(spark, sf_dir, "events")
+    register_jsoncols_udtf(spark)
+    e.select("props").createOrReplaceTempView("__a16_props")
+    return spark.sql(
+        """
+        SELECT CAST(j.k AS BIGINT) DIV 10 AS k_decade,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(j.absent) AS BIGINT) AS n_absent_nonnull
+        FROM __a16_props t, LATERAL json_cols(t.props, 'k,absent') j
+        WHERE j.k IS NOT NULL
+        GROUP BY CAST(j.k AS BIGINT) DIV 10
+        """
+    )

@@ -448,3 +448,59 @@ def test_jsonl_stream_writer_per_batch_manifests(spark, tmp_path):
     )
     assert back.count() == n
     assert back.select("event_id").distinct().count() == n
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow kernel + analyze() UDTF
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_norms_match_jvm_fold(spark):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.operators.arrow_kernels import (
+        l2_norms_arrow,
+    )
+    from epiteam_network_etl_functions_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    arrow = l2_norms_arrow(e)
+    jvm = e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(as_double(F.col("embedding"))), 6).alias("l2_norm"),
+    )
+    assert arrow.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(arrow).count() == 0
+
+
+def test_jsoncols_udtf_dynamic_schema(spark):
+    from epiteam_network_etl_functions_spark.functions.udtf_jsoncols import (
+        register_jsoncols_udtf,
+    )
+
+    register_jsoncols_udtf(spark)
+    out = spark.sql(
+        """SELECT * FROM json_cols(
+            '{"a": 1, "b": {"x": true}, "c": null}', 'a,b,missing')"""
+    )
+    assert out.columns == ["a", "b", "missing"]
+    row = out.collect()[0]
+    assert row["a"] == "1"
+    assert json.loads(row["b"]) == {"x": True}
+    assert row["missing"] is None
+
+
+def test_jsoncols_udtf_malformed_json_yields_nulls(spark):
+    from epiteam_network_etl_functions_spark.functions.udtf_jsoncols import (
+        register_jsoncols_udtf,
+    )
+
+    register_jsoncols_udtf(spark)
+    row = spark.sql(
+        "SELECT * FROM json_cols('not json', 'k')"
+    ).collect()[0]
+    assert row["k"] is None
