@@ -48,6 +48,7 @@ def global_row_number_and_total(
     order_cols: Sequence[str],
     out_col: str = "r",
     num_partitions: int | None = None,
+    keep_cols: Sequence[str] | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ROW_NUMBER() OVER (ORDER BY *order_cols) without a
     single-partition sort; also returns the exact total row count.
@@ -90,11 +91,18 @@ def global_row_number_and_total(
         parted = df.repartitionByRange(num_partitions, *order)
     else:
         parted = df.repartitionByRange(*order)
-    base = (
-        parted.sortWithinPartitions(*order)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
+    base = parted.sortWithinPartitions(*order).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
+    # keep_cols shrinks the materialized payload: once the sort has
+    # happened, order columns the caller won't read again are dead
+    # weight in the checkpoint blocks (the floor probe showed the
+    # deciles query spending over half its executor time materializing
+    # and rescanning columns it immediately dropped). Projection
+    # preserves partition-local order, so ranks are unaffected.
+    if keep_cols is not None:
+        base = base.select(*keep_cols, "__mid")
+    base = base.localCheckpoint(eager=False)
     counts = (
         base.groupBy(
             F.shiftright("__mid", 33).cast("int").alias("__pid")

@@ -82,14 +82,21 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window subtree twice more (probe_floor showed data/duck 5.03
     # before; 0.36 s of the 0.73 s wall was those re-passes), and a
     # separate o.count() job was one whole scheduling floor (~0.08 s).
+    # rank by (cents, orderkey), not (price, orderkey): round(x*100) is
+    # monotone in x, so the cents order equals the price order up to
+    # ties, and rows tied in cents carry identical cents — every
+    # per-decile aggregate is invariant under their permutation, which
+    # keeps the oracle (ranked by raw price) hash-identical while the
+    # kernel sorts one long instead of a double + long. keep_cols drops
+    # the orderkey tie-break from the checkpoint payload after the sort.
     ranked, n_tot = global_row_number_and_total(
         o.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            "o_totalprice",
             "o_orderkey",
         ),
-        ["o_totalprice", "o_orderkey"],
+        ["cents", "o_orderkey"],
         "rk",
+        keep_cols=["cents"],
     )
     ranked = ranked.select("cents", "rk")
     return (
