@@ -862,7 +862,13 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions coexist: two frames with DIFFERENT column subsets align by
     NAME and the missing columns null-fill (positional UNION would
     silently misalign). The rollup counts the null-fill pattern per
-    language so any misalignment flips the oracle match."""
+    language so any misalignment flips the oracle match. Split-key
+    note (the round-10 vocab_head_turnover lesson): doc_id parity is
+    confounded with SOURCE in this generator (each source is pure even
+    or pure odd) — here that is the scenario, not a bug (each source
+    ingested by exactly one extractor version), and the LANG grouping
+    mixes both parities at every sf (checked: en splits 108/110 at
+    sf0.01), so no output cell degenerates to empty."""
     d = _load(spark, sf_dir, "documents")
     old_extract = d.where(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text", "lang"
