@@ -504,3 +504,50 @@ def test_jsoncols_udtf_malformed_json_yields_nulls(spark):
         "SELECT * FROM json_cols('not json', 'k')"
     ).collect()[0]
     assert row["k"] is None
+
+
+# ---------------------------------------------------------------------------
+# drain_available_now (the ADVICE hardening)
+# ---------------------------------------------------------------------------
+
+
+def test_drain_raises_on_timeout_and_cleans_tmp(tmp_path):
+    from epiteam_network_etl_functions_spark.utils import drain_available_now
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    (scratch / "x").write_text("1")
+
+    class _StuckQuery:
+        name = "stuck"
+
+        def __init__(self):
+            self.stopped = False
+
+        def awaitTermination(self, timeout):
+            return False  # timed out, sink only partially filled
+
+        def stop(self):
+            self.stopped = True
+
+    q = _StuckQuery()
+    with pytest.raises(RuntimeError, match="did not drain"):
+        drain_available_now(q, str(scratch), timeout=1)
+    assert q.stopped
+    assert not scratch.exists()  # scratch reclaimed even on failure
+
+
+def test_drain_success_removes_tmp(tmp_path):
+    from epiteam_network_etl_functions_spark.utils import drain_available_now
+
+    scratch = tmp_path / "s2"
+    scratch.mkdir()
+
+    class _DoneQuery:
+        name = "done"
+
+        def awaitTermination(self, timeout):
+            return True
+
+    drain_available_now(_DoneQuery(), str(scratch))
+    assert not scratch.exists()
