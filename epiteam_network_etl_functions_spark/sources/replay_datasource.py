@@ -18,15 +18,17 @@ surface for modest control-plane streams — a 100 TB replay would
 implement the partition-planning ``streamReader`` instead, same offset
 model, one partition per row-group span.
 
-Used by the ``stream_python_source_counts`` driver query
-(workload/analytics17.py) and locked batch-for-batch by
-``tests/test_replay_source.py``.
+Used by the ``stream_python_source_counts`` /
+``stream_dist_replay_counts`` driver queries (workload/analytics16.py)
+and locked batch-for-batch by ``tests/test_round11.py``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -116,8 +118,90 @@ class ReplayDataSource(DataSource):
         return ReplayStreamReader(self.options)
 
 
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class DistReplayStreamReader(DataSourceStreamReader):
+    """The partition-planned streaming reader — the EXECUTOR-scale path
+    the simple reader's docstring names. ``latestOffset`` exposes the
+    file's full row count at once; ``partitions(start, end)`` splits the
+    offset range into fixed-width row spans, one ``InputPartition``
+    each, and ``read`` runs ON EXECUTORS (pyarrow row-range slice per
+    task) — a 1000-executor cluster fans the replay out with no
+    driver-side data movement, which is exactly the difference from
+    ``SimpleDataSourceStreamReader`` (driver prefetch)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("replay_dist source requires a path")
+        self.rows_per_partition = int(
+            options.get("rows_per_partition", "2000")
+        )
+        import pyarrow.parquet as pq
+
+        self._n = pq.ParquetFile(self.path).metadata.num_rows
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        return {"pos": self._n}
+
+    def partitions(self, start: dict, end: dict):
+        step = self.rows_per_partition
+        out = []
+        lo = start["pos"]
+        while lo < end["pos"]:
+            hi = min(lo + step, end["pos"])
+            out.append(_RangePartition(self.path, lo, hi))
+            lo = hi
+        return out or [_RangePartition(self.path, start["pos"], start["pos"])]
+
+    def read(self, partition):
+        # executor-side: slice the row range straight off the file
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        chunk = table.slice(partition.start, partition.end - partition.start)
+        for batch in chunk.to_batches():
+            yield from zip(*[c.to_pylist() for c in batch.columns])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class DistReplayDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "replay_dist"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("replay_dist source requires a path")
+        return from_arrow_schema(pq.ParquetFile(path).schema_arrow)
+
+    def streamReader(self, schema):
+        return DistReplayStreamReader(self.options)
+
+
 def register_replay_source(spark) -> None:
     try:
         spark.dataSource.register(ReplayDataSource)
+    except Exception:
+        pass
+    try:
+        spark.dataSource.register(DistReplayDataSource)
     except Exception:
         pass

@@ -524,6 +524,8 @@ DEFERRED: tuple[str, ...] = (
     "stream_python_sink_roundtrip",
     "embedding_norms_arrow",
     "udtf_dynamic_json_cols",
+    "stream_dist_replay_counts",
+    "arrow_writer_roundtrip",
 )
 
 

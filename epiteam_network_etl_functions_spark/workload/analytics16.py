@@ -1112,3 +1112,99 @@ def udtf_dynamic_json_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CAST(j.k AS BIGINT) DIV 10
         """
     )
+
+
+@query(
+    "stream_dist_replay_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dist_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARTITION-PLANNED Python streaming reader
+    (sources/replay_datasource.py DistReplayStreamReader, the full
+    DataSourceStreamReader API): latestOffset exposes the whole file,
+    partitions() splits the offset range into 2000-row spans, and every
+    span is read ON AN EXECUTOR — the 100 TB fan-out shape, unlike the
+    driver-prefetch simple reader certified by
+    stream_python_source_counts. The complete-mode rollup (with a
+    distinct-user column, exercising multi-column rows through the
+    executor read path) must equal the batch oracle."""
+    import shutil
+
+    prep(spark)
+    from ..sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = (
+        spark.readStream.format("replay_dist")
+        .option("path", src)
+        .option("rows_per_partition", "2000")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("user_id").alias("users"),
+    )
+    _A16_STREAM_COUNTER[0] += 1
+    name = f"graft_stream_dist_{os.getpid()}_{_A16_STREAM_COUNTER[0]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_stream_dist_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.size("users").cast("bigint").alias("n_users"),
+    )
+
+
+@query(
+    "arrow_writer_roundtrip",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(sum(len(embedding)) AS BIGINT) AS sum_dim
+    FROM embeddings GROUP BY label
+    """,
+)
+def arrow_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-optimized Python writer
+    (sources/parquet_py_writer_datasource.py, DataSourceArrowWriter):
+    the embeddings table — including its list<float> column, which stays
+    a flat Arrow buffer end-to-end — is written as per-task parquet
+    shards via pyarrow and re-read with the native reader; integer
+    checksums per label certify exact fidelity through the Arrow write
+    path and the two-phase commit."""
+    prep(spark)
+    from ..sources.parquet_py_writer_datasource import (
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+    e = _load(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="graft_arrow_writer_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the shards
+    out = os.path.join(tmp, "emb")
+    os.makedirs(out, exist_ok=True)
+    e.repartition(6).write.format("parquet_py").mode("append").save(out)
+    back = spark.read.parquet(os.path.join(out, "*.parquet"))
+    return back.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        F.sum(F.size("embedding")).cast("long").alias("sum_dim"),
+    )

@@ -551,3 +551,55 @@ def test_drain_success_removes_tmp(tmp_path):
 
     drain_available_now(_DoneQuery(), str(scratch))
     assert not scratch.exists()
+
+
+def test_dist_replay_executor_partitions(spark, tmp_path):
+    """The partition-planned reader splits the offset range into
+    row-span tasks and the drained union is exact."""
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    src = f"{SF_DIR}/events.parquet"
+    stream = (
+        spark.readStream.format("replay_dist")
+        .option("path", src)
+        .option("rows_per_partition", "250")
+        .load()
+    )
+    q = (
+        stream.select("event_id")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == n
+    assert back.distinct().count() == n
+
+
+def test_arrow_writer_preserves_list_column(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "emb")
+    os.makedirs(out)
+    e.repartition(3).write.format("parquet_py").mode("append").save(out)
+    man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert man["total_rows"] == e.count()
+    back = spark.read.parquet(os.path.join(out, "*.parquet"))
+    # exact row-level fidelity including the list<float> column
+    assert back.exceptAll(e).count() == 0
+    assert e.exceptAll(back).count() == 0
