@@ -526,6 +526,8 @@ DEFERRED: tuple[str, ...] = (
     "udtf_dynamic_json_cols",
     "stream_dist_replay_counts",
     "arrow_writer_roundtrip",
+    "sql_named_params_filter",
+    "observed_scan_metrics",
 )
 
 

@@ -1208,3 +1208,78 @@ def arrow_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("long").alias("sum_vec_id"),
         F.sum(F.size("embedding")).cast("long").alias("sum_dim"),
     )
+
+
+@query(
+    "sql_named_params_filter",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(CAST(p_retailprice AS DOUBLE)), 6) AS avg_price
+    FROM part WHERE p_size >= 25 AND p_type LIKE '%DARD'
+    GROUP BY p_brand
+    """,
+)
+def sql_named_params_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 named parameter markers): the query
+    text carries ``:minsize`` / ``:typesuffix`` placeholders and the
+    values bind via ``spark.sql(..., args=...)`` — the injection-safe
+    templating surface every SQL-facing service needs (string-formatted
+    literals are the anti-pattern this replaces). The oracle pins the
+    same predicate with literals, so binding semantics (typed, not
+    textual) are what is certified."""
+    prep(spark)
+    _load(spark, sf_dir, "part").createOrReplaceTempView("__a16_part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               round(avg(CAST(p_retailprice AS DOUBLE)), 6) AS avg_price
+        FROM __a16_part
+        WHERE p_size >= :minsize AND p_type LIKE :typesuffix
+        GROUP BY p_brand
+        """,
+        args={"minsize": 25, "typesuffix": "%DARD"},
+    )
+
+
+@query(
+    "observed_scan_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS n_errors
+    FROM events
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df.observe() / Observation METRICS surface: accumulator-style
+    aggregates collected DURING a pass over the data, not by a second
+    scan — the shape production pipelines use for row-count/quality
+    telemetry on every stage without doubling I/O. The observation
+    attaches to the events scan, one action drives it, and the observed
+    values are surfaced as the result row the oracle recomputes with
+    plain SQL. Driver state is one metrics row by construction."""
+    from pyspark.sql import Observation
+
+    prep(spark)
+    e = _load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("value_cents"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one driving pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["value_cents"], m["n_errors"])],
+        "n_rows long, value_cents long, n_errors long",
+    )
