@@ -457,6 +457,10 @@ DEFERRED: tuple[str, ...] = (
     # round-11 prefix (they are the 50 never-certified names the driver
     # samples this round). What remains below floats into the round-12
     # prefix at the next rotation.
+    # jl_distortion_audit was the 50th promoted name until
+    # bucket_counts_approx took prefix slot 1 (to supersede its stale
+    # r04 err:no_oracle row); it re-defers at the head of the tier.
+    "jl_distortion_audit",
     # round-12-candidate registrations (workload/analytics12.py), tail:
     "morton_bucket_extent",
     "zonemap_prune_audit",
