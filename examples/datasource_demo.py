@@ -10,7 +10,11 @@ read/write):
 3. STREAM READ  — `replay`: deterministic micro-batch replay of a
    parquet table with row-position offsets;
 4. STREAM WRITE — `jsonl_py` streamWriter: per-batch commits, one
-   manifest per batchId.
+   manifest per batchId;
+5. and the EXECUTOR-SCALE stream read — `replay_dist`, the
+   partition-planned DataSourceStreamReader whose row-span tasks read
+   Arrow RecordBatches on executors (4-5.6x the simple reader at the
+   1M-row tier).
 
     python examples/datasource_demo.py [sf_dir] [out_dir]
 
@@ -110,6 +114,26 @@ def main() -> None:
         f"{len(manifests)} micro-batch manifests, {total} manifested rows,"
         f" {back.count()} rows re-read"
     )
+    print("== 5. executor-scale stream read: partition-planned replay ==")
+    dist = (
+        spark.readStream.format("replay_dist")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("rows_per_partition", "250")
+        .load()
+        .groupBy("event_type")
+        .count()
+    )
+    q2 = (
+        dist.writeStream.format("memory")
+        .queryName("demo_dist")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    spark.table("demo_dist").orderBy("event_type").show()
+
     print(f"demo artifacts in {out_dir}")
 
 
