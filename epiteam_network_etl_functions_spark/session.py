@@ -21,6 +21,9 @@ _CORRECTNESS_CONF = {
     # The testdata writes events.ts as TIMESTAMP(NANOS), which Spark's
     # vectorized parquet reader rejects; read as long and rebuild in catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown is opt-in; the parquet_meta
+    # reader prunes footer fetches with it (file = ... predicates).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 # Scale profile (default): what a 1000-executor / 100 TB run wants. AQE

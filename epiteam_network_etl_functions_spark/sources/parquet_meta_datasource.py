@@ -86,6 +86,32 @@ class ParquetMetaReader(DataSourceReader):
     def __init__(self, options):
         self.paths = _resolve_paths(options)
 
+    def pushFilters(self, filters):
+        """FILTER PUSHDOWN (the Python DataSource API's pruning hook):
+        ``file = '...'`` / ``file IN (...)`` predicates prune the path
+        list BEFORE partition planning, so a query over one table's
+        footer fetches exactly one footer — on a 100 TB catalog with
+        thousands of files this is the difference between one metadata
+        read and a fleet-wide sweep. Handled filters are consumed
+        (Spark drops its own re-check); everything else is returned
+        as unsupported and evaluated by Spark."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        unsupported = []
+        for f in filters:
+            wanted = None
+            if isinstance(f, EqualTo) and f.attribute == ("file",):
+                wanted = {f.value}
+            elif isinstance(f, In) and f.attribute == ("file",):
+                wanted = set(f.value)
+            if wanted is None:
+                unsupported.append(f)
+                continue
+            self.paths = [
+                p for p in self.paths if os.path.basename(p) in wanted
+            ]
+        return unsupported
+
     def partitions(self):
         return [_FilePartition(p) for p in self.paths]
 

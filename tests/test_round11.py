@@ -603,3 +603,21 @@ def test_arrow_writer_preserves_list_column(spark, tmp_path):
     # exact row-level fidelity including the list<float> column
     assert back.exceptAll(e).count() == 0
     assert e.exceptAll(back).count() == 0
+
+
+def test_parquet_meta_filter_pushdown_prunes_partitions(spark):
+    """file = / IN predicates prune footer fetches at plan time (the
+    Python DataSource pushFilters hook); unsupported predicates stay
+    Spark-side and results are unchanged."""
+    df = _meta(spark, SF_DIR)
+    one = df.where("file = 'orders.parquet'")
+    assert one.rdd.getNumPartitions() == 1
+    assert one.select("file").distinct().collect()[0][0] == "orders.parquet"
+    two = df.where("file IN ('orders.parquet', 'region.parquet')")
+    assert two.rdd.getNumPartitions() == 2
+    # an unpushable predicate keeps all partitions but stays correct
+    doubles = df.where("physical_type = 'DOUBLE'")
+    assert doubles.rdd.getNumPartitions() == 10
+    assert doubles.count() == df.where(
+        df.physical_type == "DOUBLE"
+    ).count()
