@@ -111,8 +111,11 @@ def footer_stats_content_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     One input partition per file, footer-only reads — no data scan."""
     meta = _meta_frame(spark, sf_dir)
     return (
+        # filter on the RAW file column: the source's pushFilters hook
+        # consumes the IN predicate and fetches exactly these 4 footers
+        # (a computed-column predicate would not push)
         meta.where(
-            F.regexp_replace("file", r"\.parquet$", "").isin(*_PARITY_TABLES)
+            F.col("file").isin(*[f"{t}.parquet" for t in _PARITY_TABLES])
             & F.col("min_double").isNotNull()
         )
         .select(
