@@ -169,7 +169,15 @@ class ParquetMetaDataSource(DataSource):
 
 def register_parquet_meta(spark) -> None:
     """Idempotent registration (re-register is a no-op error we swallow
-    because Spark keeps the first registration)."""
+    because Spark keeps the first registration). Also enables Python
+    DataSource filter pushdown on THIS session: a reader that implements
+    pushFilters raises at plan time when the conf is off, and
+    getOrCreate may have handed us a session built before the engine's
+    correctness conf was applied (e.g. a hostile driver session)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     try:
         spark.dataSource.register(ParquetMetaDataSource)
     except Exception:
