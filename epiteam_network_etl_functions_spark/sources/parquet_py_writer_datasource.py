@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -100,6 +101,66 @@ class ParquetPyWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class ParquetPyStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming variant (DataSourceStreamArrowWriter): micro-batches
+    arrive as RecordBatch iterators per task and commit per batchId
+    with their own manifest — the Arrow-native streaming parquet sink.
+    Combined with the replay_dist source this is a fully Arrow-columnar
+    Python streaming pipe: no Python row objects anywhere."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("parquet_py sink requires a path")
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        batches = list(iterator)
+        if not batches:
+            return ParquetPyCommit("", 0)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, os.path.join(self.staging, name))
+        return ParquetPyCommit(name, table.num_rows)
+
+    def commit(self, messages, batchId: int):
+        shards = []
+        for m in messages:
+            if m is None or not m.shard:
+                continue
+            os.rename(
+                os.path.join(self.staging, m.shard),
+                os.path.join(self.path, m.shard),
+            )
+            shards.append({"shard": m.shard, "n_rows": m.n_rows})
+        shards.sort(key=lambda s: s["shard"])
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "shards": shards,
+                    "total_rows": sum(s["n_rows"] for s in shards),
+                },
+                f,
+                indent=2,
+            )
+        try:
+            os.rmdir(self.staging)  # only when drained; orphans kept
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ParquetPyWriterDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -107,6 +168,9 @@ class ParquetPyWriterDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return ParquetPyWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ParquetPyStreamWriter(self.options, schema)
 
 
 def register_parquet_py_writer(spark) -> None:

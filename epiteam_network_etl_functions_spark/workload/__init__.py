@@ -532,6 +532,8 @@ DEFERRED: tuple[str, ...] = (
     "arrow_writer_roundtrip",
     "sql_named_params_filter",
     "observed_scan_metrics",
+    "stream_arrow_pipe_roundtrip",
+    "applyinarrow_label_stats",
 )
 
 

@@ -1286,3 +1286,119 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["value_cents"], m["n_errors"])],
         "n_rows long, value_cents long, n_errors long",
     )
+
+
+@query(
+    "stream_arrow_pipe_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_arrow_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY ARROW-COLUMNAR Python streaming pipe: replay_dist
+    (partition-planned reader yielding RecordBatches on executors) feeds
+    the parquet_py STREAMING writer (DataSourceStreamArrowWriter —
+    RecordBatches in, parquet shards out, per-batchId manifests). No
+    Python row object exists anywhere in the data plane; the re-read
+    union of every batch's shards must equal the batch rollup."""
+    import shutil
+
+    prep(spark)
+    from ..sources.parquet_py_writer_datasource import (
+        register_parquet_py_writer,
+    )
+    from ..sources.replay_datasource import register_replay_source
+
+    register_replay_source(spark)
+    register_parquet_py_writer(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="graft_arrow_pipe_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the shards
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    stream = (
+        spark.readStream.format("replay_dist")
+        .option("path", src)
+        .option("rows_per_partition", "2500")
+        .load()
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.parquet(os.path.join(out, "*.parquet"))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+@query(
+    "applyinarrow_label_stats",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(sum(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))))
+               AS BIGINT) AS sum_q
+    FROM embeddings GROUP BY label
+    """,
+)
+def applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedData.applyInArrow — the grouped-map Arrow batch API (the
+    grouped sibling of mapInArrow, completing the Python batch-API
+    family next to applyInPandas): each label group arrives as ONE
+    pyarrow.Table and the kernel folds its flat embedding buffer into
+    integer checksums. Quantization is round-half-away-from-zero to
+    match SQL round() on both engines exactly — the sum is then pure
+    integer arithmetic, immune to float accumulation order."""
+    import pyarrow as pa
+
+    prep(spark)
+    e = _load(spark, sf_dir, "embeddings")
+
+    def _per_label(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        emb = table.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64) * 10000.0
+        # round half away from zero == SQL round() in Spark and DuckDB
+        q = np.where(
+            flat >= 0, np.floor(flat + 0.5), np.ceil(flat - 0.5)
+        ).astype(np.int64)
+        vec_ids = np.asarray(table.column("vec_id"), dtype=np.int64)
+        label = table.column("label")[0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "n_vecs": pa.array([table.num_rows], type=pa.int64()),
+                "sum_vec_id": pa.array(
+                    [int(vec_ids.sum())], type=pa.int64()
+                ),
+                "sum_q": pa.array([int(q.sum())], type=pa.int64()),
+            }
+        )
+
+    return e.groupBy("label").applyInArrow(
+        _per_label, "label int, n_vecs long, sum_vec_id long, sum_q long"
+    )
