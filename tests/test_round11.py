@@ -621,3 +621,77 @@ def test_parquet_meta_filter_pushdown_prunes_partitions(spark):
     assert doubles.count() == df.where(
         df.physical_type == "DOUBLE"
     ).count()
+
+
+def test_parquet_py_stream_writer_manifests(spark, tmp_path):
+    """Arrow streaming sink: per-batch manifests, exact union, staging
+    drained."""
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (
+        register_parquet_py_writer,
+    )
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    register_parquet_py_writer(spark)
+    src = f"{SF_DIR}/events.parquet"
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    stream = (
+        spark.readStream.format("replay_dist")
+        .option("path", src)
+        .option("rows_per_partition", "400")
+        .load()
+        .select("event_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("parquet_py")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(src).metadata.num_rows
+    manifests = [f for f in os.listdir(out) if f.startswith("_MANIFEST-")]
+    total = sum(
+        json.load(open(os.path.join(out, m)))["total_rows"]
+        for m in manifests
+    )
+    assert total == n
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.parquet(os.path.join(out, "*.parquet"))
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+
+
+def test_applyinarrow_matches_jvm_checksums(spark):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.workload.analytics16 import (
+        applyinarrow_label_stats,
+    )
+
+    out = applyinarrow_label_stats(spark, SF_DIR)
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    jvm = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        F.sum(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 10000).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        .cast("long")
+        .alias("sum_q"),
+    )
+    assert out.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(out).count() == 0
