@@ -695,3 +695,70 @@ def test_applyinarrow_matches_jvm_checksums(spark):
     )
     assert out.exceptAll(jvm).count() == 0
     assert jvm.exceptAll(out).count() == 0
+
+
+def test_streaming_query_listener_observes_progress(spark, tmp_path):
+    """StreamingQueryListener — the telemetry surface production
+    monitoring hangs off: progress events carry exact per-batch row
+    counts, so the listener's running total must equal the source row
+    count after an availableNow drain."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Capture(StreamingQueryListener):
+        def __init__(self):
+            self.rows = 0
+            self.batches = 0
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            self.rows += event.progress.numInputRows
+            self.batches += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    cap = _Capture()
+    spark.streams.addListener(cap)
+    try:
+        from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+            register_replay_source,
+        )
+
+        register_replay_source(spark)
+        src = f"{SF_DIR}/events.parquet"
+        stream = (
+            spark.readStream.format("replay_dist")
+            .option("path", src)
+            .option("rows_per_partition", "400")
+            .load()
+            .groupBy("event_type")
+            .count()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_listener")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered asynchronously; drain the bus
+        import time
+
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(src).metadata.num_rows
+        for _ in range(50):
+            if cap.rows >= n:
+                break
+            time.sleep(0.2)
+        assert cap.rows == n
+        assert cap.batches >= 1
+    finally:
+        spark.streams.removeListener(cap)
