@@ -33,6 +33,35 @@ from pyspark.sql.datasource import (
 )
 
 
+def _read_row_range(path: str, start: int, end: int):
+    """Read ONLY the row groups intersecting [start, end) and slice to
+    the exact span — the footer's per-row-group row counts give the
+    mapping. A whole-file read-then-slice would be quadratic over a
+    replay (every batch re-reads everything) and is exactly the scan
+    pattern that cannot ship at 100 TB; this form reads each byte once
+    per span that needs it."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    groups = []
+    first_group_start = 0
+    pos = 0
+    for rg in range(md.num_row_groups):
+        n = md.row_group(rg).num_rows
+        if pos + n > start and pos < end:
+            if not groups:
+                first_group_start = pos
+            groups.append(rg)
+        pos += n
+        if pos >= end:
+            break
+    if not groups:
+        return pf.schema_arrow.empty_table()
+    table = pf.read_row_groups(groups)
+    return table.slice(start - first_group_start, end - start)
+
+
 class _RowsIterator:
     """List-backed iterator. Spark's simple-reader prefetch cache both
     iterates the value returned by ``read`` AND ``copy.copy``s it at
@@ -73,10 +102,7 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
         # materialized (not a generator): Spark's prefetch cache
         # copy.copy()s the returned iterator during partition planning,
         # which requires a copyable sequence
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(self.path)
-        chunk = table.slice(start, end - start)
+        chunk = _read_row_range(self.path, start, end)
         rows: list[tuple] = []
         for batch in chunk.to_batches():
             rows.extend(zip(*[c.to_pylist() for c in batch.columns]))
@@ -163,14 +189,13 @@ class DistReplayStreamReader(DataSourceStreamReader):
         return out or [_RangePartition(self.path, start["pos"], start["pos"])]
 
     def read(self, partition):
-        # executor-side: slice the row range straight off the file and
-        # hand back Arrow RecordBatches — the API's columnar fast path
+        # executor-side: row-group-pruned read of exactly this span,
+        # returned as Arrow RecordBatches — the API's columnar fast path
         # (no Python tuple materialization; measured 4x over the tuple
         # form at the 1 M-row tier)
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.path)
-        chunk = table.slice(partition.start, partition.end - partition.start)
+        chunk = _read_row_range(
+            partition.path, partition.start, partition.end
+        )
         yield from chunk.to_batches()
 
     def commit(self, end: dict) -> None:

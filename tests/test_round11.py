@@ -762,3 +762,29 @@ def test_streaming_query_listener_observes_progress(spark, tmp_path):
         assert cap.batches >= 1
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_read_row_range_prunes_row_groups(tmp_path):
+    """The replay readers' range read touches only the row groups
+    intersecting the span (scale invariant: a batch never re-reads the
+    whole file) and is exact across group boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epiteam_network_etl_functions_spark.sources.replay_datasource import (
+        _read_row_range,
+    )
+
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"i": list(range(1000))}), path, row_group_size=100
+    )
+    assert pq.ParquetFile(path).metadata.num_row_groups == 10
+    for a, b in [(0, 50), (95, 105), (250, 750), (990, 1000), (300, 300)]:
+        got = _read_row_range(path, a, b).column("i").to_pylist() if b > a else []
+        if b > a:
+            assert got == list(range(a, b))
+    # empty span yields an empty table with the file's schema
+    empty = _read_row_range(path, 300, 300)
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["i"]
