@@ -419,7 +419,11 @@ def write_graphml(
                 out.write(f"    <node id={quoteattr(nid)}>\n")
                 for key_id, val in attrs:
                     out.write(
-                        f'      <data key="{key_id}">{escape(str(val))}</data>\n'
+                        # \r as a character reference: XML parsers
+                        # line-ending-normalize a literal \r in content
+                        # to \n, silently corrupting the value
+                        f'      <data key="{key_id}">'
+                        f'{escape(str(val), {chr(13): "&#13;"})}</data>\n'
                     )
                 out.write("    </node>\n")
             else:
