@@ -97,3 +97,86 @@ def test_graphml_roundtrips_adversarial_attrs(spark, tmp_path_factory, nodes):
     assert got == dict(nodes)
     n_edges = g.where("element = 'edge'").count()
     assert n_edges == len(ids) - 1
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), _json_text),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_parquet_py_roundtrips_adversarial_text(
+    spark, tmp_path_factory, rows
+):
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+    out = str(tmp_path_factory.mktemp("pqpy"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(2).write.format("parquet_py").mode("overwrite").save(out)
+    back = spark.read.parquet(os.path.join(out, "*.parquet"))
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ts=st.lists(
+        st.integers(0, 10_000_000_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_udtf_ties_match_window_form(spark, ts):
+    """Random timestamp multisets — including heavy duplicates, where
+    the UDTF's arrival order inside a tie is engine-chosen — produce
+    the same session set as the SQL window form (a zero gap never
+    splits, so tie order cannot matter; this locks that reasoning)."""
+    from epiteam_network_etl_functions_spark.functions.udtf_sessionize import (
+        register_sessionize_udtf,
+    )
+
+    register_sessionize_udtf(spark)
+    rows = [(1, t) for t in ts]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts bigint"
+    ).createOrReplaceTempView("__prop_ev")
+    udtf_out = spark.sql(
+        """SELECT * FROM sessionize(
+               TABLE(SELECT user_id, ts FROM __prop_ev)
+               PARTITION BY user_id ORDER BY ts)"""
+    )
+    ref = spark.sql(
+        """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                        OR ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM __prop_ev),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, min(ts) AS session_start_us,
+               max(ts) AS session_end_us, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+        """
+    )
+    assert udtf_out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(udtf_out).count() == 0
