@@ -41,6 +41,8 @@ from pyspark.sql.types import (
 PARQUET_META_SCHEMA = StructType(
     [
         StructField("file", StringType(), False),  # basename
+        StructField("dir", StringType(), True),  # parent dir basename
+        #   (partition dirs like lang=en surface here for hive layouts)
         StructField("row_group", IntegerType(), False),
         StructField("rg_num_rows", LongType(), False),
         StructField("rg_total_bytes", LongType(), False),
@@ -75,6 +77,10 @@ def _resolve_paths(options) -> list[str]:
             raise ValueError("parquet_meta source requires path or paths")
         if os.path.isdir(path):
             out = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not out:  # hive layout: one level of partition dirs
+                out = sorted(
+                    glob.glob(os.path.join(path, "*", "*.parquet"))
+                )
         else:
             out = sorted(glob.glob(path)) or [path]
     if not out:
@@ -122,6 +128,7 @@ class ParquetMetaReader(DataSourceReader):
         path = partition.path
         md = pq.ParquetFile(path).metadata
         base = os.path.basename(path)
+        parent = os.path.basename(os.path.dirname(path)) or None
         schema = md.schema
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
@@ -139,6 +146,7 @@ class ParquetMetaReader(DataSourceReader):
                     mn, mx = float(stats.min), float(stats.max)
                 yield (
                     base,
+                    parent,
                     rg_i,
                     rg.num_rows,
                     rg.total_byte_size,

@@ -534,6 +534,8 @@ DEFERRED: tuple[str, ...] = (
     "observed_scan_metrics",
     "stream_arrow_pipe_roundtrip",
     "applyinarrow_label_stats",
+    "maxrecords_file_census",
+    "hive_write_footer_census",
 )
 
 

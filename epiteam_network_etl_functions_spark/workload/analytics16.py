@@ -1402,3 +1402,88 @@ def applyinarrow_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInArrow(
         _per_label, "label int, n_vecs long, sum_vec_id long, sum_q long"
     )
+
+
+@query(
+    "maxrecords_file_census",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT n_rows,
+           CAST((n_rows + 9999) // 10000 AS BIGINT) AS n_files,
+           CAST(least(n_rows, 10000) AS BIGINT) AS max_file_rows,
+           CAST(CASE WHEN n_rows % 10000 = 0 THEN least(n_rows, 10000)
+                     ELSE n_rows % 10000 END AS BIGINT) AS min_file_rows
+    FROM n
+    """,
+)
+def maxrecords_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file discipline, write side: the native writer's
+    maxRecordsPerFile option splits one task's output into bounded
+    files, and the footer census (parquet_meta over the written
+    directory) proves the bound held — n_files = ceil(n/10000), every
+    file at most 10000 rows, the remainder file exactly n mod 10000.
+    The compaction planner's contract, certified from the footers the
+    planner would actually read."""
+    prep(spark)
+    from ..sources.parquet_meta_datasource import register_parquet_meta
+
+    register_parquet_meta(spark)
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    tmp = tempfile.mkdtemp(prefix="graft_maxrec_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the footers
+    out = os.path.join(tmp, "li")
+    (
+        li.coalesce(1)  # one task -> deterministic ceil(n/10000) split
+        .write.option("maxRecordsPerFile", 10000)
+        .parquet(out)
+    )
+    meta = spark.read.format("parquet_meta").option("path", out).load()
+    per_file = (
+        meta.where(F.col("column_id") == 0)
+        .groupBy("file")
+        .agg(F.sum("rg_num_rows").cast("long").alias("rows"))
+    )
+    return per_file.agg(
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.max("rows").cast("long").alias("max_file_rows"),
+        F.min("rows").cast("long").alias("min_file_rows"),
+    )
+
+
+@query(
+    "hive_write_footer_census",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files
+    FROM documents GROUP BY lang
+    """,
+)
+def hive_write_footer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write (S9) audited from FOOTERS: documents are
+    written partitionBy(lang) with one file per partition dir
+    (repartition on the partition column — the small-file discipline
+    rule), and the parquet_meta source walks the partition dirs (the
+    ``dir`` column carries ``lang=xx``), so per-language row counts are
+    recovered WITHOUT reading a data byte and must match content
+    counts."""
+    prep(spark)
+    from ..sources.parquet_meta_datasource import register_parquet_meta
+
+    register_parquet_meta(spark)
+    d = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    tmp = tempfile.mkdtemp(prefix="graft_hivecensus_")
+    _atexit_rmtree(tmp)  # the returned frame lazily re-reads the footers
+    out = os.path.join(tmp, "docs")
+    d.repartition("lang").write.partitionBy("lang").parquet(out)
+    meta = spark.read.format("parquet_meta").option("path", out).load()
+    return (
+        meta.where(F.col("column_id") == 0)
+        .groupBy(
+            F.regexp_replace("dir", r"^lang=", "").alias("lang")
+        )
+        .agg(
+            F.sum("rg_num_rows").cast("long").alias("n_rows"),
+            F.countDistinct("file").cast("long").alias("n_files"),
+        )
+    )
