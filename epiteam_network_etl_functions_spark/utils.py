@@ -153,3 +153,34 @@ def drain_available_now(query, tmp_dir: str | None = None, timeout: int = 300) -
     finally:
         if tmp_dir is not None:
             shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def process_all_available(query, timeout: int = 300) -> None:
+    """processAllAvailable with a deadline. The call itself has no
+    timeout parameter and blocks forever if a custom source stalls —
+    unacceptable inside a driver run that executes hundreds of queries
+    sequentially. Runs it on a watchdog thread; on expiry the query is
+    stopped and the failure surfaces instead of hanging the harness."""
+    import threading
+
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def _wait():
+        try:
+            query.processAllAvailable()
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_wait, daemon=True)
+    t.start()
+    if not done.wait(timeout):
+        query.stop()
+        raise RuntimeError(
+            f"streaming query {query.name!r} did not process all available "
+            f"data within {timeout}s; stopped instead of hanging"
+        )
+    if err:
+        raise err[0]

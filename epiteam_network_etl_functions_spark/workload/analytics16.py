@@ -940,8 +940,12 @@ def stream_python_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
+    from ..utils import process_all_available
+
     try:
-        q.processAllAvailable()  # replay sources drain deterministically
+        # the SIMPLE reader under-reads with availableNow (one prefetch
+        # batch only), so the bounded watchdog form is the safe drain
+        process_all_available(q)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1033,6 +1037,8 @@ def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
+    from ..utils import process_all_available
+
     q = (
         stream.writeStream.format("jsonl_py")
         .option("path", out)
@@ -1041,7 +1047,7 @@ def stream_python_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.processAllAvailable()
+        process_all_available(q)
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1156,18 +1162,19 @@ def stream_dist_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _A16_STREAM_COUNTER[0] += 1
     name = f"graft_stream_dist_{os.getpid()}_{_A16_STREAM_COUNTER[0]}"
     ckpt = tempfile.mkdtemp(prefix="graft_stream_dist_")
+    # availableNow IS supported by the partition-planned reader (its
+    # latestOffset covers the whole file at start), so the bounded
+    # drain helper applies — never an unbounded processAllAvailable
+    # inside a driver run
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    drain_available_now(q, ckpt)
     return spark.table(name).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_events"),
@@ -1336,13 +1343,11 @@ def stream_arrow_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    drain_available_now(q, None)  # tmp cleaned at exit (lazy re-read)
+    shutil.rmtree(ckpt, ignore_errors=True)
     back = spark.read.parquet(os.path.join(out, "*.parquet"))
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
