@@ -788,3 +788,40 @@ def test_read_row_range_prunes_row_groups(tmp_path):
     empty = _read_row_range(path, 300, 300)
     assert empty.num_rows == 0
     assert empty.schema.names == ["i"]
+
+
+def test_process_all_available_watchdog(tmp_path):
+    from epiteam_network_etl_functions_spark.utils import (
+        process_all_available,
+    )
+
+    class _Hang:
+        name = "hang"
+
+        def __init__(self):
+            self.stopped = False
+
+        def processAllAvailable(self):
+            import time
+
+            time.sleep(30)
+
+        def stop(self):
+            self.stopped = True
+
+    q = _Hang()
+    with pytest.raises(RuntimeError, match="did not process"):
+        process_all_available(q, timeout=1)
+    assert q.stopped
+
+    class _Errs:
+        name = "errs"
+
+        def processAllAvailable(self):
+            raise ValueError("boom")
+
+        def stop(self):
+            pass
+
+    with pytest.raises(ValueError, match="boom"):
+        process_all_available(_Errs(), timeout=5)
