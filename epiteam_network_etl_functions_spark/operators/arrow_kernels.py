@@ -34,18 +34,23 @@ def l2_norms_arrow(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             arr = batch.column(batch.schema.get_field_index(vec_col))
             if isinstance(arr, pa.ChunkedArray):  # defensive; batches are flat
                 arr = arr.combine_chunks()
-            offsets = np.asarray(arr.offsets)
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
             flat = np.asarray(arr.flatten(), dtype=np.float64)
-            dims = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            # a sliced ListArray's offsets need not start at 0, while
+            # flatten() returns only the sliced values — rebase so the
+            # segment starts index the flat buffer correctly
+            starts = offsets[:-1] - offsets[0]
+            dims = offsets[1:] - offsets[:-1]
             sq = flat * flat
-            # reduceat segments start at each list's offset; an empty
-            # trailing segment cannot occur (offsets are monotone and the
-            # embeddings are fixed-width non-empty)
-            sums = (
-                np.add.reduceat(sq, offsets[:-1])
-                if len(flat)
-                else np.zeros(len(dims))
-            )
+            # reduceat returns sq[start] (not 0) for an empty segment and
+            # rejects start == len(sq) (empty trailing segment), so reduce
+            # only over non-empty segment starts — each such segment runs
+            # to the next non-empty start, and intervening empty segments
+            # contribute nothing — then scatter back, leaving empties at 0
+            nonempty = dims > 0
+            sums = np.zeros(len(dims))
+            if len(flat) and nonempty.any():
+                sums[nonempty] = np.add.reduceat(sq, starts[nonempty])
             yield pa.record_batch(
                 [
                     batch.column(batch.schema.get_field_index("vec_id")),

@@ -62,8 +62,8 @@ class ParquetPyWriter(DataSourceArrowWriter):
             pq.write_table(table, os.path.join(self.staging, name))
             n = table.num_rows
         else:
-            # empty partition still stages a zero-row shard so the
-            # commit message count is exact
+            # empty partition stages nothing and returns an empty shard
+            # name, which commit() skips
             return ParquetPyCommit("", 0)
         return ParquetPyCommit(name, n)
 

@@ -412,6 +412,57 @@ DEMOTED: tuple[str, ...] = (
     "daily_count_changepoint",
     "knn_margin_stats",
     "ivf_probe_sweep",
+    # -- driver-green round 11 (tools/rotate.py) --
+    "bucket_counts_approx",
+    "value_psi_halves",
+    "order_priority_markov",
+    "customer_order_burstiness",
+    "supplier_part_gini",
+    "doc_simpson_diversity",
+    "embedding_dim0_anova",
+    "quantity_uniformity_chi2",
+    "home_work_separation",
+    "stream_sliding_hour_value",
+    "sim_measure_rank_corr",
+    "od_gravity_fit",
+    "cosine_l2_rank_agreement",
+    "heavy_hitters_verdict",
+    "theta_set_ops_verdict",
+    "kll_quantile_verdict",
+    "bitmap_distinct_users",
+    "count_min_freq_verdict",
+    "returned_share_by_brand",
+    "lineitem_tax_discount_grid",
+    "discount_cap_counterfactual",
+    "part_name_term_head",
+    "linenumber_position_profile",
+    "brand_peak_ship_month",
+    "domestic_revenue_share",
+    "international_order_share",
+    "nation_customer_supplier_balance",
+    "acctbal_outliers_by_nation",
+    "negative_balance_share",
+    "region_parttype_affinity",
+    "supplier_breadth_histogram",
+    "ship_lag_by_weekday",
+    "quantity_outlier_orders",
+    "unit_price_retail_gap",
+    "day_hour_profile_distance",
+    "user_type_entropy_histogram",
+    "daily_top_decile_share",
+    "error_rate_by_hour_wilson",
+    "week_over_week_user_jaccard",
+    "session_entry_exit_matrix",
+    "user_decile_migration",
+    "type_hourly_amplitude",
+    "activity_gap_profile",
+    "user_weekday_concentration",
+    "lang_char_trigram_head",
+    "term_position_profile",
+    "token_run_length_audit",
+    "nearest_centroid_confusion",
+    "cosine_to_mean_histogram",
+    "embedding_grid_occupancy",
 )
 
 # Round-9 rotation (executed per the round-8 script): the 50 names
@@ -460,68 +511,18 @@ DEFERRED: tuple[str, ...] = (
     # jl_distortion_audit was the 50th promoted name until
     # bucket_counts_approx took prefix slot 1 (to supersede its stale
     # r04 err:no_oracle row); it re-defers at the head of the tier.
-    "jl_distortion_audit",
     # round-12-candidate registrations (workload/analytics12.py), tail:
-    "morton_bucket_extent",
-    "zonemap_prune_audit",
     # round-12-candidate registrations, second tranche
     # (workload/analytics13.py).
-    "order_value_gini_by_segment",
-    "monthly_revenue_anomaly",
-    "customer_value_cv_histogram",
-    "order_total_coverage_ratio",
-    "return_rate_by_price_band",
-    "quarter_end_load_factor",
-    "second_event_latency_histogram",
-    "error_recovery_latency",
-    "modal_weekday_stability",
-    "vocab_head_turnover",
-    "cell_revisit_quantiles",
-    "join_key_skew_profile",
-    "hash_partition_balance_audit",
-    "compaction_bin_plan",
-    "props_variant_k_histogram",
     # round-12-candidate registrations, third tranche
     # (workload/analytics14.py).
-    "gap_exponential_ks",
-    "doc_length_lognormal_params",
-    "dict_encoding_gain_audit",
-    "sample_estimate_error_curve",
-    "stream_static_enrichment",
     # round-12-candidate registrations, fourth tranche
     # (workload/analytics15.py).
-    "nation_revenue_volatility",
-    "nation_top_brand",
-    "priority_mix_by_value_quintile",
-    "order_ship_weekday_matrix",
-    "parttype_size_chi2",
-    "monthly_revenue_autocorr",
-    "session_type_richness",
-    "value_by_session_position",
-    "zipf_abbreviation_curve",
-    "knn_radius_histogram",
-    "partial_merge_consistency",
-    "cents_fraction_bias",
-    "linenumber_density_audit",
-    "temporal_integrity_audit",
-    "stream_update_mode_counts",
     # round-12-candidate registrations, fifth tranche
     # (workload/analytics16.py): new API surfaces — parquet_meta +
     # graphml + geojson Python DataSources, both UDTF forms, append-mode
     # eviction + foreachBatch streaming — plus five new-territory
     # rollups. Tops round-12 prefix supply up to exactly 50.
-    "footer_stats_content_parity",
-    "footer_rowcount_audit",
-    "graphml_roundtrip_edges",
-    "geojson_dim_roundtrip",
-    "udtf_session_stats",
-    "udtf_top_bigrams",
-    "stream_append_closed_windows",
-    "stream_foreach_batch_totals",
-    "returnflag_linestatus_cramers_v",
-    "doc_sentence_length_profile",
-    "source_char_class_census",
-    "acctbal_ks_customer_supplier",
     "schema_evolution_union",
     "stream_python_source_counts",
     "python_writer_roundtrip",

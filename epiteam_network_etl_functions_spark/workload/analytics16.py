@@ -108,7 +108,12 @@ def footer_stats_content_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats drive predicate pushdown and scan pruning at 100 TB; a footer
     that disagrees with content is silent data corruption, and this
     query is the cross-engine lock that it cannot happen unnoticed.
-    One input partition per file, footer-only reads — no data scan."""
+    One input partition per file, footer-only reads — no data scan.
+    Stats are aggregated per (table, column) over row groups —
+    sum(num_values)/sum(null_count), min(min)/max(max) — so the result
+    is invariant to how many row groups the writer emitted per file
+    (a single-row-group assumption would break at any SF where a file
+    exceeds the writer's row-group size)."""
     meta = _meta_frame(spark, sf_dir)
     return (
         # filter on the RAW file column: the source's pushFilters hook
@@ -118,13 +123,15 @@ def footer_stats_content_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("file").isin(*[f"{t}.parquet" for t in _PARITY_TABLES])
             & F.col("min_double").isNotNull()
         )
-        .select(
+        .groupBy(
             F.regexp_replace("file", r"\.parquet$", "").alias("table_name"),
             F.col("path_in_schema").alias("column_name"),
-            F.col("num_values").alias("n_values"),
-            F.col("null_count").alias("n_nulls"),
-            F.round("min_double", 6).alias("min_v"),
-            F.round("max_double", 6).alias("max_v"),
+        )
+        .agg(
+            F.sum("num_values").cast("long").alias("n_values"),
+            F.sum("null_count").cast("long").alias("n_nulls"),
+            F.round(F.min("min_double"), 6).alias("min_v"),
+            F.round(F.max("max_double"), 6).alias("max_v"),
         )
     )
 
