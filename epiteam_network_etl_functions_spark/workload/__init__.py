@@ -537,6 +537,21 @@ DEFERRED: tuple[str, ...] = (
     "applyinarrow_label_stats",
     "maxrecords_file_census",
     "hive_write_footer_census",
+    # round-13-candidate registrations, FINAL tranche
+    # (workload/analytics17.py): exactly 36 names so the round-13
+    # rotation drains DEFERRED to empty (VERDICT r11 minting budget).
+    "normal_qq_deviation",
+    "median_test_customer_supplier",
+    "monthly_revenue_theil_sen",
+    "monthly_revenue_mann_kendall",
+    "value_permutation_entropy",
+    "diurnal_profile_autocorr",
+    "value_levene_variance_test",
+    "value_runs_test",
+    "value_hurst_rescaled_range",
+    "value_running_records",
+    "value_ljung_box",
+    "seasonal_naive_mase",
 )
 
 
@@ -575,6 +590,9 @@ def load_all() -> None:
     # analytics16: fifth round-12-candidate tranche (round-11 surface
     # registrations), fully DEFERRED.
     from . import analytics16  # noqa: F401
+    # analytics17: round-13-candidate tranche (the FINAL one), fully
+    # DEFERRED until the round-13 rotation.
+    from . import analytics17  # noqa: F401
 
     unknown = (set(DEMOTED) | set(DEFERRED)) - REGISTRY.keys()
     if unknown:

@@ -1,0 +1,980 @@
+"""Round-13-candidate analytics (DEFERRED tier) — the FINAL tranche.
+
+VERDICT r11 set the minting budget at exactly 36 names so the round-13
+rotation drains DEFERRED to empty and every registered query is
+driver-certified. Families here were vetted against all 454 existing
+names (PLANS.md idea bank discipline; the bank's
+colocation_neighbor_jaccard_topk was dropped on re-check — it
+duplicates the certified neighbor_jaccard_links — and the text-regex
+censuses were dropped because the synthetic corpus is punctuation-free,
+which would make them degenerate at every SF):
+
+- distribution/hypothesis tests new to the registry: normal QQ
+  deviation, Mood's median test, Brown-Forsythe variance test,
+  Wald-Wolfowitz runs test, Mann-Kendall trend, Theil-Sen slope,
+  Ljung-Box autocorrelation, two-way ANOVA, BH false-discovery control,
+  Goodman-Kruskal gamma on binned grids;
+- time-series structure: rescaled-range Hurst exponent, circular
+  diurnal-profile autocorrelation, seasonal-naive MASE, running-records
+  census, permutation entropy, pinball-loss quantile evaluation,
+  expected-shortfall (CVaR) tails;
+- graph/mobility: rich-club coefficient, per-user-day motif census,
+  out-of-order arrival depth (the watermark-sizing audit);
+- vectors: two-NN intrinsic dimension, simplified silhouette,
+  Davies-Bouldin index, cosine triangle-inequality audit, macro-F1 +
+  multiclass MCC over the nearest-centroid confusion;
+- pipeline/ops: DataFrame-native Bloom filter with exact cross-engine
+  parity, LSH band S-curve planner, join-cardinality estimator audit,
+  SCD2 interval integrity, payload magic-byte census, edit-distance
+  name blocking, stylometric Burrows' Delta, decision-stump Gini gain,
+  type-hour mutual information, Simpson's-paradox sign-flip audit, and
+  the TPC-H Q19 disjunctive-bracket pushdown shape.
+
+IMPORT ORDER CONTRACT: imported LAST by ``workload.load_all``; every
+name here is in ``workload.DEFERRED`` until the round-13 rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .. import catalog
+from ..session import prep
+from . import query
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    prep(spark)
+    return catalog.load(spark, sf_dir, table)
+
+
+# ---------------------------------------------------------------------------
+# shared series builders (events hourly / orders monthly), exact integer cents
+# ---------------------------------------------------------------------------
+
+_HOURLY_CTE = """
+hourly AS (
+    SELECT date_trunc('hour', ts) AS hr,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY hr
+),
+series AS (
+    SELECT c, CAST(row_number() OVER (ORDER BY hr ASC) AS BIGINT) - 1 AS t
+    FROM hourly
+)
+"""
+
+_MONTHLY_CTE = """
+monthly AS (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mk,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev
+    FROM orders GROUP BY mk
+)
+"""
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, c): hour-index-ordered exact-cents hourly totals over the
+    OBSERVED hours (no zero-fill — both engines see the same series).
+    One fact pass; the series is O(hours), driver-safe at any SF."""
+    e = _load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("c")
+    )
+    w = Window.orderBy(F.asc("hr"))
+    return hourly.select(
+        "c", (F.row_number().over(w).cast("long") - 1).alias("t")
+    )
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mk, rev): month-keyed exact-cents order revenue (~80 rows)."""
+    o = _load(spark, sf_dir, "orders")
+    return o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mk")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. normal QQ deviation (acctbal vs the fitted normal)
+# ---------------------------------------------------------------------------
+
+# standard-normal decile quantiles, hardcoded so both engines score the
+# sample against bit-identical reference points (no erf needed)
+_Z_DECILES = {
+    1: -1.281552,
+    2: -0.841621,
+    3: -0.524401,
+    4: -0.253347,
+    5: 0.0,
+    6: 0.253347,
+    7: 0.524401,
+    8: 0.841621,
+    9: 1.281552,
+}
+
+_QQ_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT CAST({d} AS BIGINT) AS decile,
+           round((quantile_cont(c_acctbal, {d / 10.0})
+                  - avg(c_acctbal)) / stddev_samp(c_acctbal), 6)
+               AS sample_z,
+           CAST({z} AS DOUBLE) AS normal_z,
+           round(abs((quantile_cont(c_acctbal, {d / 10.0})
+                      - avg(c_acctbal)) / stddev_samp(c_acctbal)
+                     - ({z})), 6) AS qq_deviation
+    FROM customer"""
+    for d, z in _Z_DECILES.items()
+)
+
+
+@query("normal_qq_deviation", oracle=_QQ_ORACLE)
+def normal_qq_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-plot deviation of customer account balances against the
+    fitted normal: standardize each sample decile by the sample
+    mean/std and compare to the hardcoded standard-normal decile
+    quantiles — the distribution-fit family's missing normality member
+    (exponential-KS and lognormal-params exist; nothing tests
+    normality). One scan, one 9-row aggregate; the z references are
+    literals so no engine needs an inverse CDF."""
+    c = _load(spark, sf_dir, "customer")
+    aggs = []
+    for d, z in _Z_DECILES.items():
+        q = F.expr(f"percentile(c_acctbal, {d / 10.0})")
+        sz = (q - F.avg("c_acctbal")) / F.stddev_samp("c_acctbal")
+        aggs.append(
+            F.struct(
+                F.lit(d).cast("long").alias("decile"),
+                F.round(sz, 6).alias("sample_z"),
+                F.lit(z).alias("normal_z"),
+                F.round(F.abs(sz - F.lit(z)), 6).alias("qq_deviation"),
+            ).alias(f"_d{d}")
+        )
+    row = c.agg(*aggs)
+    return row.select(
+        F.explode(F.array(*[f"_d{d}" for d in _Z_DECILES])).alias("s")
+    ).select("s.decile", "s.sample_z", "s.normal_z", "s.qq_deviation")
+
+
+# ---------------------------------------------------------------------------
+# 2. Mood's median test: customer vs supplier acctbal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "median_test_customer_supplier",
+    oracle="""
+    WITH pooled AS (
+        SELECT c_acctbal AS v, 'customer' AS dim FROM customer
+        UNION ALL
+        SELECT s_acctbal, 'supplier' FROM supplier
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM pooled),
+    cells AS (
+        SELECT dim,
+               CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(sum(CASE WHEN v <= m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below
+        FROM pooled CROSS JOIN med GROUP BY dim
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN dim = 'customer' THEN n_above END) AS ca,
+            max(CASE WHEN dim = 'customer' THEN n_below END) AS cb,
+            max(CASE WHEN dim = 'supplier' THEN n_above END) AS sa,
+            max(CASE WHEN dim = 'supplier' THEN n_below END) AS sb
+        FROM cells
+    )
+    SELECT ca AS customer_above, cb AS customer_below,
+           sa AS supplier_above, sb AS supplier_below,
+           round((ca + cb + sa + sb)
+                 * power(CAST(ca AS DOUBLE) * sb - CAST(cb AS DOUBLE) * sa, 2)
+                 / ((ca + cb) * (sa + sb) * (ca + sa) * (cb + sb)), 6)
+               AS chi2
+    FROM wide
+    """,
+)
+def median_test_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test across the two account-balance dimensions:
+    pool customer and supplier balances, split at the pooled median,
+    and chi-square the 2x2 above/below table — a nonparametric
+    central-tendency test the Welch/KS/Mann-Whitney family lacks. The
+    pooled median is one interpolated quantile; the cells are exact
+    integers so the statistic is a deterministic ratio."""
+    c = _load(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("v"), F.lit("customer").alias("dim")
+    )
+    s = _load(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("v"), F.lit("supplier").alias("dim")
+    )
+    pooled = c.unionByName(s)
+    med = pooled.agg(F.expr("percentile(v, 0.5)").alias("m"))
+    cells = (
+        pooled.crossJoin(F.broadcast(med))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("v") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("dim") == "customer", F.col("n_above"))).alias("ca"),
+        F.max(F.when(F.col("dim") == "customer", F.col("n_below"))).alias("cb"),
+        F.max(F.when(F.col("dim") == "supplier", F.col("n_above"))).alias("sa"),
+        F.max(F.when(F.col("dim") == "supplier", F.col("n_below"))).alias("sb"),
+    )
+    ca, cb, sa, sb = (F.col(x) for x in ("ca", "cb", "sa", "sb"))
+    chi2 = (
+        (ca + cb + sa + sb)
+        * F.pow(ca.cast("double") * sb - cb.cast("double") * sa, 2)
+        / ((ca + cb) * (sa + sb) * (ca + sa) * (cb + sb))
+    )
+    return wide.select(
+        ca.alias("customer_above"),
+        cb.alias("customer_below"),
+        sa.alias("supplier_above"),
+        sb.alias("supplier_below"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3-4. Theil-Sen slope + Mann-Kendall trend on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_revenue_theil_sen",
+    oracle=f"""
+    WITH {_MONTHLY_CTE.strip()},
+    pairs AS (
+        SELECT (CAST(b.rev AS DOUBLE) - a.rev) / (b.mk - a.mk) / 100.0
+                   AS slope
+        FROM monthly a JOIN monthly b ON a.mk < b.mk
+    )
+    SELECT CAST((SELECT count(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM pairs
+    """,
+)
+def monthly_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the monthly-revenue trend: the median of
+    all pairwise slopes — the robust (29%-breakdown) alternative to the
+    OLS slope the trend family uses. The pairwise join is over the
+    ~80-row monthly summary (O(months**2) pairs, never fact rows), so
+    the all-pairs form is dimension-sized by construction."""
+    m = _monthly_revenue(spark, sf_dir)
+    a = m.select(F.col("mk").alias("amk"), F.col("rev").alias("arev"))
+    b = m.select(F.col("mk").alias("bmk"), F.col("rev").alias("brev"))
+    pairs = a.join(b, F.col("amk") < F.col("bmk")).select(
+        (
+            (F.col("brev").cast("double") - F.col("arev"))
+            / (F.col("bmk") - F.col("amk"))
+            / 100.0
+        ).alias("slope")
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("long").alias("n")).select("n")
+    return pairs.crossJoin(F.broadcast(n_months)).agg(
+        F.max("n").alias("n_months"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+    )
+
+
+@query(
+    "monthly_revenue_mann_kendall",
+    oracle=f"""
+    WITH {_MONTHLY_CTE.strip()},
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                             WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM monthly a JOIN monthly b ON a.mk < b.mk
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly)
+    SELECT n.n_months, s.s_stat,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1.0)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1.0)
+                      ELSE 0.0 END
+                 / sqrt(n.n_months * (n.n_months - 1.0)
+                        * (2.0 * n.n_months + 5.0) / 18.0), 6) AS z_stat
+    FROM s CROSS JOIN n
+    """,
+)
+def monthly_revenue_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = the sum of
+    pairwise signs, continuity-corrected z against the null variance
+    n(n-1)(2n+5)/18 — the nonparametric companion to the Theil-Sen
+    slope (autocorrelation queries measure persistence, nothing tests
+    monotone trend). Exact integer S over the ~80-row summary."""
+    m = _monthly_revenue(spark, sf_dir)
+    a = m.select(F.col("mk").alias("amk"), F.col("rev").alias("arev"))
+    b = m.select(F.col("mk").alias("bmk"), F.col("rev").alias("brev"))
+    s = a.join(b, F.col("amk") < F.col("bmk")).agg(
+        F.sum(
+            F.when(F.col("brev") > F.col("arev"), 1)
+            .when(F.col("brev") < F.col("arev"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    joined = s.crossJoin(F.broadcast(n))
+    ss = F.col("s_stat")
+    nm = F.col("n_months")
+    var = nm * (nm - F.lit(1.0)) * (F.lit(2.0) * nm + 5.0) / 18.0
+    z = (
+        F.when(ss > 0, ss - F.lit(1.0))
+        .when(ss < 0, ss + F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        / F.sqrt(var)
+    )
+    return joined.select("n_months", "s_stat", F.round(z, 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# 5. permutation entropy of the value stream per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_permutation_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(value, 2) OVER w AS v1,
+               lag(value, 1) OVER w AS v2,
+               value AS v3
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+    ),
+    pat AS (
+        SELECT event_type,
+               CAST(CASE WHEN v1 < v2 THEN 4 ELSE 0 END
+                    + CASE WHEN v2 < v3 THEN 2 ELSE 0 END
+                    + CASE WHEN v1 < v3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS pattern
+        FROM seq WHERE v1 IS NOT NULL AND v2 IS NOT NULL
+    ),
+    cnt AS (
+        SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS n
+        FROM pat GROUP BY event_type, pattern
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t
+        FROM cnt GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(max(t.n_t) AS BIGINT) AS n_triples,
+           round(-sum((CAST(c.n AS DOUBLE) / t.n_t)
+                      * ln(CAST(c.n AS DOUBLE) / t.n_t)), 6) AS perm_entropy
+    FROM cnt c JOIN tot t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def value_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of each event type's value stream:
+    encode every consecutive triple by its comparison pattern
+    ((v1<v2, v2<v3, v1<v3) bits) and take the Shannon entropy of the
+    pattern distribution — the standard ordinal-dynamics complexity
+    measure (white noise -> ln 6, monotone drift -> 0). Everything is
+    a partitioned lag window plus one grouped entropy; no global
+    ordering, no Python."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type",
+        F.lag("value", 2).over(w).alias("v1"),
+        F.lag("value", 1).over(w).alias("v2"),
+        F.col("value").alias("v3"),
+    ).where(F.col("v1").isNotNull() & F.col("v2").isNotNull())
+    pat = seq.select(
+        "event_type",
+        (
+            F.when(F.col("v1") < F.col("v2"), 4).otherwise(0)
+            + F.when(F.col("v2") < F.col("v3"), 2).otherwise(0)
+            + F.when(F.col("v1") < F.col("v3"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("pattern"),
+    )
+    cnt = pat.groupBy("event_type", "pattern").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    p = F.col("n").cast("double") / F.sum("n").over(wt)
+    probs = cnt.select("event_type", "n", (p * F.log(p)).alias("plogp"))
+    return probs.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_triples"),
+        F.round(-F.sum("plogp"), 6).alias("perm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. circular autocorrelation of the diurnal profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "diurnal_profile_autocorr",
+    oracle="""
+    WITH grid AS (SELECT unnest(range(24)) AS h),
+    cnt AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY h
+    ),
+    prof AS (
+        SELECT g.h, COALESCE(cnt.c, 0) AS c
+        FROM grid g LEFT JOIN cnt ON cnt.h = g.h
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12]) AS lag_h),
+    dot AS (
+        SELECT l.lag_h,
+               CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+        FROM lags l
+        JOIN prof a ON TRUE
+        JOIN prof b ON b.h = (a.h + l.lag_h) % 24
+        GROUP BY l.lag_h
+    ),
+    tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM prof
+    )
+    SELECT d.lag_h,
+           round((24.0 * d.sxy - CAST(t.s1 AS DOUBLE) * t.s1)
+                 / (24.0 * t.s2 - CAST(t.s1 AS DOUBLE) * t.s1), 6)
+               AS circ_autocorr
+    FROM dot d CROSS JOIN tot t
+    """,
+)
+def diurnal_profile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular autocorrelation of the 24-bin diurnal event profile at
+    lags 1/2/3/6/12 hours: r_l = (24*sum(c_h*c_{h+l mod 24}) - T**2) /
+    (24*sum(c**2) - T**2) — the wrap-around Pearson correlation of the
+    profile with its own rotation (lag-12 near -1 means a clean
+    day/night split; the existing amplitude query measures range, not
+    periodicity). All exact integer dot products over a 24-row profile;
+    the fact pass is one groupBy(hour)."""
+    e = _load(spark, sf_dir, "events")
+    spark_ = e.sparkSession
+    cnt = e.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = spark_.range(24).select(F.col("id").alias("h"))
+    prof = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    lags = spark_.createDataFrame([(1,), (2,), (3,), (6,), (12,)], "lag_h long")
+    a = prof.select(F.col("h").alias("ah"), F.col("c").alias("ac"))
+    b = prof.select(F.col("h").alias("bh"), F.col("c").alias("bc"))
+    dot = (
+        lags.crossJoin(a)
+        .join(b, F.col("bh") == (F.col("ah") + F.col("lag_h")) % 24)
+        .groupBy("lag_h")
+        .agg(F.sum(F.col("ac") * F.col("bc")).cast("long").alias("sxy"))
+    )
+    tot = prof.agg(
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    s1 = F.col("s1").cast("double")
+    r = (F.lit(24.0) * F.col("sxy") - s1 * F.col("s1")) / (
+        F.lit(24.0) * F.col("s2") - s1 * F.col("s1")
+    )
+    return (
+        dot.crossJoin(F.broadcast(tot))
+        .select("lag_h", F.round(r, 6).alias("circ_autocorr"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Brown-Forsythe (Levene) variance homogeneity test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_levene_variance_test",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0.0 AS m
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, abs(e.value - med.m) AS zv
+        FROM events e JOIN med USING (event_type)
+    ),
+    grp AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+               avg(zv) AS zbar_i,
+               sum(zv * zv) AS zsq_i, sum(zv) AS zsum_i
+        FROM z GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(zsum_i) / sum(n_i) AS zbar
+        FROM grp
+    )
+    SELECT t.k AS n_groups, t.n AS n_events,
+           round(((t.n - t.k) / (t.k - 1.0))
+                 * sum(g.n_i * (g.zbar_i - t.zbar) * (g.zbar_i - t.zbar))
+                 / sum(g.zsq_i - g.n_i * g.zbar_i * g.zbar_i), 6)
+               AS levene_w
+    FROM grp g CROSS JOIN tot t
+    GROUP BY t.k, t.n
+    """,
+)
+def value_levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with group medians) for variance
+    homogeneity of value across event types — the missing variance
+    counterpart to the one-way-ANOVA-on-means family. Group medians
+    are rounded to 6 and pinned (+0.0) so both engines compute absolute
+    deviations against bit-identical centers; the W statistic is then
+    pure grouped-moment algebra."""
+    e = _load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        (F.round(F.expr("percentile(value, 0.5)"), 6) + F.lit(0.0)).alias("m")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("zv")
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.avg("zv").alias("zbar_i"),
+        F.sum(F.col("zv") * F.col("zv")).alias("zsq_i"),
+        F.sum("zv").alias("zsum_i"),
+    )
+    tot = grp.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("zsum_i") / F.sum("n_i")).alias("zbar"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    between = F.sum(
+        F.col("n_i") * (F.col("zbar_i") - F.col("zbar")) * (F.col("zbar_i") - F.col("zbar"))
+    )
+    within = F.sum(
+        F.col("zsq_i") - F.col("n_i") * F.col("zbar_i") * F.col("zbar_i")
+    )
+    return (
+        j.groupBy(F.col("k").alias("n_groups"), F.col("n").alias("n_events"))
+        .agg(
+            F.round(
+                ((F.col("n_events") - F.col("n_groups")) / (F.col("n_groups") - F.lit(1.0)))
+                * between
+                / within,
+                6,
+            ).alias("levene_w")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Wald-Wolfowitz runs test per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_runs_test",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0.0 AS m
+        FROM events GROUP BY event_type
+    ),
+    seq AS (
+        SELECT e.event_type,
+               CASE WHEN e.value > med.m THEN 1 ELSE 0 END AS above,
+               row_number() OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM events e JOIN med USING (event_type)
+    ),
+    runs AS (
+        SELECT event_type,
+               CAST(sum(above) AS BIGINT) AS n1,
+               CAST(sum(1 - above) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN above <> prev THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs
+        FROM (
+            SELECT event_type, above,
+                   lag(above) OVER (
+                       PARTITION BY event_type ORDER BY rn ASC) AS prev
+            FROM seq
+        ) GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, n_runs,
+           round((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+               AS z_stat
+    FROM runs
+    """,
+)
+def value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of each event type's
+    value stream: dichotomize at the (rounded, pinned) per-type median,
+    count sign runs in (ts, event_id) order, and z-score against the
+    random-sequence null — serial dependence that autocorrelation-lag-1
+    sees only linearly shows up here distribution-free. Partitioned
+    windows only; the first row's NULL lag counts as no boundary (the
+    +1 seeds the first run)."""
+    e = _load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        (F.round(F.expr("percentile(value, 0.5)"), 6) + F.lit(0.0)).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("above"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("rn"))
+    runs = (
+        seq.withColumn("prev", F.lag("above").over(w2))
+        .groupBy("event_type")
+        .agg(
+            F.sum("above").cast("long").alias("n1"),
+            F.sum(1 - F.col("above")).cast("long").alias("n2"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("above") != F.col("prev"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return runs.select(
+        "event_type", "n1", "n2", "n_runs",
+        F.round((r - mu) / sig, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. rescaled-range Hurst exponent of the hourly cents series
+# ---------------------------------------------------------------------------
+
+_RS_SCALES = (32, 128)
+
+
+def _rs_oracle_scale(m: int) -> str:
+    return f"""
+    rs_{m} AS (
+        SELECT avg(r / s) AS mean_rs
+        FROM (
+            SELECT chunk,
+                   max(cum) - min(cum) AS r,
+                   sqrt(avg(CAST(c AS DOUBLE) * c) - avg(c) * avg(c)) AS s
+            FROM (
+                SELECT t // {m} AS chunk, c,
+                       sum(c) OVER (PARTITION BY t // {m}
+                                    ORDER BY t ASC) * 1.0
+                       - (row_number() OVER (PARTITION BY t // {m}
+                                             ORDER BY t ASC))
+                         * (avg(c) OVER (PARTITION BY t // {m})) AS cum
+                FROM series
+                WHERE t // {m} < (SELECT count(*) FROM series) // {m}
+            ) GROUP BY chunk
+        ) WHERE s > 0
+    )"""
+
+
+@query(
+    "value_hurst_rescaled_range",
+    oracle=f"""
+    WITH {_HOURLY_CTE.strip()},
+    {_rs_oracle_scale(32).strip()},
+    {_rs_oracle_scale(128).strip()}
+    SELECT CAST((SELECT count(*) FROM series) AS BIGINT) AS n_hours,
+           round(a.mean_rs, 6) AS rs_32,
+           round(b.mean_rs, 6) AS rs_128,
+           round((ln(b.mean_rs) - ln(a.mean_rs)) / (ln(128) - ln(32)), 6)
+               AS hurst
+    FROM rs_32 a CROSS JOIN rs_128 b
+    """,
+)
+def value_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis of the hourly-cents
+    series: split the series into complete chunks at scales 32 and 128
+    hours, compute R/S (range of cumulative mean deviations over the
+    population std) per chunk, and read H off the two-point log-log
+    slope — long-range dependence, which no existing autocorrelation
+    or dispersion query measures (H=0.5 memoryless, H>0.5 persistent).
+    The series is O(hours); everything after the one fact pass is
+    chunk-partitioned windows."""
+    series = _hourly_series(spark, sf_dir)
+    n_total = series.agg(F.count(F.lit(1)).alias("n"))
+
+    def rs_at(m: int) -> DataFrame:
+        s = series.crossJoin(F.broadcast(n_total)).where(
+            (F.col("t") / m).cast("long")
+            < (F.col("n") / m).cast("long")
+        )
+        chunked = s.select(
+            (F.col("t") / m).cast("long").alias("chunk"), "c", "t"
+        )
+        wcum = (
+            Window.partitionBy("chunk")
+            .orderBy(F.asc("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wchunk = Window.partitionBy("chunk")
+        wrn = Window.partitionBy("chunk").orderBy(F.asc("t"))
+        cum = chunked.select(
+            "chunk",
+            "c",
+            (
+                F.sum("c").over(wcum) * F.lit(1.0)
+                - F.row_number().over(wrn) * F.avg("c").over(wchunk)
+            ).alias("cum"),
+        )
+        per_chunk = cum.groupBy("chunk").agg(
+            (F.max("cum") - F.min("cum")).alias("r"),
+            F.sqrt(
+                F.avg(F.col("c").cast("double") * F.col("c"))
+                - F.avg("c") * F.avg("c")
+            ).alias("s"),
+        )
+        return per_chunk.where(F.col("s") > 0).agg(
+            F.avg(F.col("r") / F.col("s")).alias(f"mean_rs_{m}")
+        )
+
+    a, b = rs_at(32), rs_at(128)
+    joined = a.crossJoin(b).crossJoin(
+        F.broadcast(n_total.select(F.col("n").cast("long").alias("n_hours")))
+    )
+    h = (F.log(F.col("mean_rs_128")) - F.log(F.col("mean_rs_32"))) / (
+        F.log(F.lit(128.0)) - F.log(F.lit(32.0))
+    )
+    return joined.select(
+        "n_hours",
+        F.round("mean_rs_32", 6).alias("rs_32"),
+        F.round("mean_rs_128", 6).alias("rs_128"),
+        F.round(h, 6).alias("hurst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. running-records census (extreme-value arrivals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_running_records",
+    oracle="""
+    WITH rec AS (
+        SELECT user_id,
+               CASE WHEN value > max(value) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR row_number() OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1
+                    THEN 1 ELSE 0 END AS is_record
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, CAST(sum(is_record) AS BIGINT) AS n_records
+        FROM rec GROUP BY user_id
+    )
+    SELECT n_records, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY n_records
+    """,
+)
+def value_running_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking census: per user, count events whose value
+    strictly exceeds every earlier value in their stream (the first
+    event is a record), then histogram users by record count — for an
+    i.i.d. stream the expected count is the harmonic number H(n), so
+    heavy tails show up as excess records. Extreme-value arrival
+    statistics are new to the registry; the window is per-user
+    (partitioned, scale-safe), never global."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    rec = e.select(
+        "user_id",
+        F.when(
+            (F.col("value") > F.max("value").over(wprev))
+            | (F.row_number().over(w) == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    per_user = rec.groupBy("user_id").agg(
+        F.sum("is_record").cast("long").alias("n_records")
+    )
+    return per_user.groupBy("n_records").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. Ljung-Box portmanteau test on the hourly series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_ljung_box",
+    oracle=f"""
+    WITH {_HOURLY_CTE.strip()},
+    mu AS (
+        SELECT avg(c * 1.0) AS mu, CAST(count(*) AS BIGINT) AS n
+        FROM series
+    ),
+    stats AS (
+        SELECT m.mu, m.n, sum((s.c - m.mu) * (s.c - m.mu)) AS denom
+        FROM series s CROSS JOIN mu m GROUP BY m.mu, m.n
+    ),
+    lagged AS (
+        SELECT l.k,
+               sum((s.c - st.mu) * (p.c - st.mu)) AS num
+        FROM (SELECT unnest(range(1, 7)) AS k) l
+        JOIN series s ON TRUE
+        JOIN series p ON p.t = s.t - l.k
+        CROSS JOIN stats st
+        GROUP BY l.k
+    ),
+    acf AS (
+        SELECT l.k AS lag_k,
+               round(l.num / st.denom, 6) + 0.0 AS r_k,
+               st.n
+        FROM lagged l CROSS JOIN stats st
+    )
+    SELECT lag_k, r_k,
+           round(n * (n + 2.0)
+                 * sum(r_k * r_k / (n - lag_k))
+                   OVER (ORDER BY lag_k ASC), 6) AS q_stat
+    FROM acf
+    """,
+)
+def value_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the hourly-cents series: ACF at
+    lags 1-6 (pinned at 6 decimals so both engines square identical
+    r_k) and the cumulative Q = n(n+2) * sum(r_k^2 / (n-k)) — the joint
+    whiteness test the single-lag autocorrelation queries can't give.
+    The series is O(hours); lag alignment is an equi-join on the hour
+    index, one row per lag out."""
+    series = _hourly_series(spark, sf_dir)
+    stats = series.agg(
+        F.avg(F.col("c") * 1.0).alias("mu"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = series.crossJoin(F.broadcast(stats)).select(
+        "t", "c", "mu", "n", (F.col("c") - F.col("mu")).alias("d")
+    )
+    denom = dev.agg(F.sum(F.col("d") * F.col("d")).alias("denom"))
+    lags = series.sparkSession.createDataFrame(
+        [(k,) for k in range(1, 7)], "k long"
+    )
+    s = dev.select(F.col("t").alias("st"), F.col("d").alias("sd"))
+    p = dev.select(F.col("t").alias("pt"), F.col("d").alias("pd"))
+    num = (
+        lags.crossJoin(s)
+        .join(p, F.col("pt") == F.col("st") - F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("sd") * F.col("pd")).alias("num"))
+    )
+    acf = (
+        num.crossJoin(F.broadcast(denom))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            F.col("k").alias("lag_k"),
+            (F.round(F.col("num") / F.col("denom"), 6) + F.lit(0.0)).alias(
+                "r_k"
+            ),
+            "n",
+        )
+    )
+    wq = Window.orderBy(F.asc("lag_k"))
+    q = (
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * F.sum(
+            F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("lag_k"))
+        ).over(wq)
+    )
+    return acf.select("lag_k", "r_k", F.round(q, 6).alias("q_stat"))
+
+
+# ---------------------------------------------------------------------------
+# 12. seasonal-naive MASE on monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_naive_mase",
+    oracle=f"""
+    WITH {_MONTHLY_CTE.strip()},
+    idx AS (
+        SELECT rev,
+               lag(rev, 1) OVER (ORDER BY mk ASC) AS prev1,
+               lag(rev, 12) OVER (ORDER BY mk ASC) AS prev12
+        FROM monthly
+    ),
+    eval AS (SELECT * FROM idx WHERE prev12 IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_months_eval,
+           round(avg(abs(rev - prev1)) / 100.0, 6) AS mae_naive1,
+           round(avg(abs(rev - prev12)) / 100.0, 6) AS mae_seasonal12,
+           round(avg(abs(rev - prev1) * 1.0) / avg(abs(rev - prev12) * 1.0), 6)
+               AS mase
+    FROM eval
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of the naive last-month
+    forecast against the seasonal-naive (lag-12) scale on monthly
+    revenue — the standard scale-free forecast-accuracy measure
+    (below 1: last-month beats same-month-last-year). The seasonal
+    index family describes seasonality; nothing evaluates a forecast.
+    Both errors are exact cents differences over the ~80-row summary,
+    evaluated on the common lag-12-complete window."""
+    m = _monthly_revenue(spark, sf_dir)
+    w = Window.orderBy(F.asc("mk"))
+    idx = m.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("prev1"),
+        F.lag("rev", 12).over(w).alias("prev12"),
+    ).where(F.col("prev12").isNotNull())
+    e1 = F.abs(F.col("rev") - F.col("prev1"))
+    e12 = F.abs(F.col("rev") - F.col("prev12"))
+    return idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months_eval"),
+        F.round(F.avg(e1) / 100.0, 6).alias("mae_naive1"),
+        F.round(F.avg(e12) / 100.0, 6).alias("mae_seasonal12"),
+        F.round(F.avg(e1 * 1.0) / F.avg(e12 * 1.0), 6).alias("mase"),
+    )
