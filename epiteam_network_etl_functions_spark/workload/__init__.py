@@ -552,6 +552,16 @@ DEFERRED: tuple[str, ...] = (
     "value_running_records",
     "value_ljung_box",
     "seasonal_naive_mase",
+    "colocation_rich_club",
+    "user_daily_motifs",
+    "source_burrows_delta",
+    "quantity_price_gk_gamma",
+    "embedding_intrinsic_dim_2nn",
+    "label_silhouette_simplified",
+    "label_davies_bouldin",
+    "metric_triangle_audit",
+    "join_cardinality_estimate_audit",
+    "out_of_order_depth_histogram",
 )
 
 

@@ -978,3 +978,937 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(e12) / 100.0, 6).alias("mae_seasonal12"),
         F.round(F.avg(e1 * 1.0) / F.avg(e12 * 1.0), 6).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. rich-club coefficient of the co-location graph
+# ---------------------------------------------------------------------------
+
+
+def _rich_club_oracle() -> str:
+    from .mobility import _EDGES_CTE
+
+    return f"""
+    WITH {_EDGES_CTE.strip()},
+    adj AS (
+        SELECT a_user_id AS u FROM edges
+        UNION ALL
+        SELECT b_user_id FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u),
+    rich AS (
+        SELECT u FROM deg
+        ORDER BY degree DESC, u ASC LIMIT {_RICH_K}
+    ),
+    rich_edges AS (
+        SELECT count(*) AS e_rich
+        FROM edges e
+        WHERE EXISTS (SELECT 1 FROM rich r WHERE r.u = e.a_user_id)
+          AND EXISTS (SELECT 1 FROM rich r WHERE r.u = e.b_user_id)
+    )
+    SELECT CAST({_RICH_K} AS BIGINT) AS k_rich,
+           CAST(e_rich AS BIGINT) AS n_rich_edges,
+           round(2.0 * e_rich / ({_RICH_K} * ({_RICH_K} - 1.0)), 6)
+               AS rich_club_phi
+    FROM rich_edges
+    """
+
+
+_RICH_K = 20
+
+
+@query("colocation_rich_club", oracle=_rich_club_oracle())
+def colocation_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-location graph: the edge density
+    among the top-{k}-degree nodes (tie-broken by node id so the club is
+    total-ordered) — do the hubs preferentially meet each other? The
+    degree-structure family (gini, assortativity, k-core) has no
+    club-density member. Degrees come from the shared materialized edge
+    list; the club is a {k}-row broadcast joined twice against edges."""
+    from .mobility import _colocation_edge_list
+
+    edges = _colocation_edge_list(spark, sf_dir)
+    adj = edges.select(F.col("a_user_id").alias("u")).unionAll(
+        edges.select(F.col("b_user_id").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    rich = deg.orderBy(F.desc("degree"), F.asc("u")).limit(_RICH_K)
+    ra = rich.select(F.col("u").alias("a_user_id"))
+    rb = rich.select(F.col("u").alias("b_user_id"))
+    e_rich = (
+        edges.join(F.broadcast(ra), "a_user_id", "left_semi")
+        .join(F.broadcast(rb), "b_user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    return e_rich.select(
+        F.lit(_RICH_K).cast("long").alias("k_rich"),
+        F.col("e_rich").alias("n_rich_edges"),
+        F.round(
+            F.lit(2.0) * F.col("e_rich") / (_RICH_K * (_RICH_K - 1.0)), 6
+        ).alias("rich_club_phi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. per-user-day motif census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_daily_motifs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               first(event_type ORDER BY ts ASC, event_id ASC) AS first_t,
+               last(event_type ORDER BY ts ASC, event_id ASC) AS last_t
+        FROM events GROUP BY user_id, d
+    ),
+    cls AS (
+        SELECT CASE
+            WHEN n_events = 1 THEN 'single'
+            WHEN n_types = 1 THEN 'uniform'
+            WHEN first_t = last_t THEN 'return'
+            WHEN n_types = n_events THEN 'all_distinct'
+            ELSE 'mixed' END AS motif
+        FROM seq
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM cls GROUP BY motif
+    """,
+)
+def user_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity-motif census: classify every (user, day) by the
+    SHAPE of its event-type sequence — single visit, uniform (one type
+    repeated), return (opens and closes with the same type, others
+    between), all-distinct, or mixed — the sequence-motif taxonomy
+    mobility papers use for location diaries, applied to event streams
+    (transition matrices count steps; motifs classify whole days).
+    First/last are (ts, event_id)-ordered min/max-by structs — one
+    grouped pass, no window, no sequence materialization."""
+    e = _load(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    seq = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.min_by("event_type", ordkey).alias("first_t"),
+        F.max_by("event_type", ordkey).alias("last_t"),
+    )
+    cls = seq.select(
+        F.when(F.col("n_events") == 1, "single")
+        .when(F.col("n_types") == 1, "uniform")
+        .when(F.col("first_t") == F.col("last_t"), "return")
+        .when(F.col("n_types") == F.col("n_events"), "all_distinct")
+        .otherwise("mixed")
+        .alias("motif")
+    )
+    return cls.groupBy("motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. stylometric Burrows' Delta between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_TOP_TERMS = 20
+
+
+@query(
+    "source_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tok_f AS (SELECT source, term FROM tok WHERE term <> ''),
+    top_terms AS (
+        SELECT term FROM tok_f GROUP BY term
+        ORDER BY count(*) DESC, term ASC LIMIT {_DELTA_TOP_TERMS}
+    ),
+    src_tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+        FROM tok_f GROUP BY source
+    ),
+    freq AS (
+        SELECT st.source, tt.term,
+               CAST(COALESCE(c.n, 0) AS DOUBLE) / st.n_tok AS f
+        FROM src_tot st
+        CROSS JOIN top_terms tt
+        LEFT JOIN (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS n
+            FROM tok_f GROUP BY source, term
+        ) c ON c.source = st.source AND c.term = tt.term
+    ),
+    zs AS (
+        SELECT source, term,
+               CAST(round(((f - avg(f) OVER (PARTITION BY term))
+                           / stddev_samp(f) OVER (PARTITION BY term)) * 1e6)
+                    AS BIGINT) AS z6
+        FROM freq
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(abs(a.z6 - b.z6)) / 1e6, 6) AS burrows_delta
+    FROM zs a JOIN zs b ON a.term = b.term AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    z-score each source's relative frequency of the corpus top-{t}
+    terms across sources, then Delta = mean |z_a - z_b| — the standard
+    authorship-attribution measure (the divergence family compares
+    distributions; Delta compares STYLE profiles normalized per term).
+    Tokens explode once; the z-matrix is sources x {t} (dimension-
+    sized), and the pair join is over that tiny matrix. Z-scores pin at
+    6 decimals so both engines difference identical profiles."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_DELTA_TOP_TERMS)
+        .select("term")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    cnt = (
+        tok.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("n_tok")
+            ).alias("f"),
+        )
+    )
+    wt = Window.partitionBy("term")
+    # z-scores pin as exact integer MICRO-units: the per-pair mean of
+    # |za - zb| is then an integer ratio, immune to float sum-order
+    # (a raw-double mean flipped one pair's 6th decimal between engines)
+    zs = freq.select(
+        "source",
+        "term",
+        F.round(
+            (
+                (F.col("f") - F.avg("f").over(wt))
+                / F.stddev_samp("f").over(wt)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("z6"),
+    )
+    a = zs.select(
+        F.col("source").alias("source_a"), "term", F.col("z6").alias("za")
+    )
+    b = zs.select(
+        F.col("source").alias("source_b"), "term", F.col("z6").alias("zb")
+    )
+    return (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))) / 1e6, 6).alias(
+                "burrows_delta"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16. Goodman-Kruskal gamma on the binned quantity x price grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantity_price_gk_gamma",
+    oracle="""
+    WITH grid AS (
+        SELECT least(CAST(floor((l_quantity - 1) / 10) AS BIGINT), 4) AS qbin,
+               least(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                / 2000000) AS BIGINT), 4) AS pbin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY qbin, pbin
+    ),
+    pairs AS (
+        SELECT
+            CAST(sum(CASE WHEN (a.qbin < b.qbin AND a.pbin < b.pbin)
+                            OR (a.qbin > b.qbin AND a.pbin > b.pbin)
+                          THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS c_pairs,
+            CAST(sum(CASE WHEN (a.qbin < b.qbin AND a.pbin > b.pbin)
+                            OR (a.qbin > b.qbin AND a.pbin < b.pbin)
+                          THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS d_pairs
+        FROM grid a CROSS JOIN grid b
+    )
+    SELECT c_pairs AS concordant, d_pairs AS discordant,
+           round((c_pairs - d_pairs) * 1.0 / (c_pairs + d_pairs), 6)
+               AS gk_gamma
+    FROM pairs
+    """,
+)
+def quantity_price_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between binned quantity and extended
+    price: concordant minus discordant pairs over their sum, computed
+    from the 5x5 contingency grid — ordinal association the Pearson/
+    Spearman family can't give (and the O(n^2) Kendall tau the idea
+    bank rejected, made tractable: the grid collapses n^2 row pairs
+    into 25^2 exact integer cell products). One fact pass to the grid,
+    then a 25x25 self-join."""
+    li = _load(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.least(
+            F.floor((F.col("l_quantity") - 1) / 10).cast("long"), F.lit(4)
+        ).alias("qbin"),
+        F.least(
+            F.floor(
+                F.round(F.col("l_extendedprice") * 100).cast("long") / 2000000
+            ).cast("long"),
+            F.lit(4),
+        ).alias("pbin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = grid.select(
+        F.col("qbin").alias("aq"), F.col("pbin").alias("ap"),
+        F.col("n").alias("an"),
+    )
+    b = grid.select(
+        F.col("qbin").alias("bq"), F.col("pbin").alias("bp"),
+        F.col("n").alias("bn"),
+    )
+    conc = (
+        ((F.col("aq") < F.col("bq")) & (F.col("ap") < F.col("bp")))
+        | ((F.col("aq") > F.col("bq")) & (F.col("ap") > F.col("bp")))
+    )
+    disc = (
+        ((F.col("aq") < F.col("bq")) & (F.col("ap") > F.col("bp")))
+        | ((F.col("aq") > F.col("bq")) & (F.col("ap") < F.col("bp")))
+    )
+    pairs = a.crossJoin(b).agg(
+        (F.sum(F.when(conc, F.col("an") * F.col("bn")).otherwise(0)) / 2)
+        .cast("long")
+        .alias("concordant"),
+        (F.sum(F.when(disc, F.col("an") * F.col("bn")).otherwise(0)) / 2)
+        .cast("long")
+        .alias("discordant"),
+    )
+    return pairs.select(
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            * 1.0
+            / (F.col("concordant") + F.col("discordant")),
+            6,
+        ).alias("gk_gamma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. two-NN intrinsic dimension of the embedding cloud
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_intrinsic_dim_2nn",
+    oracle="""
+    WITH d2 AS (
+        SELECT a.vec_id,
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                   i -> (CAST(a.embedding[i] AS DOUBLE)
+                         - CAST(b.embedding[i] AS DOUBLE))
+                        * (CAST(a.embedding[i] AS DOUBLE)
+                           - CAST(b.embedding[i] AS DOUBLE)))) AS dd,
+               b.vec_id AS other_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, dd,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dd ASC, other_id ASC) AS rn
+        FROM d2
+    ),
+    mu AS (
+        SELECT a.vec_id, sqrt(b.dd / a.dd) AS ratio
+        FROM (SELECT vec_id, dd FROM ranked WHERE rn = 1) a
+        JOIN (SELECT vec_id, dd FROM ranked WHERE rn = 2) b USING (vec_id)
+        WHERE a.dd > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_used,
+           round(count(*) / sum(ln(ratio)), 6) AS intrinsic_dim
+    FROM mu
+    """,
+)
+def embedding_intrinsic_dim_2nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-NN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding cloud: for each vector the ratio mu = d2/d1 of its two
+    nearest-neighbor distances, and the MLE dim = n / sum(ln mu) — the
+    manifold dimension the ambient-64 coordinates hide (nothing in the
+    registry estimates dimensionality; PCA variance ranks directions).
+    The all-pairs distance table is the LABELED BRUTE-FORCE ORACLE form
+    (like knn_bruteforce) — the scale path would reuse the IVF
+    partition-pruned probe; duplicates (d1 = 0) are excluded exactly on
+    both sides."""
+    e = _load(spark, sf_dir, "embeddings")
+    from ..operators.similarity import as_double
+
+    a = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("other_id"), as_double(F.col("embedding")).alias("vb")
+    )
+    d2 = (
+        a.join(b, F.col("vec_id") != F.col("other_id"))
+        .select(
+            "vec_id",
+            "other_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("dd"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dd"), F.asc("other_id"))
+    ranked = d2.select(
+        "vec_id", "dd", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    first = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("dd").alias("d1")
+    )
+    second = ranked.where(F.col("rn") == 2).select(
+        "vec_id", F.col("dd").alias("d2")
+    )
+    mu = (
+        first.join(second, "vec_id")
+        .where(F.col("d1") > 0)
+        .select(F.sqrt(F.col("d2") / F.col("d1")).alias("ratio"))
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.round(F.count(F.lit(1)) / F.sum(F.log("ratio")), 6).alias(
+            "intrinsic_dim"
+        ),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# 18-19. cluster-validity indices over label centroids
+# ---------------------------------------------------------------------------
+
+_CENTROID_CTE = """
+    ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, pos, round(avg(v), 6) + 0.0 AS c
+        FROM ex GROUP BY clabel, pos
+    ),
+    carr AS (
+        SELECT clabel, list(c ORDER BY pos ASC) AS cv
+        FROM cent GROUP BY clabel
+    ),
+    dist AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))))
+                   AS d
+        FROM embeddings e CROSS JOIN carr c
+    )
+"""
+
+
+@query(
+    "label_silhouette_simplified",
+    oracle=f"""
+    WITH {_CENTROID_CTE.strip()},
+    ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN clabel = label THEN d END) AS a_own,
+               min(CASE WHEN clabel <> label THEN d END) AS b_other
+        FROM dist GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg((b_other - a_own) / greatest(a_own, b_other)), 6)
+               AS avg_silhouette
+    FROM ab GROUP BY label
+    """,
+)
+def label_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: a = distance
+    to the own-label centroid, b = distance to the nearest other
+    centroid, s = (b-a)/max(a,b), averaged per label — the standard
+    cluster-validity coefficient (separation queries measure BETWEEN-
+    label distance; silhouette scores each point's assignment quality).
+    Centroids are the same rounded 10x64 prototype matrix the confusion
+    query certifies; distances are k rows per vector, never a pairwise
+    corpus join."""
+    cent = _label_centroid_arrays(spark, sf_dir)
+    dist = _vec_centroid_distances(spark, sf_dir, cent)
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias(
+            "a_own"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias(
+            "b_other"
+        ),
+    )
+    s = (F.col("b_other") - F.col("a_own")) / F.greatest(
+        F.col("a_own"), F.col("b_other")
+    )
+    return ab.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg(s), 6).alias("avg_silhouette"),
+    )
+
+
+def _label_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(clabel, cv): per-label mean vectors, rounded to 6 decimals so
+    both engines measure against bit-identical prototypes (the
+    nearest_centroid_confusion idiom, analytics12.py)."""
+    from ..operators.similarity import as_double
+
+    e = _load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(as_double(F.col("embedding")))
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("col").alias("v"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("c")
+    )
+    return cent.groupBy("clabel").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .alias("cv")
+    )
+
+
+def _vec_centroid_distances(
+    spark: SparkSession, sf_dir: str, cent: DataFrame
+) -> DataFrame:
+    """(vec_id, label, clabel, d): L2 distance of every vector to every
+    label centroid — k rows per vector via a broadcast of the k x dim
+    prototype matrix."""
+    from ..operators.similarity import as_double
+
+    e = _load(spark, sf_dir, "embeddings")
+    return e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    as_double(F.col("embedding")),
+                    F.col("cv"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("d"),
+    )
+
+
+@query(
+    "label_davies_bouldin",
+    oracle=f"""
+    WITH {_CENTROID_CTE.strip()},
+    scatter AS (
+        SELECT label AS clabel, avg(d) AS s_i
+        FROM dist WHERE clabel = label GROUP BY label
+    ),
+    cd AS (
+        SELECT a.clabel AS i, b.clabel AS j,
+               sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
+                     k -> (a.cv[k] - b.cv[k]) * (a.cv[k] - b.cv[k])))) AS m_ij
+        FROM carr a JOIN carr b ON a.clabel <> b.clabel
+    ),
+    ratio AS (
+        SELECT cd.i, max((si.s_i + sj.s_i) / cd.m_ij) AS r_i
+        FROM cd
+        JOIN scatter si ON si.clabel = cd.i
+        JOIN scatter sj ON sj.clabel = cd.j
+        GROUP BY cd.i
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k_labels,
+           round(avg(r_i), 6) AS davies_bouldin
+    FROM ratio
+    """,
+)
+def label_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index over the label clustering: per label the
+    worst (max over other labels) ratio of summed within-scatter to
+    centroid separation, averaged — lower is better-separated. The
+    companion validity index to silhouette (worst-pair structure
+    instead of per-point margins). Everything after the centroid
+    aggregate is k x k arithmetic on the driver-sized prototype
+    matrix."""
+    cent = _label_centroid_arrays(spark, sf_dir)
+    dist = _vec_centroid_distances(spark, sf_dir, cent)
+    scatter = (
+        dist.where(F.col("clabel") == F.col("label"))
+        .groupBy("clabel")
+        .agg(F.avg("d").alias("s_i"))
+    )
+    a = cent.select(F.col("clabel").alias("i"), F.col("cv").alias("cva"))
+    b = cent.select(F.col("clabel").alias("j"), F.col("cv").alias("cvb"))
+    cd = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "j",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("cva"), F.col("cvb"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("m_ij"),
+    )
+    si = scatter.select(F.col("clabel").alias("i"), F.col("s_i").alias("si"))
+    sj = scatter.select(F.col("clabel").alias("j"), F.col("s_i").alias("sj"))
+    ratio = (
+        cd.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy("i")
+        .agg(F.max((F.col("si") + F.col("sj")) / F.col("m_ij")).alias("r_i"))
+    )
+    return ratio.agg(
+        F.count(F.lit(1)).cast("long").alias("k_labels"),
+        F.round(F.avg("r_i"), 6).alias("davies_bouldin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. triangle-inequality audit: cosine distance is not a metric
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "metric_triangle_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id ASC) AS rn
+        FROM embeddings
+    ),
+    tri AS (
+        SELECT a.embedding AS ea, b.embedding AS eb, c.embedding AS ec
+        FROM ordered a
+        JOIN ordered b ON b.rn = a.rn + 1
+        JOIN ordered c ON c.rn = a.rn + 2
+    ),
+    pairdists AS (
+        SELECT
+          1 - list_sum(list_transform(range(1, len(ea) + 1),
+                i -> CAST(ea[i] AS DOUBLE) * eb[i]))
+              / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+                     i -> CAST(ea[i] AS DOUBLE) * ea[i])))
+                 * sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+                     i -> CAST(eb[i] AS DOUBLE) * eb[i])))) AS cos_ab,
+          1 - list_sum(list_transform(range(1, len(eb) + 1),
+                i -> CAST(eb[i] AS DOUBLE) * ec[i]))
+              / (sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+                     i -> CAST(eb[i] AS DOUBLE) * eb[i])))
+                 * sqrt(list_sum(list_transform(range(1, len(ec) + 1),
+                     i -> CAST(ec[i] AS DOUBLE) * ec[i])))) AS cos_bc,
+          1 - list_sum(list_transform(range(1, len(ea) + 1),
+                i -> CAST(ea[i] AS DOUBLE) * ec[i]))
+              / (sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+                     i -> CAST(ea[i] AS DOUBLE) * ea[i])))
+                 * sqrt(list_sum(list_transform(range(1, len(ec) + 1),
+                     i -> CAST(ec[i] AS DOUBLE) * ec[i])))) AS cos_ac,
+          sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+                i -> (CAST(ea[i] AS DOUBLE) - eb[i])
+                     * (CAST(ea[i] AS DOUBLE) - eb[i])))) AS l2_ab,
+          sqrt(list_sum(list_transform(range(1, len(eb) + 1),
+                i -> (CAST(eb[i] AS DOUBLE) - ec[i])
+                     * (CAST(eb[i] AS DOUBLE) - ec[i])))) AS l2_bc,
+          sqrt(list_sum(list_transform(range(1, len(ea) + 1),
+                i -> (CAST(ea[i] AS DOUBLE) - ec[i])
+                     * (CAST(ea[i] AS DOUBLE) - ec[i])))) AS l2_ac
+        FROM tri
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(sum(CASE WHEN round(cos_ac - cos_ab - cos_bc, 9) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cos_violations,
+           CAST(sum(CASE WHEN round(l2_ac - l2_ab - l2_bc, 9) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS l2_violations
+    FROM pairdists
+    """,
+)
+def metric_triangle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-inequality audit over consecutive vec_id triples:
+    cosine DISTANCE (1 - cos) is famously NOT a metric, so LSH/IVF
+    pruning arguments that assume d(a,c) <= d(a,b)+d(b,c) silently
+    break — this counts actual violations on the corpus (and verifies
+    L2 shows zero). Comparisons happen on 9-decimal-rounded slack so
+    both engines flip on identical values; the triple join is a
+    shifted self-join on the rank index, O(n) triples, never all
+    pairs — ranks come from the distributed global_row_number kernel
+    (range shuffle + offsets), never a SinglePartition window."""
+    from ..operators.similarity import as_double
+    from ..operators.winners import global_row_number
+
+    e = _load(spark, sf_dir, "embeddings")
+    ordered = global_row_number(
+        e.select(as_double(F.col("embedding")).alias("v"), "vec_id"),
+        ["vec_id"],
+        "rn",
+    ).select("v", "rn")
+    a = ordered.select(F.col("rn").alias("ra"), F.col("v").alias("ea"))
+    b = ordered.select(F.col("rn").alias("rb"), F.col("v").alias("eb"))
+    c = ordered.select(F.col("rn").alias("rc"), F.col("v").alias("ec"))
+    tri = a.join(b, F.col("rb") == F.col("ra") + 1).join(
+        c, F.col("rc") == F.col("ra") + 2
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def cosd(x, y):
+        return 1 - dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    def l2(x, y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(x), F.col(y), lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    d = tri.select(
+        cosd("ea", "eb").alias("cos_ab"),
+        cosd("eb", "ec").alias("cos_bc"),
+        cosd("ea", "ec").alias("cos_ac"),
+        l2("ea", "eb").alias("l2_ab"),
+        l2("eb", "ec").alias("l2_bc"),
+        l2("ea", "ec").alias("l2_ac"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum(
+            F.when(
+                F.round(
+                    F.col("cos_ac") - F.col("cos_ab") - F.col("cos_bc"), 9
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cos_violations"),
+        F.sum(
+            F.when(
+                F.round(F.col("l2_ac") - F.col("l2_ab") - F.col("l2_bc"), 9)
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("l2_violations"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. join-cardinality estimator audit (optimizer statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cardinality_estimate_audit",
+    oracle="""
+    WITH stats AS (
+        SELECT 'orders_x_customer' AS join_name,
+               (SELECT count(*) FROM orders) AS n_left,
+               (SELECT count(*) FROM customer) AS n_right,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_left,
+               (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_right,
+               (SELECT count(*) FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey) AS actual
+        UNION ALL
+        SELECT 'lineitem_x_orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM orders),
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        UNION ALL
+        SELECT 'lineitem_x_part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM part),
+               (SELECT count(DISTINCT l_partkey) FROM lineitem),
+               (SELECT count(DISTINCT p_partkey) FROM part),
+               (SELECT count(*) FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey)
+    )
+    SELECT join_name,
+           CAST(round(CAST(n_left AS DOUBLE) * n_right
+                      / greatest(ndv_left, ndv_right)) AS BIGINT)
+               AS estimated_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           round(CAST(n_left AS DOUBLE) * n_right
+                 / greatest(ndv_left, ndv_right) / actual, 6) AS est_ratio
+    FROM stats
+    """,
+)
+def join_cardinality_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The textbook join-cardinality estimator |L|*|R|/max(ndv_L,ndv_R)
+    audited against the true join sizes for the three fact joins — the
+    statistic every cost-based optimizer (including Catalyst CBO) runs
+    on, certified as data: an est_ratio far from 1 is exactly where a
+    plan picks the wrong join order at 100 TB. Each estimate needs only
+    per-side counts and NDVs (one aggregate per table); the actuals are
+    the certified equi-joins."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    spark_ = o.sparkSession
+
+    def stats_row(name, left, lk, right, rk):
+        nl = left.count()
+        nr = right.count()
+        ndl = left.select(lk).distinct().count()
+        ndr = right.select(rk).distinct().count()
+        actual = left.join(
+            right, left[lk] == right[rk]
+        ).count()
+        return (name, nl, nr, ndl, ndr, actual)
+
+    rows = [
+        stats_row("orders_x_customer", o, "o_custkey", c, "c_custkey"),
+        stats_row("lineitem_x_orders", li, "l_orderkey", o, "o_orderkey"),
+        stats_row("lineitem_x_part", li, "l_partkey", p, "p_partkey"),
+    ]
+    df = spark_.createDataFrame(
+        rows,
+        "join_name string, n_left long, n_right long, "
+        "ndv_left long, ndv_right long, actual long",
+    )
+    est = (
+        F.col("n_left").cast("double")
+        * F.col("n_right")
+        / F.greatest("ndv_left", "ndv_right")
+    )
+    return df.select(
+        "join_name",
+        F.round(est).cast("long").alias("estimated_rows"),
+        F.col("actual").alias("actual_rows"),
+        F.round(est / F.col("actual"), 6).alias("est_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. out-of-order arrival depth (the watermark-sizing audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "out_of_order_depth_histogram",
+    oracle="""
+    WITH late AS (
+        SELECT greatest(0, COALESCE(epoch_us(max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+                   epoch_us(ts))
+               - epoch_us(ts)) AS late_us
+        FROM events
+    ),
+    bucketed AS (
+        SELECT CASE
+            WHEN late_us = 0 THEN 'in_order'
+            WHEN late_us < 60000000 THEN 'lt_1m'
+            WHEN late_us < 600000000 THEN 'lt_10m'
+            WHEN late_us < 3600000000 THEN 'lt_1h'
+            ELSE 'ge_1h' END AS lateness
+        FROM late
+    ),
+    grid AS (
+        SELECT unnest(['in_order', 'lt_1m', 'lt_10m', 'lt_1h', 'ge_1h'])
+            AS lateness
+    )
+    SELECT g.lateness,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN (
+        SELECT lateness, count(*) AS n FROM bucketed GROUP BY lateness
+    ) c ON c.lateness = g.lateness
+    """,
+)
+def out_of_order_depth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-order arrival depth per user stream: treating event_id as
+    arrival order, how far behind the running max event-time does each
+    event land — THE statistic that sizes a streaming watermark (too
+    short drops these events; too long holds state). Bucketed at the
+    delay thresholds the streaming surfaces use. The running max is a
+    per-user window (partitioned, scale-safe), arrival order never
+    needs a global sort."""
+    e = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = e.select(
+        F.greatest(
+            F.lit(0),
+            F.coalesce(
+                F.unix_micros(F.max("ts").over(w)), F.unix_micros("ts")
+            )
+            - F.unix_micros("ts"),
+        ).alias("late_us")
+    )
+    bucketed = late.select(
+        F.when(F.col("late_us") == 0, "in_order")
+        .when(F.col("late_us") < 60_000_000, "lt_1m")
+        .when(F.col("late_us") < 600_000_000, "lt_10m")
+        .when(F.col("late_us") < 3_600_000_000, "lt_1h")
+        .otherwise("ge_1h")
+        .alias("lateness")
+    )
+    counts = bucketed.groupBy("lateness").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # zero-fill the fixed bucket grid: an all-in-order stream (this
+    # synthetic feed) still reports the full 5-row histogram shape
+    grid = e.sparkSession.createDataFrame(
+        [(b,) for b in ("in_order", "lt_1m", "lt_10m", "lt_1h", "ge_1h")],
+        "lateness string",
+    )
+    return grid.join(counts, "lateness", "left").select(
+        "lateness",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
