@@ -562,6 +562,20 @@ DEFERRED: tuple[str, ...] = (
     "metric_triangle_audit",
     "join_cardinality_estimate_audit",
     "out_of_order_depth_histogram",
+    "bloom_membership_audit",
+    "lsh_band_s_curve_planner",
+    "payload_magic_byte_census",
+    "name_edit_distance_pairs",
+    "value_two_way_anova",
+    "segment_value_cvar",
+    "scd2_interval_integrity",
+    "hourly_anomaly_fdr_bh",
+    "pinball_loss_quantiles",
+    "value_split_gini_gain",
+    "type_hour_mutual_information",
+    "simpson_paradox_audit",
+    "disjunctive_bracket_revenue",
+    "nearest_centroid_f1_mcc",
 )
 
 

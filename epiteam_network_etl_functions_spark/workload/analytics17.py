@@ -1912,3 +1912,1340 @@ def out_of_order_depth_histogram(
         "lateness",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. DataFrame-native Bloom filter with exact cross-engine parity
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    from .extended import _hash_bucket_sql
+
+    member_pos = " UNION ALL ".join(
+        f"SELECT {_hash_bucket_sql('o_orderkey', _BLOOM_M, f'bf{i}')} AS pos "
+        f"FROM orders WHERE o_orderkey % 7 = 0"
+        for i in range(_BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT o_orderkey AS probe_key, "
+        f"{_hash_bucket_sql('o_orderkey + 1000000000', _BLOOM_M, f'bf{i}')}"
+        f" AS pos FROM orders WHERE o_orderkey % 7 <> 0"
+        for i in range(_BLOOM_K)
+    )
+    member_probe = " UNION ALL ".join(
+        f"SELECT o_orderkey AS probe_key, "
+        f"{_hash_bucket_sql('o_orderkey', _BLOOM_M, f'bf{i}')} AS pos "
+        f"FROM orders WHERE o_orderkey % 7 = 0"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH bits AS (SELECT DISTINCT pos FROM ({member_pos})),
+    n_mem AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_members
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    probe_hits AS (
+        SELECT p.probe_key, count(*) AS n_hit
+        FROM ({probe_pos}) p JOIN bits b ON b.pos = p.pos
+        GROUP BY p.probe_key
+    ),
+    fp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_false_positives
+        FROM probe_hits WHERE n_hit = {_BLOOM_K}
+    ),
+    n_probe AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    member_hits AS (
+        SELECT p.probe_key, count(*) AS n_hit
+        FROM ({member_probe}) p JOIN bits b ON b.pos = p.pos
+        GROUP BY p.probe_key
+    ),
+    fn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_member_hits
+        FROM member_hits WHERE n_hit = {_BLOOM_K}
+    )
+    SELECT n_mem.n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           n_probe.n_probes,
+           fp.n_false_positives,
+           round(CAST(fp.n_false_positives AS DOUBLE) / n_probe.n_probes, 6)
+               AS fpr,
+           CAST(n_mem.n_members - fn.n_member_hits AS BIGINT)
+               AS n_false_negatives
+    FROM n_mem CROSS JOIN n_probe CROSS JOIN fp CROSS JOIN fn
+    """
+
+
+@query("bloom_membership_audit", oracle=_bloom_oracle())
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built entirely from DataFrame operations with
+    EXACT cross-engine parity: k={k} portable md5 hash positions over
+    m={m} bits, the bit array materialized as a distinct-position table
+    (bounded by m regardless of corpus size, so it broadcasts at ANY
+    scale — that is the join-pruning deployment shape), members = every
+    7th orderkey, probes = the shifted complement. Certified exactly:
+    zero false negatives (the Bloom guarantee) and the EXACT measured
+    false-positive count — not a bound — because both engines compute
+    identical hash positions (operators/sampling.hash_bucket idiom).
+    Spark's own stat.bloomFilter is a driver-side sketch with
+    engine-private hashing; this form is the one a distributed join
+    pruner actually ships."""
+    from ..operators.sampling import hash_bucket
+
+    o = _load(spark, sf_dir, "orders")
+    members = o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    probes = o.where(F.col("o_orderkey") % 7 != 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("probe_key"),
+        F.col("o_orderkey"),
+    )
+
+    def positions(df, key_col, out_key):
+        return df.select(
+            F.col(out_key),
+            F.explode(
+                F.array(
+                    *[
+                        hash_bucket(F.col(key_col), _BLOOM_M, f"bf{i}")
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bits = (
+        positions(
+            members.select(F.col("o_orderkey").alias("k")), "k", "k"
+        )
+        .select("pos")
+        .distinct()
+    )
+    probe_pos = positions(
+        probes.select(F.col("probe_key"), F.col("probe_key").alias("pk")),
+        "probe_key",
+        "pk",
+    )
+    member_pos = positions(
+        members.select(
+            F.col("o_orderkey").alias("pk"), F.col("o_orderkey").alias("mk")
+        ),
+        "mk",
+        "pk",
+    )
+    fp = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == _BLOOM_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_false_positives"))
+    )
+    member_hits = (
+        member_pos.join(F.broadcast(bits), "pos")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == _BLOOM_K)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_member_hits"))
+    )
+    n_mem = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    n_probe = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    return (
+        n_mem.crossJoin(n_bits)
+        .crossJoin(n_probe)
+        .crossJoin(fp)
+        .crossJoin(member_hits)
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives").cast("double") / F.col("n_probes"),
+                6,
+            ).alias("fpr"),
+            (F.col("n_members") - F.col("n_member_hits"))
+            .cast("long")
+            .alias("n_false_negatives"),
+        )
+    )
+
+
+bloom_membership_audit.__doc__ = bloom_membership_audit.__doc__.format(
+    k=_BLOOM_K, m=_BLOOM_M
+)
+
+
+# ---------------------------------------------------------------------------
+# 24. LSH band/row S-curve planner
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lsh_band_s_curve_planner",
+    oracle="""
+    WITH grid AS (
+        SELECT b.b, r.r
+        FROM (SELECT unnest([4, 8, 16, 32]) AS b) b
+        CROSS JOIN (SELECT unnest([2, 4, 8, 16]) AS r) r
+        WHERE b.b * r.r <= 128
+    )
+    SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+           CAST(b * r AS BIGINT) AS n_hashes,
+           round(power(1.0 / b, 1.0 / r), 6) AS s50_threshold,
+           round(1 - power(1 - power(0.3, r), b), 6) AS p_candidate_at_30,
+           round(power(1 - power(0.8, r), b), 6) AS p_miss_at_80
+    FROM grid
+    """,
+)
+def lsh_band_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding planner: for every (bands b, rows r) layout
+    with b*r <= 128 hashes, the S-curve operating point — the
+    half-capture threshold (1/b)^(1/r), the false-candidate probability
+    at Jaccard 0.3, and the miss probability at Jaccard 0.8 — the exact
+    table an engineer reads to pick the dedup layout BEFORE paying for
+    signatures (the existing calibration queries measure a chosen
+    layout after the fact; this plans one). Pure closed-form math over
+    a generated grid, no table scan."""
+    prep(spark)
+    rows = [
+        (b, r)
+        for b in (4, 8, 16, 32)
+        for r in (2, 4, 8, 16)
+        if b * r <= 128
+    ]
+    grid = spark.createDataFrame(rows, "b long, r long")
+    b, r = F.col("b").cast("double"), F.col("r").cast("double")
+    return grid.select(
+        F.col("b").alias("n_bands"),
+        F.col("r").alias("rows_per_band"),
+        (F.col("b") * F.col("r")).cast("long").alias("n_hashes"),
+        F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("s50_threshold"),
+        F.round(1 - F.pow(1 - F.pow(F.lit(0.3), r), b), 6).alias(
+            "p_candidate_at_30"
+        ),
+        F.round(F.pow(1 - F.pow(F.lit(0.8), r), b), 6).alias("p_miss_at_80"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. payload magic-byte census (binary content sniffing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "payload_magic_byte_census",
+    oracle="""
+    WITH pay AS (
+        SELECT source, upper(substring(hex(encode(text)), 1, 8)) AS prefix8
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, prefix8, CAST(count(*) AS BIGINT) AS n
+        FROM pay GROUP BY source, prefix8
+    ),
+    top AS (
+        SELECT source, prefix8 AS top_prefix, n AS top_n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, prefix8 ASC) AS rn
+        FROM cnt
+    )
+    SELECT c.source,
+           CAST(sum(c.n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_prefixes,
+           max(t.top_prefix) AS top_prefix,
+           CAST(max(t.top_n) AS BIGINT) AS top_n
+    FROM cnt c
+    JOIN (SELECT * FROM top WHERE rn = 1) t USING (source)
+    GROUP BY c.source
+    """,
+)
+def payload_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sniffing census over BINARY payloads: the leading 4
+    bytes (as 8 hex chars — where real corpora carry format magic like
+    FFD8/8950/4F67) counted per source, with the modal prefix — the
+    first gate of a multimodal ingest pipeline, and the engine's only
+    query that slices and groups raw binary IN SQL (the multimodal
+    family decodes via Arrow batches; this certifies the JVM-side
+    binary path against DuckDB BLOB slicing). Payloads derive from the
+    documents text exactly like operators/multimodal.attach_binary_
+    payload (utf-8 encode), so both engines sniff identical bytes."""
+    d = _load(spark, sf_dir, "documents")
+    pay = d.select(
+        "source",
+        F.upper(
+            F.substring(F.hex(F.encode(F.col("text"), "UTF-8")), 1, 8)
+        ).alias("prefix8"),
+    )
+    cnt = pay.groupBy("source", "prefix8").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix8"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("prefix8").alias("top_prefix"),
+                F.col("n").alias("top_n"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        )
+        .join(top, "source")
+        .select("source", "n_docs", "n_prefixes", "top_prefix", "top_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 26. edit-distance name blocking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "name_edit_distance_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.p_brand AS brand,
+               levenshtein(a.p_name, b.p_name) AS d
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ),
+    close_p AS (SELECT brand, d FROM pairs WHERE d <= 4)
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_close_pairs,
+           CAST(min(d) AS BIGINT) AS min_dist,
+           round(avg(d * 1.0), 6) AS avg_dist
+    FROM close_p GROUP BY brand
+    """,
+)
+def name_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution string-similarity blocking: within each brand
+    block, every part-name pair within Levenshtein distance 4 — the
+    classic fuzzy-duplicate product-catalog scan (the ER family blocks
+    on exact keys; nothing measures EDIT distance, the third string-
+    similarity modality after token Jaccard and hash fingerprints).
+    The self-join is brand-blocked so pair count is sum of block^2,
+    never corpus^2 — the same blocking bound the 100 TB form relies
+    on; Spark and DuckDB levenshtein are both the standard DP
+    distance."""
+    p = _load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ak"),
+        F.col("p_name").alias("an"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("bk"),
+        F.col("p_name").alias("bn"),
+    )
+    pairs = a.join(b, ["brand"]).where(F.col("ak") < F.col("bk")).select(
+        "brand", F.levenshtein("an", "bn").alias("d")
+    )
+    return (
+        pairs.where(F.col("d") <= 4)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_close_pairs"),
+            F.min("d").cast("long").alias("min_dist"),
+            F.round(F.avg(F.col("d") * 1.0), 6).alias("avg_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27. two-way ANOVA: weekday x event type on value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_two_way_anova",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow, event_type, value
+        FROM events
+    ),
+    g AS (SELECT avg(value) AS gm, CAST(count(*) AS BIGINT) AS n FROM obs),
+    a_eff AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_a, avg(value) AS m_a
+        FROM obs GROUP BY dow
+    ),
+    b_eff AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_b, avg(value) AS m_b
+        FROM obs GROUP BY event_type
+    ),
+    cells AS (
+        SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n_c,
+               avg(value) AS m_c,
+               sum(value * value) AS ss_c, sum(value) AS s_c
+        FROM obs GROUP BY dow, event_type
+    ),
+    comp AS (
+        SELECT
+            (SELECT sum(n_a * (m_a - g.gm) * (m_a - g.gm)) FROM a_eff) AS ss_a,
+            (SELECT sum(n_b * (m_b - g.gm) * (m_b - g.gm)) FROM b_eff) AS ss_b,
+            (SELECT sum(n_c * (m_c - g.gm) * (m_c - g.gm)) FROM cells)
+                AS ss_cells,
+            (SELECT sum(ss_c - n_c * m_c * m_c) FROM cells) AS ss_w,
+            (SELECT count(*) FROM a_eff) AS ka,
+            (SELECT count(*) FROM b_eff) AS kb,
+            (SELECT count(*) FROM cells) AS kc,
+            g.n AS n
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           round((ss_a / (ka - 1.0)) / (ss_w / (n - kc)), 6) AS f_dow,
+           round((ss_b / (kb - 1.0)) / (ss_w / (n - kc)), 6) AS f_type,
+           round(((ss_cells - ss_a - ss_b)
+                  / ((ka - 1.0) * (kb - 1.0)))
+                 / (ss_w / (n - kc)), 6) AS f_interaction
+    FROM comp
+    """,
+)
+def value_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA of value on weekday x event type: main-effect and
+    interaction F statistics from the weighted cell-mean decomposition
+    (SS_cells - SS_A - SS_B as the interaction, SS within cells as the
+    error) — the factorial extension the one-way ANOVA family lacks,
+    answering 'does the weekday effect DEPEND on the type'. Three
+    grouped aggregates (7, 5, and 35 rows) off one fact pass; weekday
+    pins to the Mon=0 cross-engine mapping."""
+    e = _load(spark, sf_dir, "events")
+    obs = e.select(
+        F.expr("weekday(ts)").cast("long").alias("dow"),
+        "event_type",
+        "value",
+    )
+    g = obs.agg(
+        F.avg("value").alias("gm"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a_eff = obs.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.avg("value").alias("m_a"),
+    )
+    b_eff = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.avg("value").alias("m_b"),
+    )
+    cells = obs.groupBy("dow", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.avg("value").alias("m_c"),
+        F.sum(F.col("value") * F.col("value")).alias("ss_c"),
+    )
+    ss_a = (
+        a_eff.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.col("n_a") * (F.col("m_a") - F.col("gm")) * (F.col("m_a") - F.col("gm"))
+            ).alias("ss_a"),
+            F.count(F.lit(1)).alias("ka"),
+        )
+    )
+    ss_b = (
+        b_eff.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.col("n_b") * (F.col("m_b") - F.col("gm")) * (F.col("m_b") - F.col("gm"))
+            ).alias("ss_b"),
+            F.count(F.lit(1)).alias("kb"),
+        )
+    )
+    ss_c = (
+        cells.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                F.col("n_c") * (F.col("m_c") - F.col("gm")) * (F.col("m_c") - F.col("gm"))
+            ).alias("ss_cells"),
+            F.sum(
+                F.col("ss_c") - F.col("n_c") * F.col("m_c") * F.col("m_c")
+            ).alias("ss_w"),
+            F.count(F.lit(1)).alias("kc"),
+        )
+    )
+    comp = g.crossJoin(ss_a).crossJoin(ss_b).crossJoin(ss_c)
+    err = F.col("ss_w") / (F.col("n") - F.col("kc"))
+    return comp.select(
+        F.col("n").alias("n_events"),
+        F.round((F.col("ss_a") / (F.col("ka") - F.lit(1.0))) / err, 6).alias(
+            "f_dow"
+        ),
+        F.round((F.col("ss_b") / (F.col("kb") - F.lit(1.0))) / err, 6).alias(
+            "f_type"
+        ),
+        F.round(
+            (
+                (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b"))
+                / ((F.col("ka") - F.lit(1.0)) * (F.col("kb") - F.lit(1.0)))
+            )
+            / err,
+            6,
+        ).alias("f_interaction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28. expected shortfall (CVaR) of order values per segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_value_cvar",
+    oracle="""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    var_q AS (
+        SELECT segment, round(quantile_cont(v, 0.95), 6) + 0.0 AS var95
+        FROM seg GROUP BY segment
+    )
+    SELECT s.segment, v.var95,
+           round(avg(s.v), 6) AS cvar95,
+           CAST(count(*) AS BIGINT) AS n_tail
+    FROM seg s JOIN var_q v USING (segment)
+    WHERE s.v >= v.var95
+    GROUP BY s.segment, v.var95
+    """,
+)
+def segment_value_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR at 95%) of order value per market
+    segment: the mean of the tail AT AND BEYOND the 95th percentile —
+    the coherent tail-risk measure (quantile queries report the cut
+    point; nothing reports the conditional tail mean, which is what a
+    capacity planner budgets for). The VaR pins at 6 decimals so both
+    engines cut the tail at the identical threshold; one fact pass per
+    aggregate with the 5-row quantile table broadcast back."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    cdim = c.select("c_custkey", "c_mktsegment")
+    seg = o.join(
+        F.broadcast(cdim), o["o_custkey"] == cdim["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("v"),
+    )
+    var_q = seg.groupBy("segment").agg(
+        (F.round(F.expr("percentile(v, 0.95)"), 6) + F.lit(0.0)).alias(
+            "var95"
+        )
+    )
+    return (
+        seg.join(F.broadcast(var_q), "segment")
+        .where(F.col("v") >= F.col("var95"))
+        .groupBy("segment", "var95")
+        .agg(
+            F.round(F.avg("v"), 6).alias("cvar95"),
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+        )
+        .select("segment", "var95", "cvar95", "n_tail")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29. SCD2 interval integrity over the applied output
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_interval_integrity",
+    oracle="""
+    WITH ded AS (
+        SELECT user_id, event_type, ts FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, ts
+                       ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    chain AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts ASC)
+                   AS valid_to
+        FROM ded
+    )
+    SELECT CAST((SELECT count(DISTINCT (user_id, event_type)) FROM chain)
+               AS BIGINT) AS n_chains,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NOT NULL
+                          AND valid_to <= valid_from
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open_rows,
+           CAST(0 AS BIGINT) AS n_noncontiguous
+    FROM chain
+    """,
+)
+def scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-integrity audit of the SCD2 APPLY OUTPUT (the same
+    current+updates split scd2_apply certifies): per chain, versions
+    must be strictly forward (valid_to > valid_from), contiguous (each
+    valid_to equals the next valid_from — counted as n_noncontiguous),
+    and exactly one open row per chain. The Spark side audits what the
+    OPERATOR actually produced, the oracle derives the invariants from
+    the full-window form — a differential on the merge algebra's
+    postconditions, not a restatement (a chaining bug shows up as
+    nonzero n_noncontiguous here even when row values match)."""
+    from ..operators.cdc import scd2_apply
+    from ..operators.winners import top1_per_key
+    from .cdc import _split
+
+    current, updates = _split(spark, sf_dir)
+    ded_cur = top1_per_key(
+        current, ["user_id", "event_type", "ts"], [F.desc("event_id")]
+    )
+    ded_upd = top1_per_key(
+        updates, ["user_id", "event_type", "ts"], [F.desc("event_id")]
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("valid_from")
+    )
+    history = ded_cur.withColumnRenamed("ts", "valid_from").withColumn(
+        "valid_to", F.lead("valid_from").over(w)
+    )
+    applied = scd2_apply(history, ded_upd, ["user_id", "event_type"], "ts")
+    chain = applied.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from")
+        .over(
+            Window.partitionBy("user_id", "event_type").orderBy(
+                F.asc("valid_from")
+            )
+        )
+        .alias("next_from"),
+    )
+    return chain.agg(
+        F.countDistinct("user_id", "event_type").cast("long").alias(
+            "n_chains"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") <= F.col("valid_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inverted"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open_rows"),
+        F.sum(
+            F.when(
+                F.col("next_from").isNotNull()
+                & (F.col("valid_to") != F.col("next_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_noncontiguous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30. Benjamini-Hochberg FDR control over hourly anomaly tests
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hourly_anomaly_fdr_bh",
+    oracle="""
+    WITH grid AS (
+        SELECT t.event_type, h.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range(24)) AS h) h
+    ),
+    cnt AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, h
+    ),
+    cells AS (
+        SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+        FROM grid g LEFT JOIN cnt c
+          ON c.event_type = g.event_type AND c.h = g.h
+    ),
+    stats AS (
+        SELECT event_type, avg(n * 1.0) AS mu, stddev_samp(n * 1.0) AS sd
+        FROM cells GROUP BY event_type
+    ),
+    pv AS (
+        SELECT c.event_type, c.h,
+               round(exp(-((c.n - s.mu) / s.sd) * ((c.n - s.mu) / s.sd)
+                         / 2.0), 6) + 0.0 AS p
+        FROM cells c JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+        SELECT p,
+               CAST(row_number() OVER (
+                   ORDER BY p ASC, event_type ASC, h ASC) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    k AS (
+        SELECT COALESCE(max(CASE WHEN p * m <= i * 0.2 THEN i END), 0)
+                   AS k_sig,
+               max(m) AS m_tests
+        FROM ranked
+    )
+    SELECT CAST(m_tests AS BIGINT) AS m_tests,
+           CAST(k_sig AS BIGINT) AS k_significant,
+           round(COALESCE(
+               (SELECT max(p) FROM ranked r, k WHERE r.i <= k.k_sig),
+               0.0), 6) AS p_threshold
+    FROM k
+    """,
+)
+def hourly_anomaly_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery control over the 120
+    (type x hour) anomaly tests: z-score every cell count against its
+    type's across-hours mean/std, convert to the shared pseudo-p
+    exp(-z^2/2) (monotone in |z|; both engines compute the identical
+    formula, no erf needed), sort ascending and keep the largest rank i
+    with p_i <= (i/m) * 0.2 — multiple-testing correction, which no
+    anomaly query applies (each tests in isolation and inflates
+    discoveries 120-fold). The BH step function is one ordered window
+    over the 120-row test table."""
+    e = _load(spark, sf_dir, "events")
+    spark_ = e.sparkSession
+    types = e.select("event_type").distinct()
+    hours = spark_.range(24).select(F.col("id").alias("h"))
+    grid = types.crossJoin(hours)
+    cnt = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    stats = cells.groupBy("event_type").agg(
+        F.avg(F.col("n") * 1.0).alias("mu"),
+        F.stddev_samp(F.col("n") * 1.0).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    pv = cells.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        (F.round(F.exp(-z * z / 2.0), 6) + F.lit(0.0)).alias("p"),
+    )
+    wr = Window.orderBy(F.asc("p"), F.asc("event_type"), F.asc("h"))
+    m = pv.agg(F.count(F.lit(1)).cast("long").alias("m")).first()["m"]
+    ranked = pv.select(
+        "p", F.row_number().over(wr).cast("long").alias("i")
+    )
+    k = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") * m <= F.col("i") * 0.2, F.col("i"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k_sig")
+    )
+    thr = (
+        ranked.crossJoin(F.broadcast(k))
+        .where(F.col("i") <= F.col("k_sig"))
+        .agg(F.max("p").alias("pmax"))
+    )
+    return (
+        k.crossJoin(thr)
+        .select(
+            F.lit(m).cast("long").alias("m_tests"),
+            F.col("k_sig").alias("k_significant"),
+            F.round(F.coalesce(F.col("pmax"), F.lit(0.0)), 6).alias(
+                "p_threshold"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 31. pinball-loss evaluation of split-trained quantile forecasts
+# ---------------------------------------------------------------------------
+
+_PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+def _pinball_oracle() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""
+        SELECT e.event_type, CAST({q} AS DOUBLE) AS q_level,
+               round(avg(greatest({q} * (e.value - t.qhat),
+                                  ({q} - 1) * (e.value - t.qhat))), 6)
+                   AS pinball_loss,
+               CAST(count(*) AS BIGINT) AS n_eval
+        FROM events e
+        JOIN (
+            SELECT event_type,
+                   round(quantile_cont(value, {q}), 6) + 0.0 AS qhat
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        ) t USING (event_type)
+        WHERE e.event_id % 2 = 1
+        GROUP BY e.event_type"""
+        for q in _PINBALL_QS
+    )
+    return branches
+
+
+@query("pinball_loss_quantiles", oracle=_pinball_oracle())
+def pinball_loss_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss evaluation: train per-type value
+    quantiles q in {0.1, 0.5, 0.9} on the even-event_id half, score
+    them on the odd half with the asymmetric pinball loss — the proper
+    scoring rule for quantile forecasts (the quantile queries REPORT
+    quantiles; nothing evaluates them out-of-sample, which is the
+    train/eval discipline a forecasting pipeline certifies). Trained
+    cut points pin at 6 decimals; the split is the deterministic
+    event_id parity used by the split family."""
+    e = _load(spark, sf_dir, "events")
+    train = e.where(F.col("event_id") % 2 == 0)
+    ev = e.where(F.col("event_id") % 2 == 1)
+    outs = []
+    for q in _PINBALL_QS:
+        qhat = train.groupBy("event_type").agg(
+            (F.round(F.expr(f"percentile(value, {q})"), 6) + F.lit(0.0))
+            .alias("qhat")
+        )
+        err = F.col("value") - F.col("qhat")
+        outs.append(
+            ev.join(F.broadcast(qhat), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.round(
+                    F.avg(F.greatest(q * err, (q - 1) * err)), 6
+                ).alias("pinball_loss"),
+                F.count(F.lit(1)).cast("long").alias("n_eval"),
+            )
+            .select(
+                "event_type",
+                F.lit(float(q)).alias("q_level"),
+                "pinball_loss",
+                "n_eval",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 32. decision-stump Gini gain over value thresholds
+# ---------------------------------------------------------------------------
+
+_GINI_THRESHOLDS = (5, 10, 20, 40, 80, 160, 320)
+
+
+def _gini_oracle() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"""
+        SELECT CAST({t} AS BIGINT) AS threshold,
+               CAST(sum(CASE WHEN value <= {t} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_left,
+               round(
+                 (1 - power(sum(y) * 1.0 / count(*), 2)
+                    - power(1 - sum(y) * 1.0 / count(*), 2))
+                 - (sum(CASE WHEN value <= {t} THEN 1 ELSE 0 END) * 1.0
+                    / count(*))
+                   * (1 - power(sum(CASE WHEN value <= {t} THEN y ELSE 0 END)
+                                * 1.0
+                                / greatest(sum(CASE WHEN value <= {t}
+                                               THEN 1 ELSE 0 END), 1), 2)
+                        - power(1 - sum(CASE WHEN value <= {t}
+                                        THEN y ELSE 0 END) * 1.0
+                                / greatest(sum(CASE WHEN value <= {t}
+                                               THEN 1 ELSE 0 END), 1), 2))
+                 - (sum(CASE WHEN value > {t} THEN 1 ELSE 0 END) * 1.0
+                    / count(*))
+                   * (1 - power(sum(CASE WHEN value > {t} THEN y ELSE 0 END)
+                                * 1.0
+                                / greatest(sum(CASE WHEN value > {t}
+                                               THEN 1 ELSE 0 END), 1), 2)
+                        - power(1 - sum(CASE WHEN value > {t}
+                                        THEN y ELSE 0 END) * 1.0
+                                / greatest(sum(CASE WHEN value > {t}
+                                               THEN 1 ELSE 0 END), 1), 2)),
+                 6) AS gini_gain
+        FROM (SELECT value,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+              FROM events)"""
+        for t in _GINI_THRESHOLDS
+    )
+    return branches
+
+
+@query("value_split_gini_gain", oracle=_gini_oracle())
+def value_split_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature audit: Gini impurity gain of splitting
+    'is this an error event' on value <= t for a fixed threshold grid —
+    the split criterion every tree learner greedily maximizes,
+    certified as data (a near-zero gain everywhere means value carries
+    no signal for the error label; the correlation family only measures
+    LINEAR association). Exact integer cell counts per threshold; each
+    threshold is one conditional aggregate over the same single fact
+    pass."""
+    e = _load(spark, sf_dir, "events")
+    base = e.select(
+        "value",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+
+    def gini(p):
+        return 1 - F.pow(p, 2) - F.pow(1 - p, 2)
+
+    aggs = []
+    for t in _GINI_THRESHOLDS:
+        left = F.when(F.col("value") <= t, 1).otherwise(0)
+        nl = F.sum(left)
+        nyl = F.sum(F.when(F.col("value") <= t, F.col("y")).otherwise(0))
+        nr = F.sum(1 - left)
+        nyr = F.sum(F.when(F.col("value") > t, F.col("y")).otherwise(0))
+        n = F.count(F.lit(1))
+        ny = F.sum("y")
+        parent = gini(ny * 1.0 / n)
+        gl = gini(nyl * 1.0 / F.greatest(nl, F.lit(1)))
+        gr = gini(nyr * 1.0 / F.greatest(nr, F.lit(1)))
+        gain = parent - (nl * 1.0 / n) * gl - (nr * 1.0 / n) * gr
+        aggs.append(
+            F.struct(
+                F.lit(t).cast("long").alias("threshold"),
+                nl.cast("long").alias("n_left"),
+                F.round(gain, 6).alias("gini_gain"),
+            ).alias(f"_t{t}")
+        )
+    row = base.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(*[f"_t{t}" for t in _GINI_THRESHOLDS])
+        ).alias("s")
+    ).select("s.threshold", "s.n_left", "s.gini_gain")
+
+
+# ---------------------------------------------------------------------------
+# 33. mutual information between event type and hour
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "type_hour_mutual_information",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, h
+    ),
+    marg_t AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_t
+        FROM joint GROUP BY event_type
+    ),
+    marg_h AS (SELECT h, CAST(sum(n) AS BIGINT) AS n_h FROM joint GROUP BY h),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM joint)
+    SELECT CAST(t.n_all AS BIGINT) AS n_events,
+           round(sum((j.n * 1.0 / t.n_all)
+                     * ln(j.n * 1.0 * t.n_all / (mt.n_t * 1.0 * mh.n_h))), 6)
+               AS mutual_information,
+           round(-sum_t.h_t, 6) AS h_type,
+           round(-sum_h.h_h, 6) AS h_hour
+    FROM joint j
+    JOIN marg_t mt USING (event_type)
+    JOIN marg_h mh USING (h)
+    CROSS JOIN tot t
+    CROSS JOIN (
+        SELECT sum((mt2.n_t * 1.0 / t2.n_all)
+                   * ln(mt2.n_t * 1.0 / t2.n_all)) AS h_t
+        FROM marg_t mt2 CROSS JOIN tot t2
+    ) sum_t
+    CROSS JOIN (
+        SELECT sum((mh2.n_h * 1.0 / t2.n_all)
+                   * ln(mh2.n_h * 1.0 / t2.n_all)) AS h_h
+        FROM marg_h mh2 CROSS JOIN tot t2
+    ) sum_h
+    GROUP BY t.n_all, sum_t.h_t, sum_h.h_h
+    """,
+)
+def type_hour_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(type; hour) in nats, with both marginal
+    entropies — HOW MUCH knowing the hour tells you about the event
+    type, the information-theoretic dependence measure (the lift matrix
+    is pairwise ratios; chi2 is a test statistic; MI is the quantity a
+    feature-selection pass ranks on). Everything derives from the exact
+    5x24 joint count table; one fact pass."""
+    e = _load(spark, sf_dir, "events")
+    joint = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    marg_t = joint.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_t")
+    )
+    marg_h = joint.groupBy("h").agg(F.sum("n").cast("long").alias("n_h"))
+    tot = joint.agg(F.sum("n").cast("long").alias("n_all"))
+    j = (
+        joint.join(F.broadcast(marg_t), "event_type")
+        .join(F.broadcast(marg_h), "h")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = F.sum(
+        (F.col("n") * 1.0 / F.col("n_all"))
+        * F.log(
+            F.col("n")
+            * 1.0
+            * F.col("n_all")
+            / (F.col("n_t") * 1.0 * F.col("n_h"))
+        )
+    )
+    h_t = (
+        marg_t.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_t") * 1.0 / F.col("n_all"))
+                * F.log(F.col("n_t") * 1.0 / F.col("n_all"))
+            ).alias("h_t")
+        )
+    )
+    h_h = (
+        marg_h.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n_h") * 1.0 / F.col("n_all"))
+                * F.log(F.col("n_h") * 1.0 / F.col("n_all"))
+            ).alias("h_h")
+        )
+    )
+    return (
+        j.groupBy("n_all")
+        .agg(F.round(mi, 6).alias("mutual_information"))
+        .crossJoin(h_t)
+        .crossJoin(h_h)
+        .select(
+            F.col("n_all").alias("n_events"),
+            "mutual_information",
+            F.round(-F.col("h_t"), 6).alias("h_type"),
+            F.round(-F.col("h_h"), 6).alias("h_hour"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 34. Simpson's-paradox sign-flip audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simpson_paradox_audit",
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS brand, l.l_discount AS x, l.l_quantity AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    overall AS (
+        SELECT CAST(round(corr(x, y) * 1e6) AS BIGINT) AS c6 FROM li
+    ),
+    per_brand AS (
+        SELECT brand, CAST(round(corr(x, y) * 1e6) AS BIGINT) AS c6
+        FROM li GROUP BY brand HAVING count(*) >= 2
+    )
+    SELECT round(o.c6 / 1e6, 6) AS overall_corr,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(CASE WHEN b.c6 * o.c6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sign_flips,
+           round(avg(b.c6) / 1e6, 6) AS avg_brand_corr
+    FROM per_brand b CROSS JOIN overall o
+    GROUP BY o.c6
+    """,
+)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on discount vs quantity: the aggregate
+    correlation against the per-brand correlations, counting brands
+    whose association REVERSES sign — the confounding check every
+    observational metric needs before anyone reads the pooled number
+    (the regression family fits pooled slopes only). Correlations pin
+    as integer micro-units so sign products and the cross-brand mean
+    are exact on both engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    base = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    overall = base.agg(
+        F.round(F.corr("x", "y") * 1e6).cast("long").alias("oc6")
+    )
+    per_brand = (
+        base.groupBy("brand")
+        .agg(
+            F.round(F.corr("x", "y") * 1e6).cast("long").alias("c6"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(overall))
+        .groupBy("oc6")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.sum(
+                F.when(F.col("c6") * F.col("oc6") < 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sign_flips"),
+            F.round(F.avg("c6") / 1e6, 6).alias("avg_brand_corr"),
+        )
+        .select(
+            F.round(F.col("oc6") / 1e6, 6).alias("overall_corr"),
+            "n_brands",
+            "n_sign_flips",
+            "avg_brand_corr",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 35. TPC-H Q19 shape: disjunctive bracket predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle="""
+    WITH labeled AS (
+        SELECT CASE
+            WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                 AND l.l_quantity BETWEEN 1 AND 11 THEN 'bracket_small'
+            WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+                 AND l.l_quantity BETWEEN 10 AND 20 THEN 'bracket_medium'
+            WHEN p.p_size BETWEEN 1 AND 30
+                 AND l.l_quantity BETWEEN 20 AND 30 THEN 'bracket_large'
+            END AS bracket,
+            CAST(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+                 AS DECIMAL(38,0)) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT bracket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(rev_c) AS DOUBLE) / 1000000.0, 2) AS revenue
+    FROM labeled WHERE bracket IS NOT NULL
+    GROUP BY bracket
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's signature shape: revenue under an OR-of-ANDs bracket
+    predicate (brand x size-band x quantity-band), the classic test of
+    disjunctive predicate handling — a planner that can't distribute
+    the OR into the join scans everything; Catalyst pushes the common
+    `p_size >= 1` conjunct and prunes with the rest after the broadcast
+    join, exactly what Q19 was designed to exercise. Exact integer
+    cents x basis points, first-match bracket labeling on both
+    engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        li["l_partkey"] == p["p_partkey"],
+    )
+    bracket = (
+        F.when(
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 11),
+            "bracket_small",
+        )
+        .when(
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20),
+            "bracket_medium",
+        )
+        .when(
+            F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 30),
+            "bracket_large",
+        )
+    )
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (10000 - F.round(F.col("l_discount") * 10000).cast("long"))
+    ).cast("decimal(38,0)")
+    return (
+        j.select(bracket.alias("bracket"), rev_c.alias("rev_c"))
+        .where(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("rev_c").cast("double") / 1000000.0, 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36. macro-F1 + multiclass MCC over the nearest-centroid confusion
+# ---------------------------------------------------------------------------
+
+
+def _f1_mcc_oracle() -> str:
+    return f"""
+    WITH {_CENTROID_CTE.strip()},
+    win AS (
+        SELECT vec_id, label AS true_label, clabel AS predicted_label,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY round(d, 6) ASC, clabel ASC
+               ) AS rn
+        FROM dist
+    ),
+    conf AS (
+        SELECT true_label, predicted_label, CAST(count(*) AS BIGINT) AS n
+        FROM win WHERE rn = 1 GROUP BY true_label, predicted_label
+    ),
+    labels AS (
+        SELECT DISTINCT label AS l FROM embeddings
+    ),
+    per_label AS (
+        SELECT l.l,
+               COALESCE((SELECT sum(n) FROM conf
+                         WHERE true_label = l.l
+                           AND predicted_label = l.l), 0) AS tp,
+               COALESCE((SELECT sum(n) FROM conf
+                         WHERE predicted_label = l.l
+                           AND true_label <> l.l), 0) AS fp,
+               COALESCE((SELECT sum(n) FROM conf
+                         WHERE true_label = l.l
+                           AND predicted_label <> l.l), 0) AS fn
+        FROM labels l
+    ),
+    macro AS (
+        SELECT avg(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                        ELSE 2.0 * tp / (2 * tp + fp + fn) END) AS macro_f1
+        FROM per_label
+    ),
+    sums AS (
+        SELECT (SELECT sum(n) FROM conf WHERE true_label = predicted_label)
+                   AS c,
+               (SELECT sum(n) FROM conf) AS s,
+               (SELECT sum(pk * tk) FROM (
+                    SELECT p.pk, t.tk FROM (
+                        SELECT predicted_label, sum(n) AS pk
+                        FROM conf GROUP BY predicted_label) p
+                    JOIN (
+                        SELECT true_label, sum(n) AS tk
+                        FROM conf GROUP BY true_label) t
+                      ON p.predicted_label = t.true_label)) AS spt,
+               (SELECT sum(pk * pk) FROM (
+                    SELECT sum(n) AS pk FROM conf GROUP BY predicted_label))
+                   AS sp2,
+               (SELECT sum(tk * tk) FROM (
+                    SELECT sum(n) AS tk FROM conf GROUP BY true_label)) AS st2
+    )
+    SELECT round(m.macro_f1, 6) AS macro_f1,
+           round((CAST(c AS DOUBLE) * s - spt)
+                 / sqrt((CAST(s AS DOUBLE) * s - sp2)
+                        * (CAST(s AS DOUBLE) * s - st2)), 6) AS mcc
+    FROM macro m CROSS JOIN sums
+    """
+
+
+@query("nearest_centroid_f1_mcc", oracle=_f1_mcc_oracle())
+def nearest_centroid_f1_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-F1 and multiclass Matthews correlation (Gorodkin's R_K)
+    of the nearest-centroid classifier — the scalar quality metrics a
+    model gate thresholds on, derived from the same confusion counts
+    the certified confusion-matrix query produces (which reports the
+    matrix; a gate needs the summary). Distances tie-break on the
+    6-decimal-rounded d2 so the argmin is engine-identical; everything
+    downstream is exact integer confusion algebra."""
+    cent = _label_centroid_arrays(spark, sf_dir)
+    dist = _vec_centroid_distances(spark, sf_dir, cent)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc(F.round(F.col("d"), 6)), F.asc("clabel")
+    )
+    conf = (
+        dist.select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("clabel").alias("predicted_label"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("true_label", "predicted_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    labels = (
+        _load(spark, sf_dir, "embeddings")
+        .select(F.col("label").alias("l"))
+        .distinct()
+    )
+    tp = (
+        conf.where(F.col("true_label") == F.col("predicted_label"))
+        .groupBy(F.col("true_label").alias("l"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    fp = (
+        conf.where(F.col("true_label") != F.col("predicted_label"))
+        .groupBy(F.col("predicted_label").alias("l"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.where(F.col("true_label") != F.col("predicted_label"))
+        .groupBy(F.col("true_label").alias("l"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    per_label = (
+        labels.join(tp, "l", "left")
+        .join(fp, "l", "left")
+        .join(fn, "l", "left")
+        .select(
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    macro = per_label.agg(
+        F.avg(
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, 0.0)
+            .otherwise(
+                2.0
+                * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            )
+        ).alias("macro_f1")
+    )
+    c = conf.where(F.col("true_label") == F.col("predicted_label")).agg(
+        F.sum("n").alias("c")
+    )
+    s = conf.agg(F.sum("n").alias("s"))
+    pk = conf.groupBy("predicted_label").agg(F.sum("n").alias("pk"))
+    tk = conf.groupBy("true_label").agg(F.sum("n").alias("tk"))
+    spt = (
+        pk.join(tk, pk["predicted_label"] == tk["true_label"])
+        .agg(F.sum(F.col("pk") * F.col("tk")).alias("spt"))
+    )
+    sp2 = pk.agg(F.sum(F.col("pk") * F.col("pk")).alias("sp2"))
+    st2 = tk.agg(F.sum(F.col("tk") * F.col("tk")).alias("st2"))
+    sums = (
+        c.crossJoin(s).crossJoin(spt).crossJoin(sp2).crossJoin(st2)
+    )
+    mcc = (F.col("c").cast("double") * F.col("s") - F.col("spt")) / F.sqrt(
+        (F.col("s").cast("double") * F.col("s") - F.col("sp2"))
+        * (F.col("s").cast("double") * F.col("s") - F.col("st2"))
+    )
+    return macro.crossJoin(sums).select(
+        F.round("macro_f1", 6).alias("macro_f1"),
+        F.round(mcc, 6).alias("mcc"),
+    )
