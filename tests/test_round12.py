@@ -148,3 +148,121 @@ def test_arrow_norms_still_match_oracle_table(spark):
     )
     assert arrow.exceptAll(jvm).count() == 0
     assert jvm.exceptAll(arrow).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multi-row-group footer audits (round-13 stretch, pytest-differential):
+# byte-size and row-group-layout numbers can't be driver rows (DuckDB has no
+# SQL content oracle for them), so they differential against DuckDB's
+# parquet_metadata() table function instead.
+# ---------------------------------------------------------------------------
+
+
+def _write_multi_rg(tmp_path, table="lineitem", row_group_size=500):
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "multi_rg_audit")
+    os.makedirs(out, exist_ok=True)
+    src = pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"))
+    dst = os.path.join(out, f"{table}.parquet")
+    pq.write_table(src, dst, row_group_size=row_group_size)
+    assert pq.ParquetFile(dst).metadata.num_row_groups > 1
+    return out, dst
+
+
+def test_rowgroup_histogram_matches_duckdb_metadata(spark, tmp_path):
+    import duckdb
+
+    from epiteam_network_etl_functions_spark.sources.parquet_meta_datasource import (
+        register_parquet_meta,
+    )
+
+    out, dst = _write_multi_rg(tmp_path)
+    register_parquet_meta(spark)
+    meta = spark.read.format("parquet_meta").option("path", out).load()
+    # one row per row group: project at column_id 0
+    got = {
+        (r["row_group"], r["rg_num_rows"], r["rg_total_bytes"])
+        for r in meta.where("column_id = 0")
+        .select("row_group", "rg_num_rows", "rg_total_bytes")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (rg, nr, tb)
+        for rg, nr, tb in con.execute(
+            "SELECT row_group_id, row_group_num_rows, row_group_bytes "
+            "FROM parquet_metadata(?) WHERE column_id = 0",
+            [dst],
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) > 1
+
+
+def test_rowgroup_zonemap_width_matches_duckdb_metadata(spark, tmp_path):
+    """Per-row-group zone-map width (max - min) of a numeric column must
+    match DuckDB's parquet_metadata stats exactly — the quantity a
+    compaction/Z-order planner reads to estimate pruning benefit."""
+    import duckdb
+
+    from epiteam_network_etl_functions_spark.sources.parquet_meta_datasource import (
+        register_parquet_meta,
+    )
+
+    out, dst = _write_multi_rg(tmp_path)
+    register_parquet_meta(spark)
+    meta = spark.read.format("parquet_meta").option("path", out).load()
+    got = {
+        r["row_group"]: (r["min_double"], r["max_double"])
+        for r in meta.where("path_in_schema = 'l_extendedprice'")
+        .select("row_group", "min_double", "max_double")
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        rg: (float(lo), float(hi))
+        for rg, lo, hi in con.execute(
+            "SELECT row_group_id, stats_min_value, stats_max_value "
+            "FROM parquet_metadata(?) "
+            "WHERE path_in_schema = 'l_extendedprice'",
+            [dst],
+        ).fetchall()
+    }
+    assert got == want
+    # zone maps overlap-heavy on an unsorted write: widths are positive
+    assert all(hi > lo for lo, hi in got.values())
+
+
+def test_compressed_bytes_census_consistent(spark, tmp_path):
+    """Sum of per-chunk compressed bytes must be strictly positive and
+    < the file size; per-column sums must match DuckDB's."""
+    import os
+
+    import duckdb
+
+    from epiteam_network_etl_functions_spark.sources.parquet_meta_datasource import (
+        register_parquet_meta,
+    )
+
+    out, dst = _write_multi_rg(tmp_path)
+    register_parquet_meta(spark)
+    meta = spark.read.format("parquet_meta").option("path", out).load()
+    got = {
+        r["path_in_schema"]: r["total_comp"]
+        for r in meta.groupBy("path_in_schema")
+        .agg(F.sum("compressed_bytes").alias("total_comp"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT path_in_schema, CAST(sum(total_compressed_size) AS BIGINT)"
+            " FROM parquet_metadata(?) GROUP BY path_in_schema",
+            [dst],
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < sum(got.values()) < os.path.getsize(dst)
