@@ -266,3 +266,47 @@ def test_compressed_bytes_census_consistent(spark, tmp_path):
     )
     assert got == want
     assert 0 < sum(got.values()) < os.path.getsize(dst)
+
+
+# ---------------------------------------------------------------------------
+# global_row_number: literal-offset path vs broadcast-join fallback
+# ---------------------------------------------------------------------------
+
+
+def test_rank_kernel_literal_and_fallback_paths_agree(spark, monkeypatch):
+    from epiteam_network_etl_functions_spark.operators import winners
+
+    df = spark.range(0, 3_000).select(
+        (F.col("id") * 37 % 1000).alias("v"), F.col("id").alias("uid")
+    )
+    lit_ranked, lit_total = winners.global_row_number_and_total(
+        df, ["v", "uid"], "r"
+    )
+    lit_rows = {(r["v"], r["uid"]): r["r"] for r in lit_ranked.collect()}
+    # force the broadcast-join fallback and require identical ranks
+    monkeypatch.setattr(winners, "_MAX_LITERAL_OFFSETS", 0)
+    bj_ranked, bj_total = winners.global_row_number_and_total(
+        df, ["v", "uid"], "r"
+    )
+    bj_rows = {(r["v"], r["uid"]): r["r"] for r in bj_ranked.collect()}
+    assert lit_total == bj_total == 3_000
+    assert lit_rows == bj_rows
+
+
+def test_rank_kernel_literal_path_has_no_join(spark):
+    """The default (literal-offset) plan must contain neither a join nor
+    a SinglePartition exchange — the rank attach is a pure projection."""
+    from epiteam_network_etl_functions_spark.operators.winners import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    plan = (
+        global_row_number(df, ["v"], "r")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
