@@ -2018,12 +2018,17 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
 
+    # the bit table is consumed three times (census count, FP probe,
+    # FN probe) — cut lineage once so the member-hash subtree doesn't
+    # rebuild per branch (the _colocation_edge_list idiom); the table
+    # is bounded by m rows regardless of corpus size
     bits = (
         positions(
             members.select(F.col("o_orderkey").alias("k")), "k", "k"
         )
         .select("pos")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     probe_pos = positions(
         probes.select(F.col("probe_key"), F.col("probe_key").alias("pk")),
