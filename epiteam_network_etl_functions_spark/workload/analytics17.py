@@ -1364,12 +1364,18 @@ def embedding_intrinsic_dim_2nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings")
     from ..operators.similarity import as_double
 
-    a = e.select(F.col("vec_id"), as_double(F.col("embedding")).alias("va"))
+    # the corpus fits one parquet split, so WITHOUT a repartition the
+    # broadcast nested-loop join streams ALL n^2 pairs through a single
+    # task (measured: one core pegged for 25+ min at the 20k-vector
+    # tier) — spread the streamed side so the oracle parallelizes
+    a = e.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("va")
+    ).repartition(64, "vec_id")
     b = e.select(
         F.col("vec_id").alias("other_id"), as_double(F.col("embedding")).alias("vb")
     )
     d2 = (
-        a.join(b, F.col("vec_id") != F.col("other_id"))
+        a.join(F.broadcast(b), F.col("vec_id") != F.col("other_id"))
         .select(
             "vec_id",
             "other_id",
