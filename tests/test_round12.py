@@ -310,3 +310,53 @@ def test_rank_kernel_literal_path_has_no_join(spark):
     assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert "BroadcastExchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# final-drain rehearsal: the round-13 rotation must promote ALL 50
+# remaining DEFERRED names and leave nothing unsampled
+# ---------------------------------------------------------------------------
+
+
+def test_round13_rotation_drains_deferred(monkeypatch):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "rotate.py"),
+    )
+    rotate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotate)
+
+    from epiteam_network_etl_functions_spark import workload
+
+    workload.load_all()
+    current_prefix = [
+        n
+        for n in workload.REGISTRY
+        if n not in workload.DEMOTED and n not in workload.DEFERRED
+    ]
+    assert len(current_prefix) == 50
+    assert len(workload.DEFERRED) == 50
+
+    # simulate the driver certifying the whole round-12 prefix green
+    monkeypatch.setattr(
+        rotate, "newest_round", lambda: (13, set(current_prefix))
+    )
+    rnd, demote, promote, fresh = rotate.plan()
+    assert rnd == 13
+    assert set(demote) == set(current_prefix)
+    # every remaining DEFERRED name is promoted — the backlog drains
+    assert list(promote) == list(workload.DEFERRED)
+    assert fresh == []  # nothing never-certified outside DEFERRED
+    # after the r13 driver run certifies those 50, the registry is
+    # fully certified: nothing is left outside DEMOTED + r12 greens +
+    # the promoted set
+    leftover = (
+        set(workload.REGISTRY)
+        - set(workload.DEMOTED)
+        - set(current_prefix)
+        - set(promote)
+    )
+    assert leftover == set()
