@@ -1,0 +1,169 @@
+"""Closed-form differentials for the analytics17 statistics: run the
+REAL query functions against tiny synthetic tables whose analytic
+answers are known exactly — a second, independent check besides the
+DuckDB hash parity (which could in principle share a mistake with the
+oracle SQL, since both were written together)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def a17(spark):
+    from epiteam_network_etl_functions_spark.workload import analytics17
+
+    return analytics17
+
+
+def _write_events(spark, tmpdir, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(i, t, u, et, v, "{}") for (i, t, u, et, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+def _write_orders(spark, tmpdir, month_rev):
+    """month_rev: list of (year, month, totalprice) one order per month."""
+    rows = [
+        (i, 1, "O", price, datetime.datetime(y, m, 15), "1-URGENT")
+        for i, (y, m, price) in enumerate(month_rev)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/orders.parquet")
+    return str(tmpdir)
+
+
+def _ts(i):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+
+
+def test_permutation_entropy_monotone_is_zero(spark, tmp_path, a17):
+    # strictly increasing values -> single ordinal pattern -> entropy 0
+    rows = [(i, _ts(i), 1, "click", float(i + 1)) for i in range(50)]
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_permutation_entropy(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["perm_entropy"] == 0.0
+    assert out[0]["n_triples"] == 48
+
+
+def test_permutation_entropy_alternating_is_ln2(spark, tmp_path, a17):
+    # 1,2,1,2,... -> exactly two ordinal patterns; 40 values give 38
+    # triples, 19 of each pattern -> entropy exactly ln 2
+    rows = [
+        (i, _ts(i), 1, "click", 1.0 if i % 2 == 0 else 2.0)
+        for i in range(40)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_permutation_entropy(spark, d).collect()[0]
+    assert abs(out["perm_entropy"] - round(math.log(2), 6)) < 2e-6
+
+
+def test_runs_test_alternating_maximal(spark, tmp_path, a17):
+    # alternate strictly above/below the median -> n_runs == n
+    rows = [
+        (i, _ts(i), 1, "click", 10.0 if i % 2 == 0 else 1.0)
+        for i in range(40)
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_runs_test(spark, d).collect()[0]
+    assert out["n_runs"] == 40
+    assert out["n1"] == out["n2"] == 20
+    assert out["z_stat"] > 5  # far more runs than the null expects
+
+
+def test_running_records_monotone_all_records(spark, tmp_path, a17):
+    rows = [(i, _ts(i), 7, "view", float(i)) for i in range(12)]
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        r["n_records"]: r["n_users"]
+        for r in a17.value_running_records(spark, d).collect()
+    }
+    assert out == {12: 1}  # every event breaks the record
+
+
+def test_mann_kendall_strictly_increasing(spark, tmp_path, a17):
+    months = [(1995 + (m // 12), (m % 12) + 1, 100.0 * (m + 1)) for m in range(24)]
+    d = _write_orders(spark, tmp_path, months)
+    out = a17.monthly_revenue_mann_kendall(spark, d).collect()[0]
+    n = 24
+    assert out["s_stat"] == n * (n - 1) // 2  # every pair concordant
+    assert out["z_stat"] > 0
+
+
+def test_theil_sen_recovers_exact_linear_slope(spark, tmp_path, a17):
+    # revenue = 250.00 dollars per month exactly -> every pairwise
+    # slope equals 250, so the median does too
+    months = [
+        (1995 + (m // 12), (m % 12) + 1, 1000.0 + 250.0 * m)
+        for m in range(20)
+    ]
+    d = _write_orders(spark, tmp_path, months)
+    out = a17.monthly_revenue_theil_sen(spark, d).collect()[0]
+    assert out["theil_sen_slope"] == 250.0
+    assert out["n_pairs"] == 20 * 19 // 2
+
+
+def test_gk_gamma_perfectly_concordant(spark, tmp_path, a17):
+    # lineitem where quantity bin and price bin always agree -> gamma 1
+    rows = [
+        (i, i, 1, 1, float(1 + 10 * b), float((1 + 2 * b) * 10000),
+         0.0, 0.0, "N", "O", datetime.datetime(1995, 1, 1))
+        for b in range(5)
+        for i in range(b * 10, b * 10 + 10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    out = a17.quantity_price_gk_gamma(spark, str(tmp_path)).collect()[0]
+    assert out["gk_gamma"] == 1.0
+    assert out["discordant"] == 0
+
+
+def test_diurnal_autocorr_uniform_profile_degenerate_guard(
+    spark, tmp_path, a17
+):
+    # two opposite 12h blocks -> lag-12 rotation maps day onto night:
+    # correlation exactly -1
+    rows = []
+    i = 0
+    for day in range(3):
+        for h in range(24):
+            n = 3 if h < 12 else 1
+            for _ in range(n):
+                rows.append(
+                    (
+                        i,
+                        datetime.datetime(2024, 1, 1 + day, h, 30),
+                        1,
+                        "click",
+                        1.0,
+                    )
+                )
+                i += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = {
+        r["lag_h"]: r["circ_autocorr"]
+        for r in a17.diurnal_profile_autocorr(spark, d).collect()
+    }
+    assert out[12] == -1.0
