@@ -167,3 +167,125 @@ def test_diurnal_autocorr_uniform_profile_degenerate_guard(
         for r in a17.diurnal_profile_autocorr(spark, d).collect()
     }
     assert out[12] == -1.0
+
+
+def test_mutual_information_independent_is_zero(spark, tmp_path, a17):
+    # counts perfectly uniform over (type, hour) -> MI exactly 0
+    rows = []
+    i = 0
+    for et in ("a", "b"):
+        for h in range(24):
+            for _ in range(5):
+                rows.append(
+                    (i, datetime.datetime(2024, 1, 1, h, 15), 1, et, 1.0)
+                )
+                i += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.type_hour_mutual_information(spark, d).collect()[0]
+    assert out["mutual_information"] == 0.0
+    assert abs(out["h_type"] - round(math.log(2), 6)) < 2e-6
+    assert abs(out["h_hour"] - round(math.log(24), 6)) < 2e-6
+
+
+def test_mutual_information_deterministic_equals_entropy(
+    spark, tmp_path, a17
+):
+    # each type occurs in exactly one hour -> I(type; hour) == H(type)
+    rows = []
+    i = 0
+    for k, et in enumerate(("a", "b", "c", "d")):
+        for _ in range(10):
+            rows.append(
+                (i, datetime.datetime(2024, 1, 1, k, 0), 1, et, 1.0)
+            )
+            i += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.type_hour_mutual_information(spark, d).collect()[0]
+    assert abs(out["mutual_information"] - out["h_type"]) < 2e-6
+    assert abs(out["mutual_information"] - round(math.log(4), 6)) < 2e-6
+
+
+def test_levene_equal_variances_near_zero(spark, tmp_path, a17):
+    # identical value multisets per type -> identical |dev| groups ->
+    # between-group term exactly 0 -> W == 0
+    rows = []
+    i = 0
+    for et in ("a", "b", "c"):
+        for v in (1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0):
+            rows.append((i, _ts(i), 1, et, v))
+            i += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_levene_variance_test(spark, d).collect()[0]
+    assert out["levene_w"] == 0.0
+    assert out["n_groups"] == 3
+
+
+def test_two_way_anova_pure_interaction(spark, tmp_path, a17):
+    # XOR design: main effects vanish, interaction dominates. Build
+    # 2 weekdays x 2 types with cell means +d/-d in an XOR pattern and
+    # tiny within-cell noise.
+    rows = []
+    i = 0
+    # 2024-01-01 is a Monday (weekday 0), 2024-01-02 Tuesday (1)
+    for day, dow in ((1, 0), (2, 1)):
+        for et in ("a", "b"):
+            base = 10.0 + (5.0 if (dow == 0) == (et == "a") else -5.0)
+            for j in range(10):
+                rows.append(
+                    (
+                        i,
+                        datetime.datetime(2024, 1, day, 12, j),
+                        1,
+                        et,
+                        base + (0.01 if j % 2 else -0.01),
+                    )
+                )
+                i += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_two_way_anova(spark, d).collect()[0]
+    assert out["f_interaction"] > 1000 * max(out["f_dow"], out["f_type"])
+    assert abs(out["f_dow"]) < 1e-6 and abs(out["f_type"]) < 1e-6
+
+
+def test_cvar_closed_form(spark, tmp_path, a17):
+    # 100 orders valued 1..100 in one segment: VaR95 interpolates to
+    # 95.05; tail {96..100} -> CVaR = 98, n_tail = 5
+    orders = spark.createDataFrame(
+        [
+            (i, 1, "O", float(i), datetime.datetime(1995, 1, 1), "1-URGENT")
+            for i in range(1, 101)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    customer.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    out = a17.segment_value_cvar(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["var95"] == 95.05
+    assert r["n_tail"] == 5
+    assert r["cvar95"] == 98.0
+
+
+def test_hurst_persistent_trend_near_one(spark, tmp_path, a17):
+    # a deterministic linear trend in hourly totals is maximally
+    # persistent: R/S grows ~linearly with the window, so the two-point
+    # slope approaches 1
+    rows = []
+    for i in range(512):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)
+        rows.append((i, ts, 1, "click", float(i + 1)))
+    d = _write_events(spark, tmp_path, rows)
+    out = a17.value_hurst_rescaled_range(spark, d).collect()[0]
+    assert out["n_hours"] == 512
+    assert out["hurst"] > 0.9
