@@ -289,3 +289,79 @@ def test_hurst_persistent_trend_near_one(spark, tmp_path, a17):
     out = a17.value_hurst_rescaled_range(spark, d).collect()[0]
     assert out["n_hours"] == 512
     assert out["hurst"] > 0.9
+
+
+def _write_embeddings(spark, tmpdir, rows):
+    """rows: list of (vec_id, [floats], label)."""
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/embeddings.parquet"
+    )
+    return str(tmpdir)
+
+
+def test_intrinsic_dim_on_a_line_is_one(spark, tmp_path, a17):
+    # points on a 1-D manifold embedded in 8-D: x_i = t_i * v, with
+    # t_i pseudo-uniform (seeded LCG) — the TWO-NN MLE assumes Poisson
+    # sampling (deterministic equal/geometric spacing would make every
+    # ratio constant and the estimate meaningless), under which mu
+    # follows Pareto(d) and the MLE must recover d ~ 1 regardless of
+    # the ambient 8 dimensions.
+    v = [1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25]
+    state, ts = 12345, []
+    for _ in range(400):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        ts.append(state / float(1 << 31))
+    rows = [
+        (i, [t * 1000.0 * x for x in v], 0) for i, t in enumerate(sorted(ts))
+    ]
+    d = _write_embeddings(spark, tmp_path, rows)
+    out = a17.embedding_intrinsic_dim_2nn(spark, d).collect()[0]
+    assert out["n_used"] == 400
+    assert 0.75 < out["intrinsic_dim"] < 1.35
+
+
+def test_silhouette_and_db_on_separated_clusters(spark, tmp_path, a17):
+    # two tight, far-apart clusters: silhouette near 1, DB near 0
+    rows = []
+    i = 0
+    for label, center in ((0, 0.0), (1, 100.0)):
+        for j in range(20):
+            eps = 0.01 * (j - 10)
+            rows.append((i, [center + eps] * 4, label))
+            i += 1
+    d = _write_embeddings(spark, tmp_path, rows)
+    sil = {
+        r["label"]: r["avg_silhouette"]
+        for r in a17.label_silhouette_simplified(spark, d).collect()
+    }
+    assert all(s > 0.99 for s in sil.values())
+    db = a17.label_davies_bouldin(spark, d).collect()[0]
+    assert db["k_labels"] == 2
+    assert db["davies_bouldin"] < 0.01
+
+
+def test_f1_mcc_perfectly_separable(spark, tmp_path, a17):
+    rows = []
+    i = 0
+    for label, center in ((0, 0.0), (1, 50.0), (2, 100.0)):
+        for j in range(15):
+            rows.append((i, [center + 0.1 * j] * 4, label))
+            i += 1
+    d = _write_embeddings(spark, tmp_path, rows)
+    out = a17.nearest_centroid_f1_mcc(spark, d).collect()[0]
+    assert out["macro_f1"] == 1.0
+    assert out["mcc"] == 1.0
+
+
+def test_triangle_audit_l2_zero_on_synthetic(spark, tmp_path, a17):
+    rows = [
+        (i, [float(i), float(i * i % 7), 1.0, -float(i)], 0)
+        for i in range(30)
+    ]
+    d = _write_embeddings(spark, tmp_path, rows)
+    out = a17.metric_triangle_audit(spark, d).collect()[0]
+    assert out["l2_violations"] == 0
+    assert out["n_triples"] == 28
