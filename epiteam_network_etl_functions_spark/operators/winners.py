@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _MAX_LITERAL_OFFSETS = 4096
 
 
+def _dense_offsets_len(offsets: dict) -> int:
+    """Length of the dense prefix-sum literal array the literal-offset
+    path would embed: indexed by physical partition id, so it is
+    max(pid) + 1 — NOT the number of non-empty partitions (a sparse
+    tail pid would otherwise blow the codegen/plan-size cap)."""
+    return max(offsets) + 1 if offsets else 0
+
+
 def top1_per_key(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
     """Keep the single best row per key group under ``order_by``.
 
@@ -133,12 +141,16 @@ def global_row_number_and_total(
         offsets[row["__pid"]] = running
         running += row["__cnt"]
     local_rank = F.col("__mid").bitwiseAND(F.lit(local_mask)) + 1
-    if len(offsets) <= _MAX_LITERAL_OFFSETS:
+    # guard on the DENSE array length (max pid + 1), not the count of
+    # non-empty partitions: with an explicit large num_partitions and
+    # sparse non-empty pids the embedded literal array is max(pid)+1
+    # entries long regardless of how few partitions held rows
+    if _dense_offsets_len(offsets) <= _MAX_LITERAL_OFFSETS:
         # dense prefix-sum array indexed by pid; empty partitions never
         # produce a lookup, so gap values are arbitrary (carry the run)
         dense: list[int] = []
         run = 0
-        for pid in range(max(offsets) + 1 if offsets else 0):
+        for pid in range(_dense_offsets_len(offsets)):
             run = offsets.get(pid, run)
             dense.append(run)
         off_expr = (

@@ -43,6 +43,7 @@ class ParquetPyWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("parquet_py sink requires a path")
         self.overwrite = overwrite
+        self.schema = schema
         self.staging = os.path.join(self.path, "_staging")
 
     def write(self, iterator):
@@ -83,6 +84,20 @@ class ParquetPyWriter(DataSourceArrowWriter):
                 os.path.join(self.path, m.shard),
             )
             shards.append({"shard": m.shard, "n_rows": m.n_rows})
+        if not shards:
+            # all partitions were empty: materialize one zero-row shard
+            # from the writer's schema so spark.read.parquet on the
+            # output dir still infers a schema (a manifest-only commit
+            # with no parquet files would fail schema inference)
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            name = "part-empty.parquet"
+            pq.write_table(
+                to_arrow_schema(self.schema).empty_table(),
+                os.path.join(self.path, name),
+            )
+            shards.append({"shard": name, "n_rows": 0})
         shards.sort(key=lambda s: s["shard"])
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(

@@ -463,6 +463,57 @@ DEMOTED: tuple[str, ...] = (
     "nearest_centroid_confusion",
     "cosine_to_mean_histogram",
     "embedding_grid_occupancy",
+    # -- driver-green round 12 (tools/rotate.py) --
+    "jl_distortion_audit",
+    "morton_bucket_extent",
+    "zonemap_prune_audit",
+    "order_value_gini_by_segment",
+    "monthly_revenue_anomaly",
+    "customer_value_cv_histogram",
+    "order_total_coverage_ratio",
+    "return_rate_by_price_band",
+    "quarter_end_load_factor",
+    "second_event_latency_histogram",
+    "error_recovery_latency",
+    "modal_weekday_stability",
+    "vocab_head_turnover",
+    "cell_revisit_quantiles",
+    "join_key_skew_profile",
+    "hash_partition_balance_audit",
+    "compaction_bin_plan",
+    "props_variant_k_histogram",
+    "gap_exponential_ks",
+    "doc_length_lognormal_params",
+    "dict_encoding_gain_audit",
+    "sample_estimate_error_curve",
+    "stream_static_enrichment",
+    "nation_revenue_volatility",
+    "nation_top_brand",
+    "priority_mix_by_value_quintile",
+    "order_ship_weekday_matrix",
+    "parttype_size_chi2",
+    "monthly_revenue_autocorr",
+    "session_type_richness",
+    "value_by_session_position",
+    "zipf_abbreviation_curve",
+    "knn_radius_histogram",
+    "partial_merge_consistency",
+    "cents_fraction_bias",
+    "linenumber_density_audit",
+    "temporal_integrity_audit",
+    "stream_update_mode_counts",
+    "footer_stats_content_parity",
+    "footer_rowcount_audit",
+    "graphml_roundtrip_edges",
+    "geojson_dim_roundtrip",
+    "udtf_session_stats",
+    "udtf_top_bigrams",
+    "stream_append_closed_windows",
+    "stream_foreach_batch_totals",
+    "returnflag_linestatus_cramers_v",
+    "doc_sentence_length_profile",
+    "source_char_class_census",
+    "acctbal_ks_customer_supplier",
 )
 
 # Round-9 rotation (executed per the round-8 script): the 50 names
@@ -523,59 +574,9 @@ DEFERRED: tuple[str, ...] = (
     # graphml + geojson Python DataSources, both UDTF forms, append-mode
     # eviction + foreachBatch streaming — plus five new-territory
     # rollups. Tops round-12 prefix supply up to exactly 50.
-    "schema_evolution_union",
-    "stream_python_source_counts",
-    "python_writer_roundtrip",
-    "stream_python_sink_roundtrip",
-    "embedding_norms_arrow",
-    "udtf_dynamic_json_cols",
-    "stream_dist_replay_counts",
-    "arrow_writer_roundtrip",
-    "sql_named_params_filter",
-    "observed_scan_metrics",
-    "stream_arrow_pipe_roundtrip",
-    "applyinarrow_label_stats",
-    "maxrecords_file_census",
-    "hive_write_footer_census",
     # round-13-candidate registrations, FINAL tranche
     # (workload/analytics17.py): exactly 36 names so the round-13
     # rotation drains DEFERRED to empty (VERDICT r11 minting budget).
-    "normal_qq_deviation",
-    "median_test_customer_supplier",
-    "monthly_revenue_theil_sen",
-    "monthly_revenue_mann_kendall",
-    "value_permutation_entropy",
-    "diurnal_profile_autocorr",
-    "value_levene_variance_test",
-    "value_runs_test",
-    "value_hurst_rescaled_range",
-    "value_running_records",
-    "value_ljung_box",
-    "seasonal_naive_mase",
-    "colocation_rich_club",
-    "user_daily_motifs",
-    "source_burrows_delta",
-    "quantity_price_gk_gamma",
-    "embedding_intrinsic_dim_2nn",
-    "label_silhouette_simplified",
-    "label_davies_bouldin",
-    "metric_triangle_audit",
-    "join_cardinality_estimate_audit",
-    "out_of_order_depth_histogram",
-    "bloom_membership_audit",
-    "lsh_band_s_curve_planner",
-    "payload_magic_byte_census",
-    "name_edit_distance_pairs",
-    "value_two_way_anova",
-    "segment_value_cvar",
-    "scd2_interval_integrity",
-    "hourly_anomaly_fdr_bh",
-    "pinball_loss_quantiles",
-    "value_split_gini_gain",
-    "type_hour_mutual_information",
-    "simpson_paradox_audit",
-    "disjunctive_bracket_revenue",
-    "nearest_centroid_f1_mcc",
 )
 
 

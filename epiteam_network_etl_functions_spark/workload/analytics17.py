@@ -122,18 +122,40 @@ _Z_DECILES = {
     9: 1.281552,
 }
 
-_QQ_ORACLE = "\nUNION ALL\n".join(
-    f"""
+# mean/sd assemble from exact integer cents moments (n, Σv, Σv² with
+# the n·Σv² − (Σv)² product in HUGEINT / DECIMAL(38,0)) in ONE double
+# expression mirrored on both engines — never the engines' own
+# avg/stddev_samp, whose accumulation order (Welford vs two-pass) is
+# not specified to agree (DETERMINISM.md products-of-sums rule)
+_QQ_ORACLE = (
+    """
+    WITH vm AS (
+        SELECT c_acctbal, CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ),
+    m AS (
+        SELECT CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS mu,
+               sqrt(CAST(count(*) * sum(CAST(v AS HUGEINT) * v)
+                         - CAST(sum(v) AS HUGEINT) * sum(v) AS DOUBLE)
+                    / (count(*) * (count(*) - 1.0))) / 100.0 AS sd,
+    """
+    + ",\n".join(
+        f"           quantile_cont(c_acctbal, {d / 10.0}) AS q{d}"
+        for d in _Z_DECILES
+    )
+    + """
+        FROM vm
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"""
     SELECT CAST({d} AS BIGINT) AS decile,
-           round((quantile_cont(c_acctbal, {d / 10.0})
-                  - avg(c_acctbal)) / stddev_samp(c_acctbal), 6)
-               AS sample_z,
+           round((q{d} - mu) / sd, 6) AS sample_z,
            CAST({z} AS DOUBLE) AS normal_z,
-           round(abs((quantile_cont(c_acctbal, {d / 10.0})
-                      - avg(c_acctbal)) / stddev_samp(c_acctbal)
-                     - ({z})), 6) AS qq_deviation
-    FROM customer"""
-    for d, z in _Z_DECILES.items()
+           round(abs((q{d} - mu) / sd - ({z})), 6) AS qq_deviation
+    FROM m"""
+        for d, z in _Z_DECILES.items()
+    )
 )
 
 
@@ -145,12 +167,31 @@ def normal_qq_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles — the distribution-fit family's missing normality member
     (exponential-KS and lognormal-params exist; nothing tests
     normality). One scan, one 9-row aggregate; the z references are
-    literals so no engine needs an inverse CDF."""
+    literals so no engine needs an inverse CDF. Mean/sd assemble from
+    exact integer cents moments with the products-of-sums in
+    DECIMAL(38,0)/HUGEINT (DETERMINISM.md) — never engine-native
+    stddev_samp, whose accumulation order is engine-specific."""
     c = _load(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    base = c.select(
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("v").cast(dec))
+    s2 = F.sum((F.col("v").cast(dec) * F.col("v")).cast(dec))
+    mu = s1.cast("double") / n / 100.0
+    sd = (
+        F.sqrt(
+            (n.cast(dec) * s2 - s1.cast(dec) * s1).cast("double")
+            / (n * (n - F.lit(1.0)))
+        )
+        / 100.0
+    )
     aggs = []
     for d, z in _Z_DECILES.items():
         q = F.expr(f"percentile(c_acctbal, {d / 10.0})")
-        sz = (q - F.avg("c_acctbal")) / F.stddev_samp("c_acctbal")
+        sz = (q - mu) / sd
         aggs.append(
             F.struct(
                 F.lit(d).cast("long").alias("decile"),
@@ -159,7 +200,7 @@ def normal_qq_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.abs(sz - F.lit(z)), 6).alias("qq_deviation"),
             ).alias(f"_d{d}")
         )
-    row = c.agg(*aggs)
+    row = base.agg(*aggs)
     return row.select(
         F.explode(F.array(*[f"_d{d}" for d in _Z_DECILES])).alias("s")
     ).select("s.decile", "s.sample_z", "s.normal_z", "s.qq_deviation")
@@ -199,7 +240,8 @@ def normal_qq_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
            sa AS supplier_above, sb AS supplier_below,
            round((ca + cb + sa + sb)
                  * power(CAST(ca AS DOUBLE) * sb - CAST(cb AS DOUBLE) * sa, 2)
-                 / ((ca + cb) * (sa + sb) * (ca + sa) * (cb + sb)), 6)
+                 / (CAST(ca + cb AS DOUBLE) * (sa + sb) * (ca + sa)
+                    * (cb + sb)), 6)
                AS chi2
     FROM wide
     """,
@@ -240,10 +282,15 @@ def median_test_customer_supplier(
         F.max(F.when(F.col("dim") == "supplier", F.col("n_below"))).alias("sb"),
     )
     ca, cb, sa, sb = (F.col(x) for x in ("ca", "cb", "sa", "sb"))
+    # the 4-way product of marginals overflows int64 at TPC-H sf1 sizes
+    # (150k * 10k cells -> ~1e19): lead with a double so the chain
+    # multiplies as float on BOTH engines (DETERMINISM.md products-of-
+    # sums rule); at the certified SFs the product is < 2^53 so the
+    # double is still exact and the hash is unchanged
     chi2 = (
         (ca + cb + sa + sb)
         * F.pow(ca.cast("double") * sb - cb.cast("double") * sa, 2)
-        / ((ca + cb) * (sa + sb) * (ca + sa) * (cb + sb))
+        / ((ca + cb).cast("double") * (sa + sb) * (ca + sa) * (cb + sb))
     )
     return wide.select(
         ca.alias("customer_above"),
@@ -626,7 +673,8 @@ def value_levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n1, n2, n_runs,
            round((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
                  / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+                        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1.0))), 6)
                AS z_stat
     FROM runs
     """,
@@ -671,12 +719,15 @@ def value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
     mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    # (n1+n2)^2 is int64*int64 and wraps silently past ~3e9 rows per
+    # type: lead the denominator chain with a double (exact < 2^53, so
+    # the certified-SF hash is unchanged)
     sig = F.sqrt(
         F.lit(2.0)
         * n1
         * n2
         * (F.lit(2.0) * n1 * n2 - n1 - n2)
-        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - F.lit(1.0)))
     )
     return runs.select(
         "event_type", "n1", "n2", "n_runs",
@@ -1141,12 +1192,26 @@ _DELTA_TOP_TERMS = 20
             FROM tok_f GROUP BY source, term
         ) c ON c.source = st.source AND c.term = tt.term
     ),
+    fq AS (
+        -- frequencies pin to integer NANO-units first so the per-term
+        -- mean/sd assemble from exact integer moments (DETERMINISM.md:
+        -- never engine-native avg/stddev_samp, whose accumulation
+        -- order is engine-specific)
+        SELECT source, term, CAST(round(f * 1e9) AS BIGINT) AS f9
+        FROM freq
+    ),
+    tm AS (
+        SELECT term,
+               CAST(sum(f9) AS DOUBLE) / count(*) AS mu9,
+               sqrt(CAST(count(*) * sum(CAST(f9 AS HUGEINT) * f9)
+                         - CAST(sum(f9) AS HUGEINT) * sum(f9) AS DOUBLE)
+                    / (count(*) * (count(*) - 1.0))) AS sd9
+        FROM fq GROUP BY term
+    ),
     zs AS (
         SELECT source, term,
-               CAST(round(((f - avg(f) OVER (PARTITION BY term))
-                           / stddev_samp(f) OVER (PARTITION BY term)) * 1e6)
-                    AS BIGINT) AS z6
-        FROM freq
+               CAST(round((f9 - mu9) / sd9 * 1e6) AS BIGINT) AS z6
+        FROM fq JOIN tm USING (term)
     )
     SELECT a.source AS source_a, b.source AS source_b,
            round(avg(abs(a.z6 - b.z6)) / 1e6, 6) AS burrows_delta
@@ -1194,20 +1259,31 @@ def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f"),
         )
     )
-    wt = Window.partitionBy("term")
     # z-scores pin as exact integer MICRO-units: the per-pair mean of
     # |za - zb| is then an integer ratio, immune to float sum-order
-    # (a raw-double mean flipped one pair's 6th decimal between engines)
-    zs = freq.select(
+    # (a raw-double mean flipped one pair's 6th decimal between engines).
+    # The frequencies themselves pin to integer NANO-units first so the
+    # per-term mean/sd assemble from exact integer moments in
+    # DECIMAL(38,0)/HUGEINT (DETERMINISM.md) — never engine-native
+    # avg/stddev_samp, whose accumulation order is engine-specific.
+    dec = "decimal(38,0)"
+    fq = freq.select(
+        "source", "term", F.round(F.col("f") * 1e9).cast("long").alias("f9")
+    )
+    kk = F.count(F.lit(1))
+    s1 = F.sum(F.col("f9").cast(dec))
+    s2 = F.sum((F.col("f9").cast(dec) * F.col("f9")).cast(dec))
+    tm = fq.groupBy("term").agg(
+        (s1.cast("double") / kk).alias("mu9"),
+        F.sqrt(
+            (kk.cast(dec) * s2 - s1.cast(dec) * s1).cast("double")
+            / (kk * (kk - F.lit(1.0)))
+        ).alias("sd9"),
+    )
+    zs = fq.join(F.broadcast(tm), "term").select(
         "source",
         "term",
-        F.round(
-            (
-                (F.col("f") - F.avg("f").over(wt))
-                / F.stddev_samp("f").over(wt)
-            )
-            * 1e6
-        )
+        F.round((F.col("f9") - F.col("mu9")) / F.col("sd9") * 1e6)
         .cast("long")
         .alias("z6"),
     )
@@ -1248,10 +1324,12 @@ def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             CAST(sum(CASE WHEN (a.qbin < b.qbin AND a.pbin < b.pbin)
                             OR (a.qbin > b.qbin AND a.pbin > b.pbin)
-                          THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS c_pairs,
+                          THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+                 // 2 AS BIGINT) AS c_pairs,
             CAST(sum(CASE WHEN (a.qbin < b.qbin AND a.pbin > b.pbin)
                             OR (a.qbin > b.qbin AND a.pbin < b.pbin)
-                          THEN a.n * b.n ELSE 0 END) / 2 AS BIGINT) AS d_pairs
+                          THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+                 // 2 AS BIGINT) AS d_pairs
         FROM grid a CROSS JOIN grid b
     )
     SELECT c_pairs AS concordant, d_pairs AS discordant,
@@ -1296,11 +1374,30 @@ def quantity_price_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("aq") < F.col("bq")) & (F.col("ap") > F.col("bp")))
         | ((F.col("aq") > F.col("bq")) & (F.col("ap") < F.col("bp")))
     )
+    # cell-count products overflow int64 once a cell holds ~3e9 fact
+    # rows: accumulate the exact integer products in DECIMAL(38,0)
+    # (DuckDB side: HUGEINT) per the DETERMINISM.md products-of-sums
+    # rule; the symmetric cross join double-counts every unordered pair
+    # so the sums are always even and the /2 stays exact
     pairs = a.crossJoin(b).agg(
-        (F.sum(F.when(conc, F.col("an") * F.col("bn")).otherwise(0)) / 2)
+        (
+            F.sum(
+                F.when(
+                    conc, F.col("an").cast("decimal(38,0)") * F.col("bn")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            / 2
+        )
         .cast("long")
         .alias("concordant"),
-        (F.sum(F.when(disc, F.col("an") * F.col("bn")).otherwise(0)) / 2)
+        (
+            F.sum(
+                F.when(
+                    disc, F.col("an").cast("decimal(38,0)") * F.col("bn")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            )
+            / 2
+        )
         .cast("long")
         .alias("discordant"),
     )
@@ -2589,7 +2686,14 @@ def scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON c.event_type = g.event_type AND c.h = g.h
     ),
     stats AS (
-        SELECT event_type, avg(n * 1.0) AS mu, stddev_samp(n * 1.0) AS sd
+        -- exact integer moments, never engine-native avg/stddev_samp
+        -- (DETERMINISM.md): the 24 cell counts are integers, so the
+        -- products-of-sums form is bit-mirrored across engines
+        SELECT event_type,
+               CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+               sqrt(CAST(count(*) * sum(CAST(n AS HUGEINT) * n)
+                         - CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE)
+                    / (count(*) * (count(*) - 1.0))) AS sd
         FROM cells GROUP BY event_type
     ),
     pv AS (
@@ -2640,9 +2744,16 @@ def hourly_anomaly_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = grid.join(cnt, ["event_type", "h"], "left").select(
         "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
     )
+    dec = "decimal(38,0)"
+    nn = F.count(F.lit(1))
+    s1 = F.sum(F.col("n").cast(dec))
+    s2 = F.sum((F.col("n").cast(dec) * F.col("n")).cast(dec))
     stats = cells.groupBy("event_type").agg(
-        F.avg(F.col("n") * 1.0).alias("mu"),
-        F.stddev_samp(F.col("n") * 1.0).alias("sd"),
+        (s1.cast("double") / nn).alias("mu"),
+        F.sqrt(
+            (nn.cast(dec) * s2 - s1.cast(dec) * s1).cast("double")
+            / (nn * (nn - F.lit(1.0)))
+        ).alias("sd"),
     )
     z = (F.col("n") - F.col("mu")) / F.col("sd")
     pv = cells.join(F.broadcast(stats), "event_type").select(

@@ -1,0 +1,187 @@
+"""Round-13 regression tests for the ADVICE r12 fixes.
+
+1. ``parquet_py`` batch sink: a write where ALL partitions are empty
+   must still commit a readable dataset (a zero-row shard carrying the
+   writer's schema) — a manifest with no parquet files would fail
+   spark.read.parquet schema inference.
+2. ``global_row_number`` literal-offset guard sizes on the DENSE
+   prefix-sum array (max pid + 1), not on the count of non-empty
+   partitions, so sparse non-empty pids can't blow the codegen cap.
+3. The products-of-sums overflow fixes (chi2 denominator, runs-test
+   variance, GK-gamma cell products) keep their certified-SF values
+   bit-identical: the double/decimal forms are exact below 2^53.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# parquet_py sink: all-empty write still commits a readable schema
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_py_all_empty_write_preserves_schema(spark, tmp_path):
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (  # noqa: E501
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("score", DoubleType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema).where(F.lit(False))
+    out = str(tmp_path / "all_empty")
+    os.makedirs(out)
+    empty.write.format("parquet_py").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 0
+    assert len(manifest["shards"]) == 1 and manifest["shards"][0][
+        "n_rows"
+    ] == 0
+
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert {f.name: f.dataType for f in back.schema.fields} == {
+        f.name: f.dataType for f in schema.fields
+    }
+
+
+def test_parquet_py_nonempty_write_unaffected(spark, tmp_path):
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (  # noqa: E501
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.5).alias("score")
+    )
+    out = str(tmp_path / "nonempty")
+    os.makedirs(out)
+    df.write.format("parquet_py").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    # no synthetic empty shard when real shards exist
+    assert all(s["shard"] != "part-empty.parquet" for s in manifest["shards"])
+    assert spark.read.parquet(out).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# global_row_number: dense-array guard, not non-empty-partition count
+# ---------------------------------------------------------------------------
+
+
+def test_rank_kernel_guard_uses_dense_length():
+    from epiteam_network_etl_functions_spark.operators.winners import (
+        _dense_offsets_len,
+    )
+
+    assert _dense_offsets_len({}) == 0
+    assert _dense_offsets_len({0: 0, 1: 10, 2: 20}) == 3
+    # ONE non-empty partition at a sparse tail pid embeds a 5000-entry
+    # dense literal array — the guard must see 5000, not 1
+    assert _dense_offsets_len({4999: 0}) == 5000
+
+
+def test_rank_kernel_sparse_pids_still_rank_correctly(spark, monkeypatch):
+    from epiteam_network_etl_functions_spark.operators import winners
+
+    # tiny cap so any realistic num_partitions forces the decision
+    monkeypatch.setattr(winners, "_MAX_LITERAL_OFFSETS", 4)
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).alias("v"), F.col("id").alias("uid")
+    )
+    ranked, total = winners.global_row_number_and_total(
+        df, ["v", "uid"], "r", num_partitions=64
+    )
+    rows = ranked.orderBy("r").collect()
+    assert total == 500
+    assert [row["r"] for row in rows] == list(range(1, 501))
+    keys = [(row["v"], row["uid"]) for row in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# overflow-hardened statistics keep their certified values
+# ---------------------------------------------------------------------------
+
+
+def test_median_test_chi2_matches_pure_python(spark):
+    """The double-led chi2 denominator must equal the exact integer
+    computation at test scale (products < 2^53 are exact doubles)."""
+    from epiteam_network_etl_functions_spark.workload.analytics17 import (
+        median_test_customer_supplier,
+    )
+
+    row = median_test_customer_supplier(spark, SF_DIR).first()
+    ca, cb = row["customer_above"], row["customer_below"]
+    sa, sb = row["supplier_above"], row["supplier_below"]
+    n = ca + cb + sa + sb
+    expect = (
+        n
+        * (float(ca) * sb - float(cb) * sa) ** 2
+        / (float(ca + cb) * (sa + sb) * (ca + sa) * (cb + sb))
+    )
+    assert abs(row["chi2"] - round(expect, 6)) <= 1e-9
+
+
+def test_gk_gamma_pair_counts_exact(spark):
+    """DECIMAL(38,0) accumulation must reproduce the exact integer pair
+    counts (cross join double-counts, so both sums are even)."""
+    from epiteam_network_etl_functions_spark.workload.analytics17 import (
+        quantity_price_gk_gamma,
+    )
+
+    row = quantity_price_gk_gamma(spark, SF_DIR).first()
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cells = (
+        li.groupBy(
+            F.least(
+                F.floor((F.col("l_quantity") - 1) / 10).cast("long"),
+                F.lit(4),
+            ).alias("qbin"),
+            F.least(
+                F.floor(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    / 2000000
+                ).cast("long"),
+                F.lit(4),
+            ).alias("pbin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    conc = disc = 0
+    for a in cells:
+        for b in cells:
+            if (a["qbin"] < b["qbin"] and a["pbin"] < b["pbin"]) or (
+                a["qbin"] > b["qbin"] and a["pbin"] > b["pbin"]
+            ):
+                conc += a["n"] * b["n"]
+            elif (a["qbin"] < b["qbin"] and a["pbin"] > b["pbin"]) or (
+                a["qbin"] > b["qbin"] and a["pbin"] < b["pbin"]
+            ):
+                disc += a["n"] * b["n"]
+    assert conc % 2 == 0 and disc % 2 == 0
+    assert row["concordant"] == conc // 2
+    assert row["discordant"] == disc // 2
