@@ -313,50 +313,40 @@ def test_rank_kernel_literal_path_has_no_join(spark):
 
 
 # ---------------------------------------------------------------------------
-# final-drain rehearsal: the round-13 rotation must promote ALL 50
-# remaining DEFERRED names and leave nothing unsampled
+# final-drain state: the round-13 rotation executed — DEFERRED is empty
+# and the prefix-50 holds exactly the last 50 never-certified names
 # ---------------------------------------------------------------------------
 
 
-def test_round13_rotation_drains_deferred(monkeypatch):
-    import importlib.util
+def test_round13_rotation_drained_deferred():
+    """The rehearsal version of this test (pre-rotation) asserted the
+    round-13 rotation WOULD promote all 50 remaining DEFERRED names;
+    the rotation has since been executed, so assert the drained
+    end-state it promised: DEFERRED empty, a 50-name prefix disjoint
+    from every certified round, and nothing registered outside
+    DEMOTED + prefix."""
+    import json
     import os
-
-    spec = importlib.util.spec_from_file_location(
-        "rotate",
-        os.path.join(os.path.dirname(__file__), "..", "tools", "rotate.py"),
-    )
-    rotate = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(rotate)
 
     from epiteam_network_etl_functions_spark import workload
 
     workload.load_all()
-    current_prefix = [
-        n
-        for n in workload.REGISTRY
-        if n not in workload.DEMOTED and n not in workload.DEFERRED
-    ]
-    assert len(current_prefix) == 50
-    assert len(workload.DEFERRED) == 50
+    assert len(workload.DEFERRED) == 0
+    prefix = [n for n in workload.REGISTRY if n not in workload.DEMOTED]
+    assert len(prefix) == 50
 
-    # simulate the driver certifying the whole round-12 prefix green
-    monkeypatch.setattr(
-        rotate, "newest_round", lambda: (13, set(current_prefix))
-    )
-    rnd, demote, promote, fresh = rotate.plan()
-    assert rnd == 13
-    assert set(demote) == set(current_prefix)
-    # every remaining DEFERRED name is promoted — the backlog drains
-    assert list(promote) == list(workload.DEFERRED)
-    assert fresh == []  # nothing never-certified outside DEFERRED
-    # after the r13 driver run certifies those 50, the registry is
-    # fully certified: nothing is left outside DEMOTED + r12 greens +
-    # the promoted set
-    leftover = (
-        set(workload.REGISTRY)
-        - set(workload.DEMOTED)
-        - set(current_prefix)
-        - set(promote)
-    )
-    assert leftover == set()
+    # the prefix must be exactly the never-certified backlog: zero
+    # overlap with any driver CORRECTNESS round recorded so far
+    root = os.path.join(os.path.dirname(__file__), "..")
+    certified: set[str] = set()
+    for fn in os.listdir(root):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            rows = json.load(open(os.path.join(root, fn)))
+            certified.update(
+                n
+                for n, r in rows.items()
+                if isinstance(r, dict) and not r.get("err")
+            )
+    assert certified.isdisjoint(prefix)
+    # registry is fully partitioned: DEMOTED + prefix, no leftovers
+    assert set(workload.REGISTRY) == set(workload.DEMOTED) | set(prefix)
