@@ -1232,21 +1232,29 @@ def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "source", F.explode(F.split("text", " ")).alias("term")
     ).where(F.col("term") != "")
+    # ONE fact pass: the exploded token stream collapses to the
+    # vocabulary-sized (source, term) count table, checkpointed once —
+    # top terms, per-source totals and the top-term counts all derive
+    # from it (the audit showed the previous three independent
+    # consumers re-exploding the documents scan three times; at corpus
+    # scale the explode is the dominant cost and the (source, term)
+    # table is bounded by vocabulary, not corpus)
+    grp = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     top = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("term"))
+        grp.groupBy("term")
+        .agg(F.sum("n").alias("tn"))
+        .orderBy(F.desc("tn"), F.asc("term"))
         .limit(_DELTA_TOP_TERMS)
         .select("term")
     )
-    src_tot = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok")
+    src_tot = grp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tok")
     )
-    cnt = (
-        tok.join(F.broadcast(top), "term")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
+    cnt = grp.join(F.broadcast(top), "term").select("source", "term", "n")
     freq = (
         src_tot.crossJoin(F.broadcast(top))
         .join(cnt, ["source", "term"], "left")
@@ -1267,9 +1275,11 @@ def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(38,0)/HUGEINT (DETERMINISM.md) — never engine-native
     # avg/stddev_samp, whose accumulation order is engine-specific.
     dec = "decimal(38,0)"
+    # sources x top-20 rows; checkpointed because BOTH the per-term
+    # moments aggregate and the z-score join consume it
     fq = freq.select(
         "source", "term", F.round(F.col("f") * 1e9).cast("long").alias("f9")
-    )
+    ).localCheckpoint(eager=False)
     kk = F.count(F.lit(1))
     s1 = F.sum(F.col("f9").cast(dec))
     s2 = F.sum((F.col("f9").cast(dec) * F.col("f9")).cast(dec))
@@ -2735,14 +2745,23 @@ def hourly_anomaly_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 120-row test table."""
     e = _load(spark, sf_dir, "events")
     spark_ = e.sparkSession
-    types = e.select("event_type").distinct()
+    # ONE fact pass: the (type, hour) counts are the only events scan;
+    # the type dimension derives from the 120-row aggregate (every
+    # event has an hour, so the distinct-over-counts set is identical
+    # to a second distinct-over-fact scan), and the zero-filled grid is
+    # checkpointed once for its two consumers (moments + z-scores)
+    cnt = (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    types = cnt.select("event_type").distinct()
     hours = spark_.range(24).select(F.col("id").alias("h"))
     grid = types.crossJoin(hours)
-    cnt = e.groupBy(
-        "event_type", F.hour("ts").cast("long").alias("h")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cells = grid.join(cnt, ["event_type", "h"], "left").select(
-        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    cells = (
+        grid.join(cnt, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(38,0)"
     nn = F.count(F.lit(1))
@@ -2756,10 +2775,16 @@ def hourly_anomaly_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sd"),
     )
     z = (F.col("n") - F.col("mu")) / F.col("sd")
-    pv = cells.join(F.broadcast(stats), "event_type").select(
-        "event_type",
-        "h",
-        (F.round(F.exp(-z * z / 2.0), 6) + F.lit(0.0)).alias("p"),
+    # 120-row test table, checkpointed: three consumers (the m count,
+    # the BH step-function rank scan, and the threshold lookup)
+    pv = (
+        cells.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "h",
+            (F.round(F.exp(-z * z / 2.0), 6) + F.lit(0.0)).alias("p"),
+        )
+        .localCheckpoint(eager=False)
     )
     wr = Window.orderBy(F.asc("p"), F.asc("event_type"), F.asc("h"))
     m = pv.agg(F.count(F.lit(1)).cast("long").alias("m")).first()["m"]
