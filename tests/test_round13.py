@@ -185,3 +185,98 @@ def test_gk_gamma_pair_counts_exact(spark):
     assert conc % 2 == 0 and disc % 2 == 0
     assert row["concordant"] == conc // 2
     assert row["discordant"] == disc // 2
+
+
+# ---------------------------------------------------------------------------
+# multi-row-group footer audits (PLANS.md round-13 idea bank): byte-level
+# layout facts SQL content queries can't see, so these stay pytest
+# differentials against DuckDB parquet_metadata(), not driver queries
+# ---------------------------------------------------------------------------
+
+
+def _write_multi_rowgroup(tmp_path, rows_per_group=257):
+    """Rewrite the orders table as one file with many bounded row
+    groups (pyarrow row_group_size), the layout the compaction/census
+    queries assume a writer can produce."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "orders_rg")
+    os.makedirs(out)
+    src = pq.read_table(os.path.join(SF_DIR, "orders.parquet"))
+    pq.write_table(
+        src, os.path.join(out, "part-0.parquet"),
+        row_group_size=rows_per_group,
+    )
+    return out, src.num_rows
+
+
+def _meta(spark, path):
+    from epiteam_network_etl_functions_spark.sources.parquet_meta_datasource import (  # noqa: E501
+        register_parquet_meta,
+    )
+
+    register_parquet_meta(spark)
+    return spark.read.format("parquet_meta").option("path", path).load()
+
+
+def test_rowgroup_size_histogram_matches_duckdb(spark, tmp_path):
+    """Per-file row-group size list (the compaction planner's input)
+    must match DuckDB's parquet_metadata() exactly on a file with many
+    bounded row groups — a single-row-group assumption would collapse
+    the histogram to one bucket."""
+    import duckdb
+
+    out, n_rows = _write_multi_rowgroup(tmp_path)
+    ours = (
+        _meta(spark, f"{out}/*.parquet")
+        .select("file", "row_group", "rg_num_rows")
+        .distinct()
+        .collect()
+    )
+    got = sorted((r["row_group"], r["rg_num_rows"]) for r in ours)
+    exp = sorted(
+        duckdb.connect()
+        .execute(
+            f"""SELECT DISTINCT row_group_id, row_group_num_rows
+                FROM parquet_metadata('{out}/*.parquet')"""
+        )
+        .fetchall()
+    )
+    assert got == exp
+    assert len(got) > 5  # genuinely multi-row-group
+    assert sum(n for _, n in got) == n_rows
+    # bounded groups: every group but the last is exactly the cap
+    assert {n for _, n in got[:-1]} == {257}
+
+
+def test_rowgroup_zonemap_width_matches_duckdb(spark, tmp_path):
+    """Per-row-group zone-map (min/max) width for a plain DOUBLE column
+    must agree with DuckDB's footer stats on every group — the scan
+    pruning estimate is only as good as per-group (not per-file)
+    zone maps."""
+    import duckdb
+
+    out, _ = _write_multi_rowgroup(tmp_path)
+    ours = {
+        r["row_group"]: (r["min_double"], r["max_double"])
+        for r in _meta(spark, f"{out}/*.parquet")
+        .where(F.col("path_in_schema") == "o_totalprice")
+        .collect()
+    }
+    theirs = {
+        row[0]: (float(row[1]), float(row[2]))
+        for row in duckdb.connect()
+        .execute(
+            f"""SELECT row_group_id, stats_min_value, stats_max_value
+                FROM parquet_metadata('{out}/*.parquet')
+                WHERE path_in_schema = 'o_totalprice'"""
+        )
+        .fetchall()
+    }
+    assert ours == theirs
+    # per-group zone maps must be narrower than the whole-file span for
+    # a sorted-ish write: at minimum, not every group spans the file
+    widths = [mx - mn for mn, mx in ours.values()]
+    file_min = min(mn for mn, _ in ours.values())
+    file_max = max(mx for _, mx in ours.values())
+    assert any(w < (file_max - file_min) for w in widths)
