@@ -85,9 +85,12 @@ def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c")
     )
     w = Window.orderBy(F.asc("hr"))
+    # O(hours) bounded and multi-consumed by every caller (moments +
+    # lag joins / chunk windows): checkpoint so the events fact pass
+    # runs once per query instead of once per consumer
     return hourly.select(
         "c", (F.row_number().over(w).cast("long") - 1).alias("t")
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +104,9 @@ def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("rev")
-    )
+    ).localCheckpoint(eager=False)
+    # (~80 rows, checkpointed: theil-sen/mann-kendall consume it as
+    # both self-join sides plus a count — one orders pass, not three)
 
 
 # ---------------------------------------------------------------------------
@@ -528,9 +533,12 @@ def diurnal_profile_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     grid = spark_.range(24).select(F.col("id").alias("h"))
+    # 24-row profile with three consumers (both rotation sides + the
+    # moment totals): checkpoint so the hour-groupBy fact pass runs once
     prof = (
         grid.join(cnt, "h", "left")
         .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     lags = spark_.createDataFrame([(1,), (2,), (3,), (6,), (12,)], "lag_h long")
     a = prof.select(F.col("h").alias("ah"), F.col("c").alias("ac"))
@@ -606,12 +614,14 @@ def value_levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("m")).alias("zv")
     )
+    # k-row moment table with two consumers (totals + the W algebra):
+    # checkpoint so the median + deviation fact passes run once
     grp = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_i"),
         F.avg("zv").alias("zbar_i"),
         F.sum(F.col("zv") * F.col("zv")).alias("zsq_i"),
         F.sum("zv").alias("zsum_i"),
-    )
+    ).localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("n_i").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -1612,10 +1622,14 @@ def _label_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
         (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("c")
     )
+    # k-row prototype matrix, checkpointed: its consumers (the distance
+    # broadcast, and in davies_bouldin the i/j self-join sides) would
+    # otherwise each re-run the posexplode + centroid aggregate over
+    # the whole embeddings table
     return cent.groupBy("clabel").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .alias("cv")
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _vec_centroid_distances(
@@ -2622,13 +2636,16 @@ def scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ded_upd = top1_per_key(
         updates, ["user_id", "event_type", "ts"], [F.desc("event_id")]
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.asc("valid_from")
     )
+    # same derived-chain checkpoints as scd2_apply_q: the apply consumes
+    # history 3x and updates 2x, so the cut runs the dedup + lead window
+    # once instead of per consumer
     history = ded_cur.withColumnRenamed("ts", "valid_from").withColumn(
         "valid_to", F.lead("valid_from").over(w)
-    )
+    ).localCheckpoint(eager=False)
     applied = scd2_apply(history, ded_upd, ["user_id", "event_type"], "ts")
     chain = applied.select(
         "user_id",
@@ -2857,33 +2874,48 @@ def pinball_loss_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "events")
     train = e.where(F.col("event_id") % 2 == 0)
     ev = e.where(F.col("event_id") % 2 == 1)
-    outs = []
-    for q in _PINBALL_QS:
-        qhat = train.groupBy("event_type").agg(
+    # ONE train pass (all three quantiles in a single aggregate) and
+    # ONE eval pass (per-q losses as sibling aggregates, exploded to
+    # rows after) — the previous per-q union re-scanned the fact six
+    # times for identical row sets
+    qhats = train.groupBy("event_type").agg(
+        *[
             (F.round(F.expr(f"percentile(value, {q})"), 6) + F.lit(0.0))
-            .alias("qhat")
-        )
-        err = F.col("value") - F.col("qhat")
-        outs.append(
-            ev.join(F.broadcast(qhat), "event_type")
-            .groupBy("event_type")
-            .agg(
-                F.round(
-                    F.avg(F.greatest(q * err, (q - 1) * err)), 6
-                ).alias("pinball_loss"),
-                F.count(F.lit(1)).cast("long").alias("n_eval"),
-            )
-            .select(
-                "event_type",
-                F.lit(float(q)).alias("q_level"),
-                "pinball_loss",
-                "n_eval",
+            .alias(f"qhat_{i}")
+            for i, q in enumerate(_PINBALL_QS)
+        ]
+    )
+    loss_aggs = []
+    for i, q in enumerate(_PINBALL_QS):
+        err = F.col("value") - F.col(f"qhat_{i}")
+        loss_aggs.append(
+            F.round(F.avg(F.greatest(q * err, (q - 1) * err)), 6).alias(
+                f"loss_{i}"
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    per_type = (
+        ev.join(F.broadcast(qhats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *loss_aggs,
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+        )
+    )
+    return per_type.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q_level"),
+                        F.col(f"loss_{i}").alias("pinball_loss"),
+                    )
+                    for i, q in enumerate(_PINBALL_QS)
+                ]
+            )
+        ).alias("s"),
+        "n_eval",
+    ).select("event_type", "s.q_level", "s.pinball_loss", "n_eval")
 
 
 # ---------------------------------------------------------------------------
@@ -3030,9 +3062,13 @@ def type_hour_mutual_information(
     feature-selection pass ranks on). Everything derives from the exact
     5x24 joint count table; one fact pass."""
     e = _load(spark, sf_dir, "events")
+    # 5x24 joint table with four direct consumers (both marginals, the
+    # total, the MI join): checkpoint so the fact pass runs once
     joint = e.groupBy(
         "event_type", F.hour("ts").cast("long").alias("h")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
+        eager=False
+    )
     marg_t = joint.groupBy("event_type").agg(
         F.sum("n").cast("long").alias("n_t")
     )
@@ -3332,12 +3368,16 @@ def nearest_centroid_f1_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .groupBy("true_label", "predicted_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # labels^2-bounded confusion table with SEVEN consumers (tp/fp/
+        # fn/c/s/pk/tk): checkpoint once so the centroid-distance
+        # subtree (the fact work) runs exactly once — the audit showed
+        # it re-evaluated per consumer (19 scans)
+        .localCheckpoint(eager=False)
     )
-    labels = (
-        _load(spark, sf_dir, "embeddings")
-        .select(F.col("label").alias("l"))
-        .distinct()
-    )
+    # every vector appears in conf under its true label, so the label
+    # dimension derives from the checkpointed aggregate — identical to
+    # (and cheaper than) a second distinct-over-embeddings scan
+    labels = conf.select(F.col("true_label").alias("l")).distinct()
     tp = (
         conf.where(F.col("true_label") == F.col("predicted_label"))
         .groupBy(F.col("true_label").alias("l"))

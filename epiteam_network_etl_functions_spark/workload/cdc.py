@@ -103,11 +103,15 @@ def scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ded_upd = top1_per_key(
         updates, ["user_id", "event_type", "ts"], [F.desc("event_id")]
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("user_id", "event_type").orderBy(F.asc("valid_from"))
+    # checkpoint the derived chains: scd2_apply consumes history three
+    # times (closed filter, open-row join, anti-join) and updates twice
+    # (first-update top1 + the union) — without the cut each consumer
+    # re-runs the dedup shuffle + lead window (the audit's 6x exchange)
     history = ded_cur.withColumnRenamed("ts", "valid_from").withColumn(
         "valid_to", F.lead("valid_from").over(w)
-    )
+    ).localCheckpoint(eager=False)
     applied = scd2_apply(history, ded_upd, ["user_id", "event_type"], "ts")
     return applied.select(
         "user_id",
