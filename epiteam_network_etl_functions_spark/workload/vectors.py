@@ -762,6 +762,10 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import cosine
 
+    # consumed by BOTH the exact and the IVF top-k cuts: checkpoint the
+    # (query_id, vec_id, cosine) scores — 3 narrow scalars per row is
+    # far cheaper to materialize than re-running the d-dim cosine pass
+    # over the corpus per consumer
     scored = (
         corpus.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("query_id"))
@@ -770,6 +774,7 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(cosine(F.col("v"), F.col("qe")), 6).alias("cosine"),
         )
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -780,9 +785,12 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     seeds = e.where(F.col("vec_id") < N_SEEDS)
+    # consumed twice (the IVF join + the probe-assignment lookup):
+    # checkpoint the 2-column assignment so the corpus x seeds argmin
+    # pass runs once
     assign = ivf_assign(e, seeds, "vec_id", "embedding").select(
         "vec_id", "centroid_id"
-    )
+    ).localCheckpoint(eager=False)
     # only the PROBES' assignments broadcast (5 rows) — broadcasting the
     # full assignment table would ship a corpus-sized build to every
     # executor (the size-misestimate hazard jaccard_verify pins against)
@@ -800,6 +808,8 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= K)
         .select("query_id", "vec_id")
+        # K x n_probes rows, two consumers (the count + the hit join)
+        .localCheckpoint(eager=False)
     )
     n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
     return (
