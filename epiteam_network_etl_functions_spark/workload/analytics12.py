@@ -1564,22 +1564,28 @@ def user_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
     )
-    d1 = dec.where(F.col("half") == 1).select(
-        "user_id", F.col("decile").alias("dec1")
-    )
-    d2 = dec.where(F.col("half") == 2).select(
-        "user_id", F.col("decile").alias("dec2")
-    )
+    # one conditional-aggregate pass instead of the d1/d2 full-outer
+    # self-join (each user has at most one row per half, so the pivot
+    # is exact and the oracle's join semantics — users present in
+    # either half — are the groupBy's domain); kills the audit's
+    # duplicated half-exchange pair
     return (
-        d1.join(d2, "user_id", "full_outer")
-        .groupBy(
-            F.coalesce(F.col("dec1"), F.lit(-1))
+        dec.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("half") == 1, F.col("decile"))),
+                F.lit(-1),
+            )
             .cast("long")
             .alias("decile_first_half"),
-            F.coalesce(F.col("dec2"), F.lit(-1))
+            F.coalesce(
+                F.max(F.when(F.col("half") == 2, F.col("decile"))),
+                F.lit(-1),
+            )
             .cast("long")
             .alias("decile_second_half"),
         )
+        .groupBy("decile_first_half", "decile_second_half")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
