@@ -280,3 +280,102 @@ def test_rowgroup_zonemap_width_matches_duckdb(spark, tmp_path):
     file_min = min(mn for mn, _ in ours.values())
     file_max = max(mx for _, mx in ours.values())
     assert any(w < (file_max - file_min) for w in widths)
+
+
+# ---------------------------------------------------------------------------
+# streaming progress-listener audit (PLANS.md round-13 surface): the
+# listener's accumulated numInputRows/numOutputRows must cross-foot with
+# the source row count and the memory-sink table — the ops invariant a
+# throughput/backlog health check asserts on
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_listener_audit_cross_foots(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.listener import (
+        ProgressAuditListener,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    catalog.load(spark, SF_DIR, "events").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    n_src = spark.read.parquet(src_dir).count()
+
+    listener = ProgressAuditListener({"listener_audit_out"})
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .select("event_id", "event_type")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("listener_audit_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert listener.wait_terminated(1, timeout_s=60)
+
+        s = listener.summary("listener_audit_out")
+        sink_rows = spark.sql(
+            "SELECT count(*) AS n FROM listener_audit_out"
+        ).first()["n"]
+        # cross-foot: listener input == source table == listener output
+        # == memory sink (append mode, no aggregation, nothing withheld)
+        assert s["num_input_rows"] == n_src
+        assert s["num_output_rows"] == n_src
+        assert sink_rows == n_src
+        assert s["n_batches"] >= 1
+        assert "listener_audit_out" in listener.started
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_streaming_listener_state_rows_bounded(spark, tmp_path):
+    """Stateful window agg: the listener's max_state_rows must be
+    bounded by the number of distinct (window, type) groups — state
+    growth is THE quantity a 100 TB streaming deployment alerts on."""
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.listener import (
+        ProgressAuditListener,
+    )
+
+    src_dir = str(tmp_path / "events_state_src")
+    catalog.load(spark, SF_DIR, "events").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    listener = ProgressAuditListener({"listener_state_out"})
+    spark.streams.addListener(listener)
+    try:
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("listener_state_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert listener.wait_terminated(1, timeout_s=60)
+
+        n_groups = (
+            catalog.load(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "600 seconds"), "event_type")
+            .count()
+            .count()
+        )
+        s = listener.summary("listener_state_out")
+        assert s["max_state_rows"] > 0
+        assert s["max_state_rows"] <= n_groups
+    finally:
+        spark.streams.removeListener(listener)
