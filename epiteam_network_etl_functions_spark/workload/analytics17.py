@@ -1641,6 +1641,11 @@ def _vec_centroid_distances(
     from ..operators.similarity import as_double
 
     e = _load(spark, sf_dir, "embeddings")
+    # the corpus fits a couple of parquet splits at probe tiers, so the
+    # broadcast cross join would stream all k*n distance rows through
+    # 2 tasks (the intrinsic_dim single-task-NLJ lesson) — spread the
+    # streamed side
+    e = e.repartition(64, "vec_id")
     return e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",

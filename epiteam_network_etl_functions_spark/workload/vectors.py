@@ -757,6 +757,12 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         as_double(F.col("embedding")).alias("qe"),
     )
+    # the embeddings table fits a couple of parquet splits at probe
+    # tiers, so WITHOUT a repartition both cosine passes (probe scoring
+    # and the seed argmin inside ivf_assign) stream through 2 tasks —
+    # the intrinsic_dim_2nn single-task-NLJ lesson; spread the streamed
+    # side across the cluster
+    e = e.repartition(64, "vec_id")
     corpus = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
     from pyspark.sql import Window
 
