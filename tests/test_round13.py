@@ -379,3 +379,137 @@ def test_streaming_listener_state_rows_bounded(spark, tmp_path):
         assert s["max_state_rows"] <= n_groups
     finally:
         spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# overflow-frontier differentials: synthetic tables at sf1-scale row
+# counts where the PRE-fix int64 products wrapped (Spark) or raised
+# (DuckDB 'Overflow in multiplication of INT64') — the ADVICE r12 medium
+# finding, proven at the frontier, not just below it
+# ---------------------------------------------------------------------------
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(r[i], 9) if isinstance(r[i], float) else str(r[i])
+                for i in order
+            )
+        )
+    return sorted(out)
+
+
+def test_median_test_chi2_at_sf1_scale(spark, tmp_path):
+    """150k customers x 10k suppliers: the chi2 denominator product is
+    ~9.6e18 > int64 max. The double-led form must run on BOTH engines
+    and agree."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+
+    sf = str(tmp_path / "sf1ish")
+    os.makedirs(sf)
+    rng = np.random.RandomState(13)
+    c = np.round(rng.uniform(-999.99, 9999.99, 150_000), 2)
+    s = np.round(rng.uniform(1000.0, 9999.99, 10_000), 2)  # skewed high
+    pq.write_table(
+        pa.table({"c_acctbal": c}), os.path.join(sf, "customer.parquet")
+    )
+    pq.write_table(
+        pa.table({"s_acctbal": s}), os.path.join(sf, "supplier.parquet")
+    )
+
+    from epiteam_network_etl_functions_spark.workload.analytics17 import (
+        median_test_customer_supplier,
+    )
+
+    row = median_test_customer_supplier(spark, sf).first()
+    ca, cb = row["customer_above"], row["customer_below"]
+    sa, sb = row["supplier_above"], row["supplier_below"]
+    denom = (ca + cb) * (sa + sb) * (ca + sa) * (cb + sb)
+    assert denom > 2**63 - 1  # the frontier is genuinely exercised
+    assert row["chi2"] is not None and row["chi2"] >= 0
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    cur = con.execute(m.oracle_sql()["median_test_customer_supplier"])
+    dcols = [c0[0] for c0 in cur.description]
+    drows = cur.fetchall()
+    assert _norm_rows(list(row.asDict().keys()), [tuple(row)]) == _norm_rows(
+        dcols, drows
+    )
+    # negative proof: the PRE-fix all-BIGINT denominator raises on these
+    # exact cell counts (the ADVICE r12 reproduction)
+    import pytest
+
+    with pytest.raises(Exception, match="[Oo]verflow"):
+        con.execute(
+            f"SELECT CAST({ca + cb} AS BIGINT) * {sa + sb} "
+            f"* {ca + sa} * {cb + sb}"
+        ).fetchall()
+
+
+def test_runs_test_z_at_overflow_scale(spark, tmp_path):
+    """One event type with 2.2M rows: (n1+n2)^2 * (n1+n2-1) ~ 1.06e19
+    > int64 max — the pre-fix denominator wrapped (Spark) / raised
+    (DuckDB). The double-led form must agree across engines."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+
+    sf = str(tmp_path / "sf_runs")
+    os.makedirs(sf)
+    n = 2_200_000
+    rng = np.random.RandomState(7)
+    values = np.round(rng.uniform(0.0, 100.0, n), 3)
+    ts = pa.array(
+        (np.arange(n, dtype="int64") * 1_000_000) + 1_700_000_000_000_000,
+        type=pa.int64(),
+    ).cast(pa.timestamp("us"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype="int64")),
+                "event_type": pa.array(["a"] * n),
+                "ts": ts,
+                "value": pa.array(values),
+            }
+        ),
+        os.path.join(sf, "events.parquet"),
+    )
+
+    from epiteam_network_etl_functions_spark.workload.analytics17 import (
+        value_runs_test,
+    )
+
+    rows = value_runs_test(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    nn = r["n1"] + r["n2"]
+    assert nn * nn * (nn - 1) > 2**63 - 1  # frontier exercised
+    assert r["z_stat"] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    cur = con.execute(m.oracle_sql()["value_runs_test"])
+    dcols = [c0[0] for c0 in cur.description]
+    drows = cur.fetchall()
+    assert _norm_rows(
+        list(rows[0].asDict().keys()), [tuple(x) for x in rows]
+    ) == _norm_rows(dcols, drows)
