@@ -513,3 +513,99 @@ def test_runs_test_z_at_overflow_scale(spark, tmp_path):
     assert _norm_rows(
         list(rows[0].asDict().keys()), [tuple(x) for x in rows]
     ) == _norm_rows(dcols, drows)
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store (bundled with Spark 4 — re-probed this round and
+# it WORKS; the earlier JNI-jar assumption was wrong): the 100 TB state
+# backend must produce bit-identical results to the default HDFS-backed
+# provider on the repo's stateful streaming ops
+# ---------------------------------------------------------------------------
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _run_stream_with_provider(spark, stream_df, name, provider, mode):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        if provider:
+            spark.conf.set(key, provider)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _stream_events(spark, tmp_path, sub):
+    from epiteam_network_etl_functions_spark import catalog
+
+    src = str(tmp_path / sub)
+    catalog.load(spark, SF_DIR, "events").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_rocksdb_state_store_parity_windowed_agg(spark, tmp_path):
+    from epiteam_network_etl_functions_spark.streaming.windows import (
+        streaming_bucket_counts,
+    )
+
+    agg1 = streaming_bucket_counts(_stream_events(spark, tmp_path, "e1"))
+    agg2 = streaming_bucket_counts(_stream_events(spark, tmp_path, "e2"))
+    base = _run_stream_with_provider(
+        spark, agg1, "ss_default_out", None, "append"
+    ).collect()
+    rocks = _run_stream_with_provider(
+        spark, agg2, "ss_rocks_out", _ROCKSDB, "append"
+    ).collect()
+    assert len(base) > 0
+    assert sorted(map(tuple, base)) == sorted(map(tuple, rocks))
+
+
+def test_rocksdb_state_store_parity_exact_dedup(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    # documents + a synthetic event time (the dedup contract needs a
+    # watermark column); write once, stream twice
+    src = str(tmp_path / "docs_src")
+    docs = catalog.load(spark, SF_DIR, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("ts"),
+    )
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    n_distinct = docs.select("text").distinct().count()
+
+    def run(name, provider):
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = _run_stream_with_provider(
+            spark, streaming_exact_dedup(stream), name, provider, "append"
+        )
+        # survivors are one per digest; which arrival wins is the
+        # engine's pick, so compare the TEXT sets, not full rows
+        return sorted(r["text"] for r in out.collect())
+
+    base = run("dd_default_out", None)
+    rocks = run("dd_rocks_out", _ROCKSDB)
+    assert len(base) == n_distinct
+    assert base == rocks
