@@ -75,7 +75,21 @@ class ParquetPyWriter(DataSourceArrowWriter):
             for existing in os.listdir(self.path):
                 if existing.endswith(".parquet") or existing == "_MANIFEST.json":
                     os.remove(os.path.join(self.path, existing))
+        # on append, carry forward the prior commit's shards so the
+        # manifest stays the union of every committed shard (a fresh
+        # manifest listing only this commit would drop earlier appends)
         shards = []
+        prior_manifest = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(prior_manifest):
+            try:
+                with open(prior_manifest) as f:
+                    shards = [
+                        s
+                        for s in json.load(f).get("shards", [])
+                        if os.path.exists(os.path.join(self.path, s["shard"]))
+                    ]
+            except (OSError, ValueError):
+                shards = []
         for m in messages:
             if not m.shard:
                 continue
@@ -84,11 +98,17 @@ class ParquetPyWriter(DataSourceArrowWriter):
                 os.path.join(self.path, m.shard),
             )
             shards.append({"shard": m.shard, "n_rows": m.n_rows})
-        if not shards:
-            # all partitions were empty: materialize one zero-row shard
-            # from the writer's schema so spark.read.parquet on the
-            # output dir still infers a schema (a manifest-only commit
-            # with no parquet files would fail schema inference)
+        has_existing = any(
+            fn.endswith(".parquet") for fn in os.listdir(self.path)
+        )
+        if not shards and not has_existing:
+            # all partitions were empty AND the directory holds no prior
+            # shards: materialize one zero-row shard from the writer's
+            # schema so spark.read.parquet on the output dir still
+            # infers a schema (a manifest-only commit with no parquet
+            # files would fail schema inference). When prior shards
+            # exist, schema inference succeeds off them — never clobber
+            # their manifest with a synthetic empty one.
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -98,16 +118,17 @@ class ParquetPyWriter(DataSourceArrowWriter):
                 os.path.join(self.path, name),
             )
             shards.append({"shard": name, "n_rows": 0})
-        shards.sort(key=lambda s: s["shard"])
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            json.dump(
-                {
-                    "shards": shards,
-                    "total_rows": sum(s["n_rows"] for s in shards),
-                },
-                f,
-                indent=2,
-            )
+        if shards:
+            shards.sort(key=lambda s: s["shard"])
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump(
+                    {
+                        "shards": shards,
+                        "total_rows": sum(s["n_rows"] for s in shards),
+                    },
+                    f,
+                    indent=2,
+                )
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages):

@@ -44,11 +44,15 @@ class ProgressAuditListener(StreamingQueryListener):
         self.progresses: list[dict[str, Any]] = []
         self.started: list[str] = []
         self.terminated: list[str] = []
+        # query id -> name, recorded at start so termination events
+        # (which carry only the id) can be filtered to watched names
+        self._id_to_name: dict[str, str] = {}
 
     # -- listener callbacks (bus thread) --------------------------------
     def onQueryStarted(self, event) -> None:
         with self._lock:
             self.started.append(event.name)
+            self._id_to_name[str(event.id)] = event.name
 
     def onQueryProgress(self, event) -> None:
         # event.progress is a StreamingQueryProgress; its json form is
@@ -63,13 +67,18 @@ class ProgressAuditListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
-            self.terminated.append(str(event.id))
+            # count only watched queries — a concurrent unrelated
+            # query's termination must not satisfy wait_terminated
+            # (that is the race this listener exists to prevent)
+            name = self._id_to_name.get(str(event.id))
+            if self._names is None or name in self._names:
+                self.terminated.append(str(event.id))
 
     # -- driver-side reads ----------------------------------------------
     def wait_terminated(self, n: int = 1, timeout_s: float = 60.0) -> bool:
-        """Poll until ``n`` terminated events arrived (the bus is async;
-        awaitTermination on the query returns before the final events
-        are necessarily delivered)."""
+        """Poll until ``n`` terminated events from WATCHED queries
+        arrived (the bus is async; awaitTermination on the query
+        returns before the final events are necessarily delivered)."""
         deadline = time.time() + timeout_s
         while time.time() < deadline:
             with self._lock:

@@ -1,0 +1,143 @@
+"""Round-14 regression tests for the ADVICE r13 fixes.
+
+1. ``parquet_py`` batch sink, append semantics: a second append must
+   MERGE the prior manifest's shards (not clobber the manifest with
+   only the new commit's shards), and an all-empty append onto a
+   directory that already holds shards must neither write the
+   synthetic ``part-empty.parquet`` nor rewrite the manifest to
+   ``total_rows=0``.
+2. ``ProgressAuditListener.wait_terminated`` must count terminations
+   only from WATCHED queries — a concurrent unrelated query's
+   termination must not satisfy the wait (that race is the reason the
+   method exists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _register(spark):
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (  # noqa: E501
+        register_parquet_py_writer,
+    )
+
+    register_parquet_py_writer(spark)
+
+
+# ---------------------------------------------------------------------------
+# parquet_py append: manifest is the union of all committed shards
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_py_append_merges_manifest(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "merge")
+    os.makedirs(out)
+
+    df1 = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    df1.write.format("parquet_py").mode("append").save(out)
+    df2 = spark.range(100, 150).select(F.col("id").alias("doc_id"))
+    df2.write.format("parquet_py").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 150
+    # every manifest shard exists on disk, and every parquet on disk is
+    # in the manifest — nothing dropped, nothing orphaned
+    on_disk = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert {s["shard"] for s in manifest["shards"]} == on_disk
+    assert spark.read.parquet(out).count() == 150
+
+
+def test_parquet_py_empty_append_preserves_prior_shards(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "empty_append")
+    os.makedirs(out)
+
+    df = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    df.write.format("parquet_py").mode("append").save(out)
+
+    empty = df.where(F.lit(False))
+    empty.write.format("parquet_py").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    # prior shards survive; no synthetic empty shard; totals intact
+    assert manifest["total_rows"] == 97
+    assert all(s["shard"] != "part-empty.parquet" for s in manifest["shards"])
+    assert not os.path.exists(os.path.join(out, "part-empty.parquet"))
+    assert spark.read.parquet(out).count() == 97
+
+
+def test_parquet_py_overwrite_resets_manifest(spark, tmp_path):
+    _register(spark)
+    out = str(tmp_path / "ovw")
+    os.makedirs(out)
+
+    spark.range(0, 100).select(F.col("id").alias("doc_id")).write.format(
+        "parquet_py"
+    ).mode("append").save(out)
+    spark.range(0, 7).select(F.col("id").alias("doc_id")).write.format(
+        "parquet_py"
+    ).mode("overwrite").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 7
+    assert spark.read.parquet(out).count() == 7
+
+
+# ---------------------------------------------------------------------------
+# listener: unrelated terminations don't satisfy wait_terminated
+# ---------------------------------------------------------------------------
+
+
+def test_listener_ignores_unrelated_terminations(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.listener import (
+        ProgressAuditListener,
+    )
+
+    src_dir = str(tmp_path / "events_src")
+    catalog.load(spark, SF_DIR, "events").limit(200).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    listener = ProgressAuditListener({"r14_watched"})
+    spark.streams.addListener(listener)
+    try:
+        # 1) run-to-completion of an UNRELATED query
+        q_other = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select("event_id")
+            .writeStream.format("memory")
+            .queryName("r14_unrelated")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_other.awaitTermination(120)
+        # its termination must NOT satisfy the watched wait
+        assert not listener.wait_terminated(1, timeout_s=5.0)
+        assert listener.summary("r14_watched")["n_batches"] == 0
+
+        # 2) the watched query terminates -> the wait is satisfied
+        q_watched = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select("event_id")
+            .writeStream.format("memory")
+            .queryName("r14_watched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_watched.awaitTermination(120)
+        assert listener.wait_terminated(1, timeout_s=60.0)
+        s = listener.summary("r14_watched")
+        assert s["num_input_rows"] == 200
+    finally:
+        spark.streams.removeListener(listener)
