@@ -89,15 +89,23 @@ class ProgressAuditListener(StreamingQueryListener):
 
     def summary(self, name: str) -> dict[str, Any]:
         """Audit row for one query: batch count, input/output row
-        totals, max batch duration — the numbers a throughput/backlog
-        alert thresholds on."""
+        totals, max batch duration, max per-batch input — the numbers
+        a throughput/backlog/backpressure alert thresholds on.
+
+        ``max_batch_input_rows`` is the backpressure lever's proof: a
+        source admission bound (maxFilesPerTrigger /
+        maxOffsetsPerTrigger) is only working if the LARGEST batch the
+        listener saw stays under the per-trigger capacity the cluster
+        was sized for — totals can look healthy while one giant batch
+        blows the state store or executor memory.
+        """
         with self._lock:
             ps = [p for p in self.progresses if p.get("name") == name]
-        n_input = sum(
-            int(s.get("numInputRows", 0))
+        per_batch_input = [
+            sum(int(s.get("numInputRows", 0)) for s in p.get("sources", []))
             for p in ps
-            for s in p.get("sources", [])
-        )
+        ]
+        n_input = sum(per_batch_input)
         n_output = sum(
             int((p.get("sink") or {}).get("numOutputRows", 0)) for p in ps
         )
@@ -115,6 +123,9 @@ class ProgressAuditListener(StreamingQueryListener):
             "n_batches": len(ps),
             "num_input_rows": n_input,
             "num_output_rows": n_output,
+            "max_batch_input_rows": (
+                max(per_batch_input) if per_batch_input else 0
+            ),
             "max_trigger_ms": max(durations) if durations else 0,
             "max_state_rows": max(state_rows) if state_rows else 0,
         }

@@ -10,6 +10,13 @@
    only from WATCHED queries — a concurrent unrelated query's
    termination must not satisfy the wait (that race is the reason the
    method exists).
+
+Plus the round-14 idea-bank surface (PLANS.md round-14 queue #4): the
+listener-driven BACKPRESSURE audit — ``summary()['max_batch_input_rows']``
+proves a source admission bound (maxFilesPerTrigger) actually bounds
+per-trigger intake, the invariant a 100 TB streaming deployment alerts
+on (totals can look healthy while one giant batch blows executor
+memory or the state store).
 """
 
 from __future__ import annotations
@@ -141,3 +148,72 @@ def test_listener_ignores_unrelated_terminations(spark, tmp_path):
         assert s["num_input_rows"] == 200
     finally:
         spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# backpressure audit: maxFilesPerTrigger bounds per-batch intake, and the
+# listener's max_batch_input_rows is the proof
+# ---------------------------------------------------------------------------
+
+
+def test_listener_backpressure_audit_max_files_per_trigger(spark, tmp_path):
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.listener import (
+        ProgressAuditListener,
+    )
+
+    # 4 parquet files of 100 rows each — the admission unit is the file
+    src_dir = str(tmp_path / "bp_src")
+    (
+        catalog.load(spark, SF_DIR, "events")
+        .limit(400)
+        .repartition(4)
+        .write.parquet(src_dir)
+    )
+    schema = spark.read.parquet(src_dir).schema
+    n_files = len(
+        [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    )
+    assert n_files == 4
+    per_file_max = max(
+        r["n"]
+        for r in spark.read.parquet(src_dir)
+        .groupBy(F.input_file_name())
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    def drain(qname: str, max_files: int | None):
+        listener = ProgressAuditListener({qname})
+        spark.streams.addListener(listener)
+        try:
+            reader = spark.readStream.schema(schema)
+            if max_files is not None:
+                reader = reader.option("maxFilesPerTrigger", str(max_files))
+            q = (
+                reader.parquet(src_dir)
+                .select("event_id")
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert listener.wait_terminated(1, timeout_s=60)
+            return listener.summary(qname)
+        finally:
+            spark.streams.removeListener(listener)
+
+    bounded = drain("r14_bp_bounded", 1)
+    unbounded = drain("r14_bp_unbounded", None)
+
+    # both drained everything
+    assert bounded["num_input_rows"] == 400
+    assert unbounded["num_input_rows"] == 400
+    # the bound held EVERY batch: one file's rows max per trigger
+    assert bounded["n_batches"] >= n_files
+    assert bounded["max_batch_input_rows"] <= per_file_max
+    # without the bound, availableNow admits the whole backlog at once
+    assert unbounded["max_batch_input_rows"] == 400
+    assert unbounded["max_batch_input_rows"] > bounded["max_batch_input_rows"]
