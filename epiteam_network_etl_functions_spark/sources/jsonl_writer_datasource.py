@@ -73,7 +73,23 @@ class JsonlWriter(DataSourceWriter):
             for existing in os.listdir(self.path):
                 if existing.endswith(".jsonl") or existing == "_MANIFEST.json":
                     os.remove(os.path.join(self.path, existing))
+        # on append, carry forward the prior commit's shards so the
+        # manifest stays the union of every committed shard (same fix
+        # as the parquet_py sink, round 14 — a fresh manifest listing
+        # only this commit would drop earlier appends from any
+        # manifest-trusting reader)
         shards = []
+        prior_manifest = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(prior_manifest):
+            try:
+                with open(prior_manifest) as f:
+                    shards = [
+                        s
+                        for s in json.load(f).get("shards", [])
+                        if os.path.exists(os.path.join(self.path, s["shard"]))
+                    ]
+            except (OSError, ValueError):
+                shards = []
         for m in messages:
             os.rename(
                 os.path.join(self.staging, m.shard),

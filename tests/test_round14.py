@@ -80,6 +80,32 @@ def test_parquet_py_empty_append_preserves_prior_shards(spark, tmp_path):
     assert spark.read.parquet(out).count() == 97
 
 
+def test_jsonl_py_append_merges_manifest(spark, tmp_path):
+    """Same defect class as parquet_py (found by auditing the sibling
+    sink): a second append must merge the prior manifest, not clobber
+    it with only the new commit's shards."""
+    from epiteam_network_etl_functions_spark.sources.jsonl_writer_datasource import (  # noqa: E501
+        register_jsonl_writer,
+    )
+
+    register_jsonl_writer(spark)
+    out = str(tmp_path / "jsonl_merge")
+    os.makedirs(out)
+
+    spark.range(0, 80).select(F.col("id").alias("doc_id")).write.format(
+        "jsonl_py"
+    ).mode("append").save(out)
+    spark.range(80, 110).select(F.col("id").alias("doc_id")).write.format(
+        "jsonl_py"
+    ).mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 110
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert {s["shard"] for s in manifest["shards"]} == on_disk
+    assert spark.read.json(out).count() == 110
+
+
 def test_parquet_py_overwrite_resets_manifest(spark, tmp_path):
     _register(spark)
     out = str(tmp_path / "ovw")
