@@ -124,6 +124,49 @@ def test_parquet_py_overwrite_resets_manifest(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# two-phase commit abort path: a failed write publishes NOTHING — no
+# shards in the target dir, no manifest, staging cleaned
+# ---------------------------------------------------------------------------
+
+
+def test_writer_abort_publishes_nothing(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from epiteam_network_etl_functions_spark.sources.jsonl_writer_datasource import (  # noqa: E501
+        register_jsonl_writer,
+    )
+    from epiteam_network_etl_functions_spark.sources.parquet_py_writer_datasource import (  # noqa: E501
+        register_parquet_py_writer,
+    )
+
+    register_jsonl_writer(spark)
+    register_parquet_py_writer(spark)
+
+    @F.udf(T.LongType())
+    def boom(v):
+        if v == 450:  # fails in a late partition, after others staged
+            raise ValueError("synthetic task failure")
+        return v
+
+    failing = spark.range(0, 500).select(boom(F.col("id")).alias("doc_id"))
+    for fmt in ("jsonl_py", "parquet_py"):
+        out = str(tmp_path / f"abort_{fmt}")
+        os.makedirs(out)
+        try:
+            failing.write.format(fmt).mode("append").save(out)
+            raise AssertionError("write should have failed")
+        except Exception as e:  # noqa: BLE001 - Py4J wraps the task error
+            assert "synthetic task failure" in str(e)
+        # nothing published: no data shards, no manifest, staging gone
+        left = set(os.listdir(out))
+        assert not any(
+            f.endswith((".jsonl", ".parquet")) for f in left
+        ), left
+        assert "_MANIFEST.json" not in left
+        assert "_staging" not in left, left
+
+
+# ---------------------------------------------------------------------------
 # listener: unrelated terminations don't satisfy wait_terminated
 # ---------------------------------------------------------------------------
 
