@@ -235,6 +235,79 @@ def test_listener_ignores_unrelated_terminations(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_listener_observes_watermark_state_eviction(spark, tmp_path):
+    """The 100 TB state-store health invariant, observed through the
+    listener: with time-ordered input batches and a 0-second watermark,
+    closed windows must be EVICTED between batches — state is bounded
+    by the open-window set, not by the stream's total group count.
+    Asserts eviction actually happened (numRowsRemoved > 0 somewhere)
+    and that peak state stayed below the no-eviction ceiling."""
+    from epiteam_network_etl_functions_spark import catalog
+    from epiteam_network_etl_functions_spark.streaming.listener import (
+        ProgressAuditListener,
+    )
+
+    # 4 files covering disjoint, increasing time ranges — each batch
+    # advances the watermark past the previous batch's windows
+    src_dir = str(tmp_path / "evict_src")
+    (
+        catalog.load(spark, SF_DIR, "events")
+        .limit(2000)
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(src_dir)
+    )
+    schema = spark.read.parquet(src_dir).schema
+    n_windows = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "600 seconds"))
+        .count()
+        .count()
+    )
+
+    listener = ProgressAuditListener({"r14_evict"})
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "600 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("r14_evict")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert listener.wait_terminated(1, timeout_s=60)
+
+        s = listener.summary("r14_evict")
+        assert s["n_batches"] >= 4
+        removed = sum(
+            int(op.get("numRowsRemoved", 0))
+            for p in listener.progresses
+            if p.get("name") == "r14_evict"
+            for op in p.get("stateOperators", [])
+        )
+        # eviction observed, and peak state strictly below the ceiling
+        # an unbounded (no-watermark) run would reach
+        assert removed > 0
+        assert 0 < s["max_state_rows"] < n_windows
+        # append mode emits ONLY closed windows: the last batch's
+        # windows are still open at termination (its own data never
+        # advances the watermark past itself), so the sink holds a
+        # strict, non-empty subset of the window set
+        sink_rows = spark.sql(
+            "SELECT count(*) AS n FROM r14_evict"
+        ).first()["n"]
+        assert 0 < sink_rows < n_windows
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_listener_backpressure_audit_max_files_per_trigger(spark, tmp_path):
     from epiteam_network_etl_functions_spark import catalog
     from epiteam_network_etl_functions_spark.streaming.listener import (
