@@ -4,12 +4,46 @@
 Prints exactly ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (optimize + execute) as `df.count()` — the
-same count-wrapping protocol the DuckDB re-timing uses on its side, so both
-engines pay plan + execution but neither pays result-serialization to the
-Python driver. Heavier queries dominate; the
-set covers the flagship co-location join, the contact-matrix pipeline, the
-TPC-H shapes, and the dedup/similarity extensions as they land.
+Each query is timed as `df.count()` — the same count-wrapping protocol the
+DuckDB re-timing uses on its side, so both engines pay optimization +
+execution but neither pays result-serialization to the Python driver.
+Heavier queries dominate; the set covers the flagship co-location join,
+the contact-matrix pipeline, the TPC-H shapes, and the dedup/similarity
+extensions as they land.
+
+Round-14 measurement fixes (OPTIMIZATION_r14.md "Methodology"; the pre-r14
+protocol and its numbers are kept there for comparison):
+
+1. NO pre-timed-region caching of base tables. Through r13 the bench called
+   ``catalog.cache_tables`` before timing, so timed runs read hash-
+   partitioned in-memory columnar batches while the DuckDB side re-read
+   parquet per run. Every timed run now computes from the parquet inputs,
+   exactly like the oracle side.
+2. The DataFrame is REBUILT for each timed repetition and the session
+   cache is cleared first. Building once and re-counting let one class of
+   work leak out of the reported min-of-3: lazy ``localCheckpoint`` /
+   ``.cache()`` intermediates inside a query's plan materialize on run 1
+   and are silently reused by runs 2-3, so the min reported the warm
+   tail, not the query. A fresh build per repetition creates fresh
+   checkpoint RDDs and (with the cache cleared) fresh cache entries, so
+   every timed run executes the full pipeline from the parquet inputs.
+   The rebuild itself stays OUTSIDE the timed window: what it spends is
+   Python-side py4j expression construction (~1 ms per call on this VM,
+   0.1-0.7 s per query — measured in OPTIMIZATION_r14.md), which measures
+   the driver-language binding, not the engine; the guide's protocol
+   (§1.4) times the action. Queries that used to run *data* jobs at
+   build time were restructured so all their Spark jobs run inside the
+   timed action (see OPTIMIZATION_r14.md: tfidf_top_terms n_docs fold-in,
+   order_price_rank_deciles in-plan rank offsets).
+
+The one declared exception is ``colocation_pairs_bucketed``: its stated
+purpose is the steady-state exchange-free self-join over a presence table
+persisted bucketed by the join keys (the layout cost is paid once at
+write time, exactly like a production bucketed warehouse table). Its
+build — the bucketed write — runs once un-timed, and the timed runs
+re-execute the join itself (that plan holds no caches or checkpoints, so a
+re-count is a full re-execution). ``colocation_pairs`` right next to it is
+the same query with the layout cost inside the timed region.
 """
 
 from __future__ import annotations
@@ -103,7 +137,6 @@ def main() -> None:
         # dominates; 4 post-shuffle partitions measured fastest end-to-end.
         os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
 
-    from epiteam_network_etl_functions_spark import catalog
     from epiteam_network_etl_functions_spark.session import get_session
 
     import __spark_entry__ as entrymod
@@ -111,16 +144,12 @@ def main() -> None:
     spark = get_session("epiteam-etl-spark-bench")
     registry = entrymod.queries()
 
-    # A bench session runs 19 queries over the same 10 tables: materialize
-    # them in memory once (the cluster-scale warm-cache pattern) so every
-    # timed run reads columnar memory, not parquet.
-    catalog.cache_tables(spark, sf_dir)
-
     # Warm the JVM before timing: classloading, Catalyst, whole-stage
     # codegen AND the C2 JIT only reach steady state after each plan shape
     # has run once — steady-state throughput is what the baseline
-    # comparison means (DuckDB's best-of-2 likewise re-runs over a warm OS
-    # page cache). One full pass over the bench set.
+    # comparison means (DuckDB's best-of-3 likewise re-runs over a warm OS
+    # page cache). One full pass over the bench set. NOTE: no table
+    # caching — timed runs below compute from the parquet inputs.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for warm in BENCH_QUERIES:
         fn = registry.get(warm)
@@ -131,25 +160,29 @@ def main() -> None:
         except Exception:
             pass
 
+    # Declared build-once queries (see module docstring): the bucketed
+    # layout variant pays its write un-timed; its join plan holds no
+    # caches/checkpoints, so each timed re-count is a full re-execution.
+    build_once = {"colocation_pairs_bucketed"}
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = registry.get(name)
         if fn is None:
             continue
-        # Build the plan once per query (the steady-state shape of a
-        # repeated query), then time executions. Each timed .count() still
-        # re-analyzes, re-optimizes and re-executes the whole plan JVM-side
-        # with zero cross-run shuffle/stage reuse (verified: run 2 repeats
-        # every stage) — what's excluded is only the Python-side py4j
-        # expression chatter, which measures this VM's socket latency, not
-        # the engine. DuckDB's analog (a prepared SQL string re-executed)
-        # gets the same treatment.
-        df = fn(spark, sf_dir)
+        df = fn(spark, sf_dir) if name in build_once else None
         dt, n = None, 0
         for _ in range(3):
+            # Drop any CacheManager entries a previous repetition (or the
+            # warm pass) materialized: a rebuilt plan would otherwise be
+            # served from them (cache lookup is by canonicalized subtree),
+            # and the reported time must cover the full computation from
+            # the parquet inputs.
+            spark.catalog.clearCache()
+            run_df = df if df is not None else fn(spark, sf_dir)
             t0 = time.perf_counter()
-            n = df.count()
+            n = run_df.count()
             run = time.perf_counter() - t0
             dt = run if dt is None else min(dt, run)
         timings[name] = round(dt, 3)

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .. import catalog
 from ..operators.winners import (
     global_row_number,
-    global_row_number_and_total,
 )
 from ..session import prep
 from . import query
@@ -76,8 +75,9 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification surface (the r9 verdict's named fix, promoted to a
     product query)."""
     o = _load(spark, sf_dir, "orders")
-    # n_tot is a plan-build LITERAL taken from the rank kernel's own
-    # per-partition count collect (sum of offsets) — zero extra jobs.
+    # n_tot rides along as a column from the rank kernel's own
+    # per-partition counts (total_col) — zero extra jobs and nothing
+    # resolved at plan-build time: the whole query is one lazy plan.
     # Deriving it from the ranked frame instead re-executed the kernel's
     # window subtree twice more (probe_floor showed data/duck 5.03
     # before; 0.36 s of the 0.73 s wall was those re-passes), and a
@@ -89,7 +89,7 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the oracle (ranked by raw price) hash-identical while the
     # kernel sorts one long instead of a double + long. keep_cols drops
     # the orderkey tie-break from the checkpoint payload after the sort.
-    ranked, n_tot = global_row_number_and_total(
+    ranked = global_row_number(
         o.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             "o_orderkey",
@@ -97,11 +97,11 @@ def order_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["cents", "o_orderkey"],
         "rk",
         keep_cols=["cents"],
+        total_col="n_tot",
     )
-    ranked = ranked.select("cents", "rk")
     return (
         ranked.select(
-            F.expr(f"((rk - 1) * 10) div {n_tot}L")
+            F.expr("((rk - 1) * 10) div n_tot")
             .cast("long")
             .alias("decile"),
             "cents",
@@ -1161,11 +1161,16 @@ def source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    # both sides of the pair self-join read this frame; its exchanges
+    # canonicalize identically, so ReuseExchange runs the tokenize+count
+    # subtree once. The pre-r14 localCheckpoint achieved the same reuse
+    # but converted to an RDD at plan-BUILD time, which kicked off the
+    # broadcast of `tot` (and its whole upstream count pipeline, ~0.7 s)
+    # before any action — work the r14 bench methodology requires inside
+    # the timed region (OPTIMIZATION_r14.md).
     dist = cnt.join(tot, "source").select(
         "source", "t", (F.col("c").cast("double") / F.col("n")).alias("p")
-    # both sides of the pair self-join read this frame — checkpoint so
-    # the tokenize+count subtree runs once (plan_audit lead)
-    ).localCheckpoint(eager=False)
+    )
     a = dist.select(
         F.col("source").alias("src_a"), F.col("t").alias("t"), F.col("p").alias("pa")
     )

@@ -452,18 +452,19 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed sklearn idf). Two shuffles
     (term counts; per-term document frequency as a window) plus a
-    per-document window. The corpus size N is resolved at plan build as
-    ONE metadata-only parquet count (row counts come from footers) and
-    folded in as a literal: the floor decomposition (PLANS.md Round 9)
-    showed the in-plan scalar-agg alternative costs a second scan
-    subtree + two exchanges + a BroadcastNestedLoopJoin — three stage
-    floors every execution to avoid one footer-read job at build. Ranks
+    per-document window. The corpus size N is folded into the SAME plan
+    as a scalar-aggregate broadcast (``n_docs=None``): the pre-r14 form
+    resolved N with an eager ``d.count()`` at plan-build time, which let
+    that job escape the bench's timed region once the r14 methodology
+    stopped timing plan construction (OPTIMIZATION_r14.md). The in-plan
+    fold costs one column-pruned count subtree + a 1-row broadcast — the
+    price of having every Spark job run inside the timed action. Ranks
     on the ROUNDED score so cross-engine float ulp drift can't flip
     ranks (ties resolve on the term)."""
     from ..operators.text import tfidf_top_terms
 
     d = _docs(spark, sf_dir)
-    return tfidf_top_terms(d, "doc_id", "text", n_docs=d.count(), k=3)
+    return tfidf_top_terms(d, "doc_id", "text", n_docs=None, k=3)
 
 
 @query(

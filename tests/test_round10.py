@@ -46,11 +46,21 @@ def test_global_row_number_is_permutation(spark):
 
 
 def test_global_row_number_no_single_partition_sort(spark):
-    """The physical plan must not contain a SinglePartition exchange over
-    the ranked input — the entire point of the kernel."""
+    """The DATA path must never be globally sorted on one partition — the
+    entire point of the kernel. The input is range-partitioned and sorted
+    within partitions; the only SinglePartition exchange allowed is the
+    r14 in-plan prefix-sum over the O(partitions) per-pid counts."""
     df = spark.range(0, 10_000).select(F.col("id").alias("v"))
     plan = global_row_number(df, ["v"], "r")._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    # global sorts print as "Sort [...], true, 0" — none anywhere
+    assert ", true, 0" not in plan
+    # exactly one SinglePartition exchange (the counts prefix-sum), and it
+    # must consume the counts HashAggregate, never the data
+    assert plan.count("Exchange SinglePartition") == 1
+    below = plan[plan.index("Exchange SinglePartition"):]
+    nxt_exchange = below.index("Exchange", 1)
+    assert "HashAggregate" in below[:nxt_exchange]
 
 
 def test_global_row_number_respects_width(spark):

@@ -269,47 +269,66 @@ def test_compressed_bytes_census_consistent(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# global_row_number: literal-offset path vs broadcast-join fallback
+# global_row_number: lazy in-plan kernel (r14 restructure)
 # ---------------------------------------------------------------------------
 
 
-def test_rank_kernel_literal_and_fallback_paths_agree(spark, monkeypatch):
+def test_rank_kernel_total_col_matches_window(spark):
+    """Ranks equal the single-partition window reference and total_col
+    carries the exact row count on every row (the r14 in-plan replacement
+    for the eager _and_total collect)."""
+    from pyspark.sql import Window
     from epiteam_network_etl_functions_spark.operators import winners
 
     df = spark.range(0, 3_000).select(
         (F.col("id") * 37 % 1000).alias("v"), F.col("id").alias("uid")
     )
-    lit_ranked, lit_total = winners.global_row_number_and_total(
-        df, ["v", "uid"], "r"
+    ranked = winners.global_row_number(
+        df, ["v", "uid"], "r", total_col="n_tot"
     )
-    lit_rows = {(r["v"], r["uid"]): r["r"] for r in lit_ranked.collect()}
-    # force the broadcast-join fallback and require identical ranks
-    monkeypatch.setattr(winners, "_MAX_LITERAL_OFFSETS", 0)
-    bj_ranked, bj_total = winners.global_row_number_and_total(
-        df, ["v", "uid"], "r"
+    ref = df.withColumn(
+        "r_ref", F.row_number().over(Window.orderBy("v", "uid")).cast("long")
     )
-    bj_rows = {(r["v"], r["uid"]): r["r"] for r in bj_ranked.collect()}
-    assert lit_total == bj_total == 3_000
-    assert lit_rows == bj_rows
+    j = ranked.join(ref, ["v", "uid"])
+    assert j.where(F.col("r") != F.col("r_ref")).count() == 0
+    totals = ranked.select("n_tot").distinct().collect()
+    assert [t["n_tot"] for t in totals] == [3_000]
 
 
-def test_rank_kernel_literal_path_has_no_join(spark):
-    """The default (literal-offset) plan must contain neither a join nor
-    a SinglePartition exchange — the rank attach is a pure projection."""
+def test_rank_kernel_plan_is_lazy_and_reuses_exchange(spark):
+    """The r14 kernel contract: plan construction runs ZERO Spark jobs
+    (the pre-r14 form collected partition counts at build), the data is
+    range-exchanged exactly once at RUNTIME (AQE's stage cache feeds the
+    counts and the rank attach from the same materialized shuffle — the
+    pre-execution adaptive plan still prints both exchange subtrees, so
+    reuse must be asserted on the final plan after an action), and the
+    rank attach is a broadcast hash join against the O(partitions)
+    offsets frame."""
     from epiteam_network_etl_functions_spark.operators.winners import (
         global_row_number,
     )
 
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup() or [])
     df = spark.range(0, 10_000).select(F.col("id").alias("v"))
-    plan = (
-        global_row_number(df, ["v"], "r")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "SinglePartition" not in plan
-    assert "Join" not in plan
-    assert "BroadcastExchange" not in plan
+    ranked = global_row_number(df, ["v"], "r")
+    initial = ranked._jdf.queryExecution().executedPlan().toString()
+    after = set(st.getJobIdsForGroup() or [])
+    assert before == after, "kernel build or planning ran Spark jobs"
+    assert "BroadcastHashJoin" in initial
+
+    ranked.collect()
+    final = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # the data's range exchange materialized once; the counts subtree
+    # reads it back as a ReusedExchange
+    reused = [
+        line
+        for line in final.splitlines()
+        if "ReusedExchange" in line and "rangepartitioning" in line
+    ]
+    assert reused, f"no reused range exchange in final plan:\n{final}"
+    assert "BroadcastHashJoin" in final
 
 
 # ---------------------------------------------------------------------------

@@ -87,38 +87,45 @@ def test_parquet_py_nonempty_write_unaffected(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# global_row_number: dense-array guard, not non-empty-partition count
+# global_row_number: sparse pids + in-plan overflow guard (r14 lazy form)
 # ---------------------------------------------------------------------------
 
 
-def test_rank_kernel_guard_uses_dense_length():
-    from epiteam_network_etl_functions_spark.operators.winners import (
-        _dense_offsets_len,
-    )
-
-    assert _dense_offsets_len({}) == 0
-    assert _dense_offsets_len({0: 0, 1: 10, 2: 20}) == 3
-    # ONE non-empty partition at a sparse tail pid embeds a 5000-entry
-    # dense literal array — the guard must see 5000, not 1
-    assert _dense_offsets_len({4999: 0}) == 5000
-
-
-def test_rank_kernel_sparse_pids_still_rank_correctly(spark, monkeypatch):
+def test_rank_kernel_sparse_pids_still_rank_correctly(spark):
+    """64 requested partitions over 500 rows leaves most pids empty — the
+    in-plan offsets join must still produce the dense 1..500 ranking and
+    the exact total."""
     from epiteam_network_etl_functions_spark.operators import winners
 
-    # tiny cap so any realistic num_partitions forces the decision
-    monkeypatch.setattr(winners, "_MAX_LITERAL_OFFSETS", 4)
     df = spark.range(0, 500).select(
         (F.col("id") % 7).alias("v"), F.col("id").alias("uid")
     )
-    ranked, total = winners.global_row_number_and_total(
-        df, ["v", "uid"], "r", num_partitions=64
+    ranked = winners.global_row_number(
+        df, ["v", "uid"], "r", num_partitions=64, total_col="t"
     )
     rows = ranked.orderBy("r").collect()
-    assert total == 500
+    assert {row["t"] for row in rows} == {500}
     assert [row["r"] for row in rows] == list(range(1, 501))
     keys = [(row["v"], row["uid"]) for row in rows]
     assert keys == sorted(keys)
+
+
+def test_rank_kernel_overflow_guard_is_in_plan(spark):
+    """The 2^33-rows-per-partition guard must survive in the physical
+    plan (it lives inside the offset expression so Catalyst cannot prune
+    it) — the pre-r14 driver-side RuntimeError is gone."""
+    from epiteam_network_etl_functions_spark.operators.winners import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    plan = (
+        global_row_number(df, ["v"], "r")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "raise_error" in plan and "exceeds 2^33" in plan
 
 
 # ---------------------------------------------------------------------------
