@@ -44,7 +44,16 @@ def minhash_signatures(
     (16-bit) values, so n_hashes needs only ceil(n/8) md5 calls per shingle
     instead of n — md5 dominates the signature cost at corpus scale.
     Fixed-width lowercase hex makes lexicographic MIN numeric-correct, and
-    the scheme is expressible verbatim in the SQL oracle."""
+    the scheme is expressible verbatim in the SQL oracle.
+
+    The aggregation MINs the slot's 16-bit INTEGER value, not its hex
+    string: a string min buffer is not hash-aggregable (UnsafeRow buffers
+    must be mutable fixed-width), so the string form silently planned as
+    SortAggregate — every (doc, shingle) row sorted twice, map side and
+    reduce side. Numeric-min == lexicographic-min for fixed-width
+    lowercase hex, so formatting the int back with %04x AFTER the groupBy
+    (one row per doc) reproduces the exact string values while the
+    aggregation itself runs as a HashAggregate with map-side partials."""
     # One F.expr per output column (SQL parsed JVM-side) instead of nested
     # Column algebra: the 16-hash build is ~8 py4j round-trips per agg as
     # Column objects, which is measurable driver latency on wide signatures.
@@ -53,11 +62,17 @@ def minhash_signatures(
         d, slot = divmod(i, HASHES_PER_MD5)
         aggs.append(
             F.expr(
-                f"min(substring(md5(cast(concat('{d}:', `{shingle_col}`) as binary)),"
-                f" {slot * 4 + 1}, 4))"
-            ).alias(f"mh{i}")
+                f"min(cast(conv(substring(md5(cast(concat('{d}:', `{shingle_col}`)"
+                f" as binary)), {slot * 4 + 1}, 4), 16, 10) as int))"
+            ).alias(f"__m{i}")
         )
-    return shingled.groupBy(id_col).agg(*aggs)
+    return shingled.groupBy(id_col).agg(*aggs).select(
+        id_col,
+        *[
+            F.format_string("%04x", F.col(f"__m{i}")).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def minhash_sql_exprs(n_hashes: int = 16, shingle_expr: str = "shingle") -> list[str]:

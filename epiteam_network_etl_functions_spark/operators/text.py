@@ -40,13 +40,38 @@ def explode_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle) rows; distinct by default (set semantics for minhash /
-    jaccard). The distinct is the only shuffle and is key-partitioned on the
-    full row, so it scales with the corpus."""
-    out = (
+    jaccard).
+
+    REQUIRES one input row per ``id_col`` value (true of every document
+    frame in this repo). Under that precondition a global
+    ``(id, shingle)`` DISTINCT equals a per-row ``array_distinct`` of the
+    shingle array before the explode — the same row set with ZERO
+    shuffle over the exploded stream. The pre-r14 form ran a full
+    exchange of the exploded (id, shingle) string stream (at corpus
+    scale, the raw token stream crossing the wire) just to dedup rows
+    that never collide across documents; guide §2.4 ("a distinct on data
+    that is already unique").
+
+    Fan-out: that distinct exchange also (accidentally) spread a
+    few-split corpus across the cluster; without it the explode runs on
+    as many tasks as the input has splits. When splits are far below the
+    session's parallelism, repartition the NARROW document rows first —
+    that shuffle moves the corpus text once (k-times fewer bytes than
+    the exploded shingle stream the old distinct moved) and is a no-op
+    at production split counts (same guard as tfidf_top_terms)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
+        df = df.repartition(max(8, sc.defaultParallelism // 4))
+    shingles = shingles_col(F.col("__t"), k)
+    return (
         df.withColumn("__t", tokens_col(text_col))
-        .select(F.col(id_col), F.explode(shingles_col(F.col("__t"), k)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles) if distinct else shingles
+            ).alias("shingle"),
+        )
     )
-    return out.distinct() if distinct else out
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -249,9 +274,16 @@ def tfidf_top_terms(
             (nx - s).cast("long").alias("tf"),
         ),
     )
+    # The emptiness filter must NOT reference __toks: Catalyst pushes the
+    # filter below the projection and re-evaluates the full
+    # array_sort(filter(split(...))) tokenization inside the pushed
+    # predicate — every row tokenized twice (guide §4.4's duplication,
+    # expression-level). size(tokens) > 0 over a split on ' ' is exactly
+    # "text contains a non-space character", i.e. trim(text) != '', which
+    # pushes down as a cheap scan predicate instead.
     tf = (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .where(F.size("__toks") > 0)
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), toks.alias("__toks"))
         .withColumn("__starts", starts)
         .select(F.col(id_col), F.explode(entries).alias("__e"))
         .select(id_col, F.col("__e.term").alias("term"), F.col("__e.tf").alias("tf"))

@@ -491,7 +491,15 @@ def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches off the SAME visits aggregate as the winner (identical subtree
     -> ReuseExchange), so the raw-pings md5 derivation runs once, not
     twice — the Spark analog of the oracle's MATERIALIZED pings CTE."""
-    winners = _home_winners(spark, sf_dir)
+    # The explicit non-null caid filter is result-identical (a null caid
+    # could never match the interactions table's inner joins) and it is
+    # what lets ReuseExchange actually fire between the winner branch and
+    # the dim branch below: the downstream inner join pushes
+    # isnotnull(caid) into the winner subtree only, which de-canonicalizes
+    # the two otherwise-identical visit aggregates — one md5-derivation
+    # scan+aggregate ran twice (4 parquet scans in the r14 before-plan;
+    # 3 after, ReusedExchange 2 -> 3).
+    winners = _home_winners(spark, sf_dir).where(F.col("caid").isNotNull())
     # dim restricted to the winners' cells: result-identical under the
     # left join (non-winner cells never match) and one winner cell per
     # device instead of the full realized-cell set.
