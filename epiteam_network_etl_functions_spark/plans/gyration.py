@@ -25,6 +25,7 @@ def device_rg(
     pings: DataFrame,
     id_col: str = "caid",
     cell_col: str = "h3index_15",
+    distance_expr=None,
 ) -> DataFrame:
     """Per-device radius of gyration in grid hops.
 
@@ -44,9 +45,16 @@ def device_rg(
         .orderBy(F.desc("n"), F.asc(cell_col))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    # distance_expr ((Column, Column) -> Column) replaces the
+    # grid-distance pandas UDF with a pure JVM expression when the
+    # caller's cell scheme admits one (the square grid's Chebyshev hops
+    # do; real H3 ids do not) — removing the plan's only ArrowEvalPython
+    # node lets the visits->window->distance->agg pipeline fuse into
+    # whole-stage codegen with no Python workers at all.
+    dist = distance_expr if distance_expr is not None else grid_distance
     with_d = visits.withColumn(
         "__center", F.first(cell_col).over(w)
-    ).withColumn("__d", grid_distance(cell_col, "__center"))
+    ).withColumn("__d", dist(F.col(cell_col), F.col("__center")))
     return with_d.groupBy(id_col).agg(
         F.round(
             F.sqrt(

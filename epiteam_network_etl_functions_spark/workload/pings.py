@@ -74,6 +74,22 @@ def _cell_expr() -> Column:
     return F.expr(_cell_sql())
 
 
+def _sq_grid_distance(a: Column, b: Column) -> Column:
+    """Chebyshev grid hops between two square-grid ids 'gR:i:j' as a pure
+    JVM expression — value-identical to the hexgrid._distance_udf fallback
+    (max(|di|, |dj|) as long; NULL in -> NULL out), minus its
+    ArrowEvalPython node: passing this to device_rg keeps the RG pipeline
+    entirely inside whole-stage codegen (guide §4.1)."""
+    ai, bi = F.split(a, ":"), F.split(b, ":")
+    di = F.abs(
+        F.element_at(ai, 2).cast("long") - F.element_at(bi, 2).cast("long")
+    )
+    dj = F.abs(
+        F.element_at(ai, 3).cast("long") - F.element_at(bi, 3).cast("long")
+    )
+    return F.greatest(di, dj)
+
+
 # ---- derived pings + region dim (Spark side) --------------------------------
 
 
@@ -201,6 +217,14 @@ def pings_fact_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fact_pings_base over derived pings: geo-label DISTINCT coordinates,
     join back on the point key (J7), cve_mun prefix — the oracle is the
     direct join, proving dedup-joinback is semantics-preserving."""
+    # r14 audit note: the 3 scans here (fact join-back, distinct-coord
+    # labels, dim cells) were examined for subtree sharing — deriving the
+    # dim's cells from the labels branch's distinct-coords subtree is
+    # collapsed by RemoveRedundantAggregates back into an independent
+    # scan, and forcing the share with an in-plan cache measured ~5% at
+    # sf0.1 (the md5 derivation is cheap relative to the join-back pass).
+    # In production the dim is a real external dimension, not derived
+    # from pings, so the third scan is a synthetic-derivation artifact.
     out = fact_pings_base(
         _pings(spark, sf_dir),
         _dim(spark, sf_dir),
@@ -482,7 +506,9 @@ def pings_device_rg(spark: SparkSession, sf_dir: str) -> DataFrame:
     form; every addend is an integer-valued double, so the float sums are
     exact on both engines."""
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    return device_rg(p, id_col="caid", cell_col="cell")
+    return device_rg(
+        p, id_col="caid", cell_col="cell", distance_expr=_sq_grid_distance
+    )
 
 
 def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,7 +881,9 @@ def device_rg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines hold bit-identically, so the quantile arithmetic is the
     same IEEE ops; a one-row scalar rollup of a per-device aggregate."""
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    rg = device_rg(p, id_col="caid", cell_col="cell").select("caid", "rg")
+    rg = device_rg(
+        p, id_col="caid", cell_col="cell", distance_expr=_sq_grid_distance
+    ).select("caid", "rg")
     return rg.agg(
         F.count(F.lit(1)).alias("n_devices"),
         F.round(F.percentile("rg", F.lit(0.25)), 6).alias("p25"),
@@ -1310,7 +1338,9 @@ def mobility_contact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dec = "decimal(38,0)"
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    rg = device_rg(p, id_col="caid", cell_col="cell").select("caid", "rg")
+    rg = device_rg(
+        p, id_col="caid", cell_col="cell", distance_expr=_sq_grid_distance
+    ).select("caid", "rg")
     deg = degrees(
         _colocation_edge_list(spark, sf_dir), "a_user_id", "b_user_id"
     )
