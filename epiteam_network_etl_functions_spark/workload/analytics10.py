@@ -879,12 +879,14 @@ def gap_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pings_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-timestamp device positions (caid, ts, cell) —
-    the OD-matrix position collapse (min cell per (caid, ts))."""
-    from ..plans.mobility import with_cells
-    from .pings import _cell_expr, _pings
+    the OD-matrix position collapse (min cell per (caid, ts)), built on
+    the shared single-exchange caid spine (pings._pos_spine, guide §2.4:
+    one repartition serves the collapse and every downstream
+    caid-clustered window/aggregate; byte-neutral because the collapse
+    key is unique per ping row in this derivation)."""
+    from .pings import _pos_spine
 
-    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    return p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    return _pos_spine(spark, sf_dir)
 
 
 def _pings_prefix_sql() -> str:

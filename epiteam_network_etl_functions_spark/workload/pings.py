@@ -892,6 +892,25 @@ def device_rg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pos_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-timestamp device positions (caid, ts, cell) —
+    the OD-matrix position collapse (min cell per (caid, ts)) — built on
+    ONE caid exchange: the explicit repartition satisfies the min-cell
+    aggregate (hashpartitioning(caid) clusters (caid, ts)) AND every
+    downstream caid-partitioned window/aggregate, so the old plan's
+    second exchange and two of its three sorts disappear (guide §2.4:
+    establish the partitioning once). Shuffle bytes are unchanged: the
+    collapse key (caid, cdmx_datetime) is unique per ping row in this
+    derivation (measured sf0.1: 100000 rows -> 100000 groups), so the
+    map-side partial aggregate the repartition forgoes reduced nothing."""
+    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
+    return (
+        p.repartition(F.col("caid"))
+        .groupBy("caid", "cdmx_datetime")
+        .agg(F.min("cell").alias("cell"))
+    )
+
+
 @query(
     "device_od_matrix",
     oracle=f"""
@@ -926,15 +945,14 @@ def device_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     that timestamp's pings (a total collapse, so the lag order is the
     unique (caid, ts) key — never an arbitrary tie among same-ts pings);
     self-transitions are excluded; the top-50 orders on (n_trips DESC,
-    from_cell, to_cell) — a total order. Plan: one (caid, ts) aggregate,
-    one caid-clustered window (both on the user spine partitioning the
-    warm cache already provides), one pair groupBy, and a
-    TakeOrderedAndProject head — every exchange carries combined rows;
-    the OD pair space is bounded by realized transitions, never cells²."""
+    from_cell, to_cell) — a total order. Plan: ONE caid spine exchange
+    (_pos_spine) serving the (caid, ts) collapse and the lag window, one
+    pair groupBy, and a TakeOrderedAndProject head — every exchange
+    carries combined rows; the OD pair space is bounded by realized
+    transitions, never cells²."""
     from pyspark.sql import Window
 
-    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    pos = _pos_spine(spark, sf_dir)
     w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
     seq = pos.select(
         "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
@@ -999,13 +1017,13 @@ def cell_dwell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch micros to integer minutes, and the two quantiles interpolate
     over integers then re-round to BIGINT (the
     purchase_interpurchase_gaps discipline); top-100 cells order on
-    (n_dwells DESC, cell) — total. Plan: same two caid-spine stages as
-    the OD matrix, then one cell groupBy with exact percentiles; at
-    100 TB the percentile state is per-cell and the head is k-bounded."""
+    (n_dwells DESC, cell) — total. Plan: ONE caid spine exchange
+    (_pos_spine) serving the collapse and the lead window, then one cell
+    groupBy with exact percentiles; at 100 TB the percentile state is
+    per-cell and the head is k-bounded."""
     from pyspark.sql import Window
 
-    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    pos = _pos_spine(spark, sf_dir)
     w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
     seq = pos.select(
         "caid",
@@ -1081,15 +1099,19 @@ def commute_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the directed anchor-pair analog). Both winners are the certified
     A2/W4 kernel (count-desc, cell-asc total order); devices missing
     either window drop on both engines (inner join); same-cell anchors
-    are excluded. Plan: two filtered (caid, cell) aggregates + two
-    caid-clustered winner windows off ONE derived-pings scan branch, a
-    caid equi-join, a pair groupBy, and a TakeOrderedAndProject — all on
-    the user spine; flow-pair space is bounded by realized anchor pairs,
-    never cells squared."""
+    are excluded. Plan: each winner branch runs on ONE caid exchange of
+    its filtered ping rows (the explicit spine repartition clusters the
+    (caid, cell) aggregate, the winner window AND the caid equi-join —
+    the pre-spine plan paid two exchanges per branch, guide §2.4), then
+    a pair groupBy and a TakeOrderedAndProject; flow-pair space is
+    bounded by realized anchor pairs, never cells squared. Byte-neutral:
+    the hash-derived cells make (caid, cell) near-unique per ping
+    (sf0.1 night window: 33426 rows -> 33296 groups), so the forgone
+    map-side partial aggregate reduced nothing."""
     from ..operators.winners import top1_per_key
 
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    p = p.withColumn("h", F.hour("cdmx_datetime"))
+    p = p.withColumn("h", F.hour("cdmx_datetime")).repartition(F.col("caid"))
 
     def winner(filtered: DataFrame, out: str) -> DataFrame:
         scored = filtered.groupBy("caid", "cell").agg(
@@ -1216,11 +1238,12 @@ def od_destination_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same min-cell/lag construction as device_od_matrix; probabilities
     are exact int ratios and the per-origin entropy sum's reorder drift
     (~1e-15) is absorbed by round(...,6) (the event_transition_entropy
-    argument); top-50 origins by trip volume with a cell tie-break."""
+    argument); top-50 origins by trip volume with a cell tie-break.
+    Plan: ONE caid spine exchange (_pos_spine) serving the collapse and
+    the lag window."""
     from pyspark.sql import Window
 
-    p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    pos = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    pos = _pos_spine(spark, sf_dir)
     w = Window.partitionBy("caid").orderBy(F.asc("cdmx_datetime"))
     seq = pos.select(
         "caid", "cell", F.lag("cell").over(w).alias("prev_cell")
@@ -1537,11 +1560,13 @@ def commute_asymmetry_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge idiom, MakeEmpiricNetworks.py:85-86) BEFORE the rollup so both
     directions land in one group — integer flows, one extra pair-keyed
     aggregate over the flow table (flow-pair bounded, never cells
-    squared). Top-30 pairs by total flow under a total tie order."""
+    squared). Top-30 pairs by total flow under a total tie order.
+    Winner branches run on one caid spine exchange each, exactly as
+    commute_matrix (guide §2.4; byte-neutral, see there)."""
     from ..operators.winners import top1_per_key
 
     p = with_cells(_pings(spark, sf_dir), out_col="cell", cell_expr=_cell_expr())
-    p = p.withColumn("h", F.hour("cdmx_datetime"))
+    p = p.withColumn("h", F.hour("cdmx_datetime")).repartition(F.col("caid"))
 
     def winner(filtered: DataFrame, out: str) -> DataFrame:
         scored = filtered.groupBy("caid", "cell").agg(

@@ -129,3 +129,44 @@ def test_tfidf_tokenizes_once(spark):
     # blank/null docs are filtered exactly as size(tokens) > 0 did
     ids = sorted({r["doc_id"] for r in out.collect()})
     assert ids == [1, 3]
+
+
+def test_pos_spine_single_exchange_and_value_identical(spark):
+    """The caid-spine position collapse (r14: one explicit caid
+    repartition serves the min-cell aggregate AND every downstream
+    caid-clustered window) must (a) keep device_od_matrix at exactly two
+    hash exchanges (spine + final pair aggregate — the pre-r14 shape paid
+    three) with a single data sort, and (b) stay value-identical to the
+    naive groupBy form it replaced."""
+    import re
+
+    import __spark_entry__ as m
+    from epiteam_network_etl_functions_spark.plans.mobility import with_cells
+    from epiteam_network_etl_functions_spark.workload.pings import (
+        _cell_expr,
+        _pings,
+        _pos_spine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = m.queries()["device_od_matrix"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert len(re.findall(r"\bSort \[", plan)) == 1
+
+    new = _pos_spine(spark, sf)
+    p = with_cells(_pings(spark, sf), out_col="cell", cell_expr=_cell_expr())
+    old = p.groupBy("caid", "cdmx_datetime").agg(F.min("cell").alias("cell"))
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_commute_winner_branch_single_exchange(spark):
+    """Each commute winner branch must run on ONE exchange of its
+    filtered ping rows (spine repartition below the branch filters): the
+    full commute_matrix plan holds exactly three hash exchanges (two
+    branches + final pair aggregate; the pre-r14 shape paid five)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["commute_matrix"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 3
