@@ -62,6 +62,19 @@ _SMALL_CORE_CONF = {
     "spark.locality.wait": "0",
 }
 
+# Scale-profile static core confs (get_session only; prep() cannot set core
+# confs on an externally provided session). zstd over the lz4 default for
+# shuffle/broadcast/spill blocks: measured at the 10x tier (interleaved
+# fresh-JVM A/B, min-of-3 per session, two rounds — OPTIMIZATION_r14.md):
+# pings_interactions 3.50/3.70 s (lz4) vs 2.55/2.47 s (zstd), near_dup and
+# tfidf equal-or-better — the guide's §2.3 prediction (better ratio, a bit
+# more CPU) lands on the win side once shuffles carry the md5-derived cell
+# strings. The small profile is untouched (it disables shuffle compression
+# outright), so the driver's sf0.1 bench comparison is unchanged.
+_SCALE_CORE_CONF = {
+    "spark.io.compression.codec": "zstd",
+}
+
 
 def _profile_conf() -> dict:
     conf = dict(_CORRECTNESS_CONF)
@@ -99,6 +112,9 @@ def get_session(app_name: str = "epiteam-network-etl-functions-spark") -> SparkS
         builder = builder.config(k, v)
     if os.environ.get("SPARK_GRAFT_SMALL_PROFILE") == "1":
         for k, v in _SMALL_CORE_CONF.items():
+            builder = builder.config(k, v)
+    else:
+        for k, v in _SCALE_CORE_CONF.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
