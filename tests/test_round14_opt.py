@@ -170,3 +170,17 @@ def test_commute_winner_branch_single_exchange(spark):
     df = m.queries()["commute_matrix"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_no_registered_query_is_a_private_helper():
+    """Registry integrity: a module-level helper inserted between a
+    @query decorator and its function silently REPLACES the registered
+    query with the helper (seen in-round: _pos_spine briefly registered
+    as device_od_matrix and returned the wrong frame). The decorated
+    callable's __name__ must never be a private name."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    bad = {n: fn.__name__ for n, fn in qs.items() if fn.__name__.startswith("_")}
+    assert not bad, f"private helpers captured a @query decorator: {bad}"
+    assert len(qs) == 490  # the permanent freeze (VERDICT r11)
