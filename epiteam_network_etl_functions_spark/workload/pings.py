@@ -130,6 +130,30 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dim_from_cells(cells)
 
 
+def _cve_geo_expr(cell: str = "cell") -> Column:
+    """The dim row for ``cell`` as a pure expression: cve_geo where the dim
+    has a row (hash_bucket(cell,'geo',10) < 7), NULL where it does not.
+
+    The synthetic dim is BY CONSTRUCTION a deterministic function of the
+    cell id (``_dim_from_cells`` derives every column from ``cell``), so a
+    LEFT JOIN against a dim whose domain covers the probe side's cells is
+    exactly this expression — no distinct-cells aggregate, no broadcast
+    build, no join (guide §2.4: the shuffle/join exists only to re-attach
+    a value the row can compute itself). Callers that model a REAL
+    external dimension (pings_fact_base's J7 dedup-joinback, the imputer
+    k-ring probes) keep the genuine join; this shortcut is only valid
+    where the dim is the synthetic derivation itself."""
+    return F.when(
+        F.expr(f"{_hb_spark(cell, 'geo', 10)} < 7"),
+        F.expr(
+            "concat('09', "
+            f"lpad(cast({_hb_spark(cell, 'mun', 900)} as string), 3, '0'), "
+            f"lpad(cast({_hb_spark(cell, 'loc', 9000)} as string), 4, '0'), "
+            f"lpad(cast({_hb_spark(cell, 'blk', 9000)} as string), 4, '0'))"
+        ),
+    )
+
+
 # ---- shared DuckDB CTEs -----------------------------------------------------
 
 # MATERIALIZED: the md5 derivation is referenced 2-4x per oracle (self-
@@ -330,22 +354,23 @@ def pings_global_home(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("score"))
     daily = daily.repartition("caid")
     dwin = top1_per_key(daily, ["caid", "day"], [F.desc("score"), F.asc("cell")])
-    # The repo LEFT-joins dim on the WINNERS' cells, so restricting the dim
-    # domain to dwin's cells is result-identical (non-winner cells never
-    # match) and derives from the already-aggregated branch instead of a
-    # second raw-pings pass: ReuseExchange serves both branches from ONE
-    # md5-derivation scan, and the dim derivation runs over one cell per
-    # (device, day) instead of every realized cell (the oracle's
-    # MATERIALIZED pings CTE gives DuckDB the same single-derivation
-    # shape).
-    dim = _dim_from_cells(dwin.select("cell").distinct())
-    repo = (
-        dwin.join(dim, "cell", "left")
-        .select(
-            "caid",
-            F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
-            "score",
-        )
+    # The repo LEFT-joins dim on the WINNERS' cells. r14 restricted the dim
+    # domain to dwin's cells (result-identical: non-winner cells never
+    # match); r15 takes that to its closed form: the synthetic dim is a
+    # pure function of the cell, so the left join + coalesce IS
+    # when(hb(cell)<7, cve_geo(cell), SENTINEL) computed on the winner row
+    # itself (_cve_geo_expr). This deletes the dim branch outright — the
+    # r14 plan re-read the caid exchange, re-sorted, re-ran the winner
+    # window, deduped cells (one more exchange) and broadcast the result,
+    # all to re-attach a value each row can compute (guide §2.4). With a
+    # real external dim the r14 broadcast-join shape applies instead
+    # (pings_fact_base keeps it).
+    repo = dwin.select(
+        "caid",
+        F.coalesce(_cve_geo_expr("cell"), F.lit(SENTINEL_AGEB_13)).alias(
+            "home_ageb"
+        ),
+        "score",
     )
     return global_home_winner(repo)
 
@@ -513,26 +538,28 @@ def pings_device_rg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _homes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-time winner cell -> region, sentinel-filled (the interactions
-    table's home_ageb input, IndexingHomeAgebs.py:112-132 shape). The dim
-    branches off the SAME visits aggregate as the winner (identical subtree
-    -> ReuseExchange), so the raw-pings md5 derivation runs once, not
-    twice — the Spark analog of the oracle's MATERIALIZED pings CTE."""
-    # The explicit non-null caid filter is result-identical (a null caid
-    # could never match the interactions table's inner joins) and it is
-    # what lets ReuseExchange actually fire between the winner branch and
-    # the dim branch below: the downstream inner join pushes
-    # isnotnull(caid) into the winner subtree only, which de-canonicalizes
-    # the two otherwise-identical visit aggregates — one md5-derivation
-    # scan+aggregate ran twice (4 parquet scans in the r14 before-plan;
-    # 3 after, ReusedExchange 2 -> 3).
-    winners = _home_winners(spark, sf_dir).where(F.col("caid").isNotNull())
-    # dim restricted to the winners' cells: result-identical under the
-    # left join (non-winner cells never match) and one winner cell per
-    # device instead of the full realized-cell set.
-    dim = _dim_from_cells(winners.select("cell").distinct())
-    return winners.join(dim, "cell", "left").select(
+    table's home_ageb input, IndexingHomeAgebs.py:112-132 shape).
+
+    r14 derived the dim from the winners' own cells (result-identical
+    under the left join) so ReuseExchange served both branches from one
+    visits aggregate; r15 closes the remaining gap: the synthetic dim is
+    a pure function of the cell, so the left join + coalesce collapses to
+    ``when(hb(cell)<7, cve_geo(cell), SENTINEL)`` on the winner row
+    (_cve_geo_expr). That deletes the whole dim branch — the r14 plan
+    re-read the winner exchange, re-sorted, re-ran the winner window,
+    deduped cells through one more exchange and broadcast the result,
+    purely to re-attach a value each winner row can compute (guide §2.4).
+    The r14 branch-reconvergence isnotnull(caid) filter went with it (its
+    only purpose was canonicalizing the two branches; the downstream
+    inner joins still push the same filter into the one remaining
+    subtree). With a real external dim the broadcast-join shape applies
+    instead (pings_fact_base keeps it)."""
+    winners = _home_winners(spark, sf_dir)
+    return winners.select(
         "caid",
-        F.coalesce("cve_geo", F.lit(SENTINEL_AGEB_13)).alias("home_ageb"),
+        F.coalesce(_cve_geo_expr("cell"), F.lit(SENTINEL_AGEB_13)).alias(
+            "home_ageb"
+        ),
     )
 
 
