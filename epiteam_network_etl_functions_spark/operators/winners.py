@@ -114,26 +114,58 @@ def global_row_number(
     # partitions before p. The overflow guard lives in the offset
     # expression itself so it cannot be pruned: a partition past 2^33
     # rows would collide its local index into the next pid's id space.
-    w_prefix = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    #
+    # Computed as ONE single-row aggregate (collect the O(partitions)
+    # counts, prefix-sum them with a higher-order `aggregate` expression,
+    # explode back out) instead of the r14 empty-partition-spec windows:
+    # the frame is O(partitions) rows by construction, so single-
+    # partition execution is the point — but WindowExec's "No Partition
+    # Defined" warning fired on every bench run, indistinguishable in
+    # the logs from a real data-sized collapse (VERDICT r14 item 6), and
+    # a constant partition key does not survive the optimizer. The
+    # aggregate form runs on the same SinglePartition exchange the
+    # windows needed, with two fewer plan operators (no Window, no Sort).
+    # The grand total falls out of the same accumulator, so total_col
+    # still costs zero extra jobs.
+    guard_msg = (
+        "global_row_number: a partition exceeds 2^33 rows — raise "
+        "num_partitions"
     )
-    off = F.coalesce(F.sum("__cnt").over(w_prefix), F.lit(0)).cast("long")
-    guarded_off = F.when(
-        F.col("__cnt") > F.lit(local_mask),
-        F.raise_error(
-            F.lit(
-                "global_row_number: a partition exceeds 2^33 rows — raise "
-                "num_partitions"
-            )
-        ).cast("long"),
-    ).otherwise(off)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    prefixed = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("__pid", "__cnt"))),
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.array().cast("array<struct<pid:int,off:bigint>>").alias("arr"),
+        ),
+        lambda a, x: F.struct(
+            (a["run"] + x["__cnt"]).alias("run"),
+            F.concat(
+                a["arr"],
+                F.array(
+                    F.struct(
+                        x["__pid"].alias("pid"),
+                        F.when(
+                            x["__cnt"] > F.lit(local_mask),
+                            F.raise_error(F.lit(guard_msg)).cast("long"),
+                        )
+                        .otherwise(a["run"])
+                        .alias("off"),
+                    )
+                ),
+            ).alias("arr"),
+        ),
     )
-    offsets = counts.select(
-        "__pid",
-        guarded_off.alias("__off"),
-        F.sum("__cnt").over(w_all).cast("long").alias("__tot"),
+    offsets = (
+        counts.agg(prefixed.alias("__acc"))
+        .select(
+            F.explode("__acc.arr").alias("__e"),
+            F.col("__acc.run").alias("__tot"),
+        )
+        .select(
+            F.col("__e.pid").alias("__pid"),
+            F.col("__e.off").alias("__off"),
+            F.col("__tot"),
+        )
     )
     local_rank = F.col("__mid").bitwiseAND(F.lit(local_mask)) + 1
     ranked = (
