@@ -50,16 +50,22 @@ def _fan_out_few_splits(df: DataFrame, id_col: str) -> DataFrame:
     fan-out — repartitioning is value-neutral, so this only moves
     performance, never results.
 
-    The exchange hashes on ``id_col`` rather than round-robin: ids are
-    unique (both callers require that), so the spread is even, no
-    sort-before-repartition pass is paid (SPARK-23207 applies only to
-    round-robin), and downstream per-id aggregations (minhash's
-    groupBy(doc_id)) can reuse the partitioning instead of exchanging
-    the full exploded stream (guide §2.4)."""
+    The exchange stays ROUND-ROBIN. Hashing on ``id_col`` looked strictly
+    better on paper (no sort-before-repartition, and minhash's
+    groupBy(doc_id) reuses the partitioning, dropping its exchange) and
+    did win on the one-aggregate signature query — but the preserved
+    fan-out-width partitioning then infects every downstream consumer of
+    the (cached) shingle table: the near-dup pipeline's set joins and
+    aggregates all ran at the fan-out width instead of the session's
+    post-shuffle width, roughly doubling task dispatch per stage
+    (interleaved same-session A/B: near_dup_pairs 1.17 s round-robin vs
+    1.50 s hashed; the signature-only win was 0.04 s). Round-robin lets
+    each downstream exchange restore the tuned width, and at production
+    split counts the fan-out is a no-op either way."""
     sc = df.sparkSession.sparkContext
     n_files = len(df.inputFiles())
     if 0 < n_files * 4 <= sc.defaultParallelism:
-        return df.repartition(max(8, sc.defaultParallelism // 4), F.col(id_col))
+        return df.repartition(max(8, sc.defaultParallelism // 4))
     return df
 
 
