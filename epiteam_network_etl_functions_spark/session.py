@@ -34,6 +34,22 @@ _SCALE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r15 spike (VERDICT r14 carried item): path-based parquet reads go
+    # through DataSource V2 so footer-served aggregate pushdown applies —
+    # a COUNT(*)/column-min/max subtree (tfidf's corpus count, scalar
+    # count gates) becomes a metadata read instead of a data pass at
+    # 100 TB. Scale profile only: the driver's sf0.1 bench runs the small
+    # profile unchanged. Catalog TABLES (the bucketed presence layout)
+    # keep the v1 FileScan path regardless of this list — probed: the
+    # bucketed self-join still plans 0 exchanges with parquet removed
+    # from the v1 list — so the flagship's exchange-free steady-state
+    # shape is unaffected. Full-registry hostile sweep re-certified under
+    # this profile (see OPTIMIZATION_r15.md).
+    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    # NOTE the lowercase 'down': the SQLConf key is
+    # spark.sql.parquet.aggregatePushdown; the camel-cased variant is
+    # silently accepted as an unknown key and does nothing (probed).
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 # Small-input latency profile (bench at sf<=0.1, a few hundred MB): AQE's
