@@ -34,22 +34,21 @@ _SCALE_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # r15 spike (VERDICT r14 carried item): path-based parquet reads go
-    # through DataSource V2 so footer-served aggregate pushdown applies —
-    # a COUNT(*)/column-min/max subtree (tfidf's corpus count, scalar
-    # count gates) becomes a metadata read instead of a data pass at
-    # 100 TB. Scale profile only: the driver's sf0.1 bench runs the small
-    # profile unchanged. Catalog TABLES (the bucketed presence layout)
-    # keep the v1 FileScan path regardless of this list — probed: the
-    # bucketed self-join still plans 0 exchanges with parquet removed
-    # from the v1 list — so the flagship's exchange-free steady-state
-    # shape is unaffected. Full-registry hostile sweep re-certified under
-    # this profile (see OPTIMIZATION_r15.md).
-    "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
-    # NOTE the lowercase 'down': the SQLConf key is
-    # spark.sql.parquet.aggregatePushdown; the camel-cased variant is
-    # silently accepted as an unknown key and does nothing (probed).
-    "spark.sql.parquet.aggregatePushdown": "true",
+    # r15 spike RESULT (VERDICT r14 carried item), REVERTED in-round:
+    # routing path-based parquet through DataSource V2
+    # (useV1SourceList minus parquet + spark.sql.parquet.aggregatePushdown,
+    # lowercase 'down') does serve COUNT(*)-only subtrees from footers
+    # (PushedAggregation: [COUNT(*)] — plan committed,
+    # plans/r15/tfidf_top_terms_scaleprofile_v2_after.txt), BUT the v2
+    # BatchScan path plans NO dynamic partition pruning in Spark 4.1: a
+    # partitioned fact joined through a filtered dim shows neither a
+    # dynamicpruning subquery nor a populated RuntimeFilters list, in all
+    # six probed combinations (AQE on/off x reuseBroadcastOnly true/false
+    # x pre/post-execution; v1 plans the subquery in the same session).
+    # Losing DPP on partitioned facts costs full scans at 100 TB — far
+    # more than a footer-count saves — so the v1 reader stays and the
+    # aggregate-pushdown key (inert under v1) is dropped with it.
+    # tests/test_io.py::test_dynamic_partition_pruning_fires locks this.
 }
 
 # Small-input latency profile (bench at sf<=0.1, a few hundred MB): AQE's

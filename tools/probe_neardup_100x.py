@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TIER = "/tmp/tier100x"
 REPS = 2
-args = sys.argv[1:]
+# --spark-only: the r14 run established that the DuckDB mirror ABORTS at
+# this tier (exhausts all free temp disk in the verify join); re-filling
+# ~80 GB of /tmp to re-demonstrate it adds nothing, so the r15 refresh
+# re-times only the Spark side under the new text-kernel shape.
+SPARK_ONLY = "--spark-only" in sys.argv[1:]
+args = [a for a in sys.argv[1:] if a != "--spark-only"]
 for i, a in enumerate(args):
     if a == "--reps":
         REPS = int(args[i + 1])
@@ -57,6 +62,8 @@ def main() -> None:
         warm.append(round(time.time() - t0, 2))
     print(f"spark  near_dup_pairs: {rows} pairs, cold end-to-end "
           f"{spark_s:.2f}s (warm re-counts: {warm})")
+    if SPARK_ONLY:
+        return
 
     # -- DuckDB side: the committed oracle, count-wrapped (same protocol
     # as tools/duckdb_bench.py — neither engine pays result delivery)
