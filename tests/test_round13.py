@@ -111,9 +111,17 @@ def test_rank_kernel_sparse_pids_still_rank_correctly(spark):
 
 
 def test_rank_kernel_overflow_guard_is_in_plan(spark):
-    """The 2^33-rows-per-partition guard must survive in the physical
-    plan (it lives inside the offset expression so Catalyst cannot prune
-    it) — the pre-r14 driver-side RuntimeError is gone."""
+    """The 2^33-rows-per-partition guard must survive OPTIMIZATION (it
+    lives inside the offset expression so Catalyst cannot prune it) —
+    the pre-r14 driver-side RuntimeError is gone.
+
+    Asserted on the OPTIMIZED logical plan, not the physical string:
+    since the r15 offsets rewrite (windows → one higher-order
+    `aggregate`), the guard sits in the aggregate's RESULT expression,
+    and ObjectHashAggregate's toString prints aggregate functions and
+    output attributes but not result expressions — the physical string
+    hides an expression that is demonstrably still executed (the
+    optimized plan shows it verbatim, post every pruning rule)."""
     from epiteam_network_etl_functions_spark.operators.winners import (
         global_row_number,
     )
@@ -122,7 +130,7 @@ def test_rank_kernel_overflow_guard_is_in_plan(spark):
     plan = (
         global_row_number(df, ["v"], "r")
         ._jdf.queryExecution()
-        .executedPlan()
+        .optimizedPlan()
         .toString()
     )
     assert "raise_error" in plan and "exceeds 2^33" in plan

@@ -6,6 +6,15 @@ Each test pins one of the r14 optimizations (OPTIMIZATION_r14.md):
 - explode_shingles: per-row array_distinct == the old global DISTINCT.
 - device_rg distance_expr: JVM Chebyshev == the pandas-UDF fallback.
 - tfidf_top_terms: the pushed emptiness filter must not re-tokenize.
+
+SPARK-VERSION COUPLING (ADVICE r14): the plan-shape locks assert exact
+'Exchange hashpartitioning' / 'Sort [' substring counts from
+executedPlan().toString() under the tuned get_session (AQE off in the
+small profile). A Spark upgrade, AQE enablement, or plan-string format
+change will fail them SPURIOUSLY. On such a failure, re-baseline the
+counts against the new planner output (after confirming the shape is
+still minimal by reading the plan) — do not revert the optimization
+the lock protects.
 """
 
 from __future__ import annotations
